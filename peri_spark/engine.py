@@ -1,0 +1,143 @@
+"""Validation engine: ``validate(df, schema)`` → (valid, invalid, violations).
+
+Execution model (Spark-first):
+- ONE projection pass computes every field's rewritten value plus a single
+  ``_violations`` array column (all constraints for all fields). The plan is
+  a pure map stage — no shuffle, fully inside WholeStageCodegen; Catalyst
+  prunes the scan to schema-referenced columns automatically.
+- ``valid`` / ``invalid`` / ``violations`` are lazy views over the annotated
+  frame; consuming more than one triggers at most one extra scan (callers at
+  scale should ``.persist()`` the annotated frame — see ``ValidationSuite``).
+
+Reference lifecycle parity (zoedsoupe/peri):
+- mode check + strict-mode projection: lib/peri.ex:572-604, 630-664
+- per-field traverse accumulating errors: lib/peri.ex:686-707
+- unlike the reference (which re-validates the schema on every defschema
+  call, lib/peri.ex:360-362) we compile once and reuse the plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import dsl
+from .compiler import AVIOL_DDL, compile_fields, compile_node, Ctx, empty_viols
+from .dsl import Node, parse
+from .errors import InvalidSchemaError
+
+__all__ = ["validate", "conforms", "validate_column", "ValidationResult",
+           "VIOLATIONS_COLUMN"]
+
+VIOLATIONS_COLUMN = "_violations"
+
+
+@dataclass
+class ValidationResult:
+    """Lazy views over one annotated DataFrame."""
+
+    annotated: DataFrame         # output columns + _violations array
+    source: DataFrame            # the input frame (original columns)
+
+    @property
+    def valid(self) -> DataFrame:
+        return (self.annotated
+                .where(F.size(F.col(VIOLATIONS_COLUMN)) == 0)
+                .drop(VIOLATIONS_COLUMN))
+
+    @property
+    def invalid(self) -> DataFrame:
+        return self.annotated.where(F.size(F.col(VIOLATIONS_COLUMN)) > 0)
+
+    def violations(self, *id_cols: str) -> DataFrame:
+        """Exploded Peri-shaped violation rows: id cols + path/key/message/content."""
+        v = self.invalid.select(
+            *id_cols, F.explode(F.col(VIOLATIONS_COLUMN)).alias("v"))
+        return v.select(
+            *id_cols,
+            F.col("v.path").alias("path"),
+            F.col("v.key").alias("key"),
+            F.col("v.message").alias("message"),
+            F.col("v.content").alias("content"))
+
+    def conforms(self) -> bool:
+        """Whole-frame boolean (Peri.conforms?/2, lib/peri.ex:443-450)."""
+        return self.invalid.isEmpty()
+
+    def persist(self, *a, **kw) -> "ValidationResult":
+        self.annotated = self.annotated.persist(*a, **kw)
+        return self
+
+    def errors(self, *id_cols: str) -> list[dict]:
+        """Collect violations as Python dicts (small results only)."""
+        return [r.asDict(recursive=True)
+                for r in self.violations(*id_cols).collect()]
+
+
+def validate(df: DataFrame, schema, mode: str = "strict") -> ValidationResult:
+    """Validate a DataFrame against a Peri-style schema.
+
+    - ``strict``  → output contains only schema-declared columns
+      (reference: lib/peri.ex:630-664)
+    - ``permissive`` → all input columns pass through, declared ones rewritten
+      (reference: lib/peri.ex:635-636)
+    """
+    if mode not in ("strict", "permissive"):
+        # reference raises ArgumentError (lib/peri.ex:575-579)
+        raise ValueError(
+            f"Invalid mode: {mode!r}. Must be 'strict' or 'permissive'")
+    node = parse(schema) if not isinstance(schema, Node) else schema
+    if node.tag == "nested":
+        entries = node.args[0]
+        outs = compile_fields(entries, df.schema, mode)
+        viols = _concat_viols([o.viols for o in outs])
+        declared = {o.name for o in outs}
+        cols: list[Column] = []
+        if mode == "permissive":
+            rewritten = {o.name: o.value for o in outs if o.value is not None}
+            for name in df.columns:
+                cols.append(rewritten.get(name, F.col(name)))
+                if name in rewritten:
+                    cols[-1] = cols[-1].alias(name)
+            for o in outs:  # declared-but-absent fields with defaults
+                if o.name not in df.columns and o.value is not None:
+                    cols.append(o.value.alias(o.name))
+        else:
+            for o in outs:
+                if o.value is not None:
+                    cols.append(o.value.alias(o.name))
+        annotated = df.select(*cols, viols.alias(VIOLATIONS_COLUMN))
+        return ValidationResult(annotated, df)
+    # bare directive: validate the whole row as one value (struct)
+    ctx = Ctx(root=lambda n: F.col(n), key="", path=())
+    struct_t = df.schema
+    c = compile_node(node, F.struct(*[F.col(f.name) for f in struct_t.fields]),
+                     struct_t, ctx, mode)
+    annotated = df.select("*", c.viols.alias(VIOLATIONS_COLUMN))
+    return ValidationResult(annotated, df)
+
+
+def validate_column(df: DataFrame, column: str, schema,
+                    key: str | None = None) -> ValidationResult:
+    """Validate a single column against a bare type directive."""
+    node = parse(schema)
+    fld = df.schema[column]
+    ctx = Ctx(root=lambda n: F.col(n), key=key or column, path=(key or column,))
+    c = compile_node(node, F.col(column), fld.dataType, ctx)
+    annotated = df.withColumn(VIOLATIONS_COLUMN, c.viols)
+    return ValidationResult(annotated, df)
+
+
+def conforms(df: DataFrame, schema, mode: str = "strict") -> bool:
+    return validate(df, schema, mode).conforms()
+
+
+def _concat_viols(cols: list[Column]) -> Column:
+    if not cols:
+        return empty_viols()
+    if len(cols) == 1:
+        return cols[0]
+    return F.concat(*cols)
