@@ -1,0 +1,19 @@
+"""Table-level constraint stages (north-rule additions; SURVEY.md §2.6).
+
+No Peri analogue — the reference validates one record at a time. These
+stages reuse Peri's violation row shape (path/key/message/content) so
+row-level and table-level violations union into one frame.
+"""
+
+from .stats import column_stats, stats_violations
+from .uniqueness import uniqueness_violations
+from .referential import referential_violations
+from .drift import chi_square_drift, ks_drift, histogram
+from .verdicts import partition_verdicts
+from .fidelity import fidelity_violations
+
+__all__ = [
+    "column_stats", "stats_violations", "uniqueness_violations",
+    "referential_violations", "chi_square_drift", "ks_drift", "histogram",
+    "partition_verdicts", "fidelity_violations",
+]

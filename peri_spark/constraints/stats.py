@@ -1,0 +1,97 @@
+"""Per-column statistics stage.
+
+One single-pass hash aggregate (Catalyst partial+final, map-side combined)
+computes every column's stats at once — at 100 TB this is one scan, no
+shuffle beyond the final 1-row reduce. Output is unpivoted to one row per
+column so thresholds can be validated relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["column_stats", "stats_violations"]
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None,
+                 exact_distinct: bool = False) -> DataFrame:
+    """Stats per column: rows, nulls, null_rate, min/max (as strings),
+    avg string length, and (approx by default) distinct count.
+
+    ``exact_distinct=True`` is a second shuffle per column — only for
+    small frames / oracle tests; at scale use the HLL approximation.
+    """
+    cols = columns or df.columns
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = by_name[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        if isinstance(dt, T.StringType):
+            aggs.append(F.avg(F.length(F.col(c))).alias(f"{c}__avg_len"))
+        elif isinstance(dt, T.NumericType):
+            aggs.append(F.avg(F.col(c)).alias(f"{c}__avg_len"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__avg_len"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = df.agg(*aggs)
+    # unpivot via stack — stays on the single aggregated row (driver-cheap)
+    n = len(cols)
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        stack_args.append(f"`{c}__nulls`")
+        stack_args.append(f"`{c}__min`")
+        stack_args.append(f"`{c}__max`")
+        stack_args.append(f"`{c}__avg_len`")
+        stack_args.append(f"`{c}__distinct`")
+    expr = (f"stack({n}, " + ", ".join(stack_args)
+            + ") as (column, n_null, min_value, max_value, avg_len, n_distinct)")
+    return (wide.select(F.col("__n").alias("n_rows"), F.expr(expr))
+            .select("column", "n_rows", "n_null",
+                    (F.col("n_null") / F.col("n_rows")).alias("null_rate"),
+                    "min_value", "max_value", "avg_len", "n_distinct"))
+
+
+def stats_violations(stats: DataFrame, thresholds: dict[str, dict]) -> DataFrame:
+    """Validate stats rows against per-column thresholds, emitting
+    Peri-shaped violations, e.g. ``{"content": {"max_null_rate": 0.01}}``.
+    """
+    checks = []
+    for col, th in thresholds.items():
+        if "max_null_rate" in th:
+            m = th["max_null_rate"]
+            checks.append(
+                F.when((F.col("column") == col) & (F.col("null_rate") > m),
+                       F.struct(
+                           F.array(F.lit(col)).alias("path"),
+                           F.lit(col).alias("key"),
+                           F.concat(F.lit(f"null rate should be at most {m}, got "),
+                                    F.round("null_rate", 6).cast("string")).alias("message"),
+                           F.to_json(F.struct(
+                               F.round("null_rate", 6).cast("string").alias("actual"),
+                               F.lit(str(m)).alias("max"))).alias("content"))))
+        if "min_distinct" in th:
+            m = th["min_distinct"]
+            checks.append(
+                F.when((F.col("column") == col) & (F.col("n_distinct") < m),
+                       F.struct(
+                           F.array(F.lit(col)).alias("path"),
+                           F.lit(col).alias("key"),
+                           F.concat(F.lit(f"distinct count should be at least {m}, got "),
+                                    F.col("n_distinct").cast("string")).alias("message"),
+                           F.to_json(F.struct(
+                               F.col("n_distinct").cast("string").alias("actual"),
+                               F.lit(str(m)).alias("min"))).alias("content"))))
+    if not checks:
+        raise ValueError("no thresholds given")
+    return (stats
+            .select(F.explode(F.array_compact(F.array(*checks))).alias("v"))
+            .select("v.path", "v.key", "v.message", "v.content"))

@@ -53,15 +53,19 @@ class ValidationResult:
         return self.annotated.where(F.size(F.col(VIOLATIONS_COLUMN)) > 0)
 
     def violations(self, *id_cols: str) -> DataFrame:
-        """Exploded Peri-shaped violation rows: id cols + path/key/message/content."""
+        """Exploded Peri-shaped violation rows: id cols + path/key/message/
+        content. Violation columns clashing with an id column are renamed
+        ``err_<name>`` (e.g. a ``path`` id column)."""
         v = self.invalid.select(
             *id_cols, F.explode(F.col(VIOLATIONS_COLUMN)).alias("v"))
+
+        def out(name: str) -> str:
+            return f"err_{name}" if name in id_cols else name
+
         return v.select(
             *id_cols,
-            F.col("v.path").alias("path"),
-            F.col("v.key").alias("key"),
-            F.col("v.message").alias("message"),
-            F.col("v.content").alias("content"))
+            *[F.col(f"v.{n}").alias(out(n))
+              for n in ("path", "key", "message", "content")])
 
     def conforms(self) -> bool:
         """Whole-frame boolean (Peri.conforms?/2, lib/peri.ex:443-450)."""

@@ -1,0 +1,103 @@
+"""Run management: per-partition checkpoint ledger, lineage, metrics.
+
+North rule: "runs are checkpointed per Iceberg partition with lineage and
+metrics tables so interrupted jobs resume without recomputation."
+
+The ledger is an append-only parquet directory (works unchanged on an
+Iceberg/Delta table at scale — append semantics only). Resume = anti-join
+of the partition inventory against completed ledger entries, so a restart
+touches only pending partitions; no driver-side state survives a crash.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["RunLedger", "schema_fingerprint"]
+
+_LEDGER_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType()),
+    T.StructField("partition_id", T.StringType()),
+    T.StructField("status", T.StringType()),       # completed | failed
+    T.StructField("schema_fingerprint", T.StringType()),
+    T.StructField("input_snapshot", T.StringType()),
+    T.StructField("n_rows", T.LongType()),
+    T.StructField("n_violations", T.LongType()),
+    T.StructField("wall_seconds", T.DoubleType()),
+    T.StructField("completed_at", T.TimestampType()),
+    T.StructField("metrics_json", T.StringType()),
+])
+
+
+def schema_fingerprint(schema) -> str:
+    """Stable hash of a schema definition — the lineage key. Two runs with
+    the same fingerprint + input snapshot are interchangeable."""
+    import hashlib
+
+    def norm(x):
+        if isinstance(x, dict):
+            return {str(k): norm(v) for k, v in sorted(x.items(), key=lambda kv: str(kv[0]))}
+        if isinstance(x, (list, tuple)):
+            return [norm(v) for v in x]
+        if callable(x):
+            return getattr(x, "__name__", "callable")
+        return x
+
+    blob = json.dumps(norm(schema), sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class RunLedger:
+    """Append-only checkpoint/lineage ledger for partitioned validation runs."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 schema_fp: str = "", input_snapshot: str = ""):
+        self.spark = spark
+        self.path = path
+        self.schema_fp = schema_fp
+        self.input_snapshot = input_snapshot
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def entries(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], _LEDGER_SCHEMA)
+
+    def completed_partitions(self) -> DataFrame:
+        """Partitions already completed for this schema+input lineage."""
+        e = self.entries().where(F.col("status") == "completed")
+        if self.schema_fp:
+            e = e.where(F.col("schema_fingerprint") == self.schema_fp)
+        if self.input_snapshot:
+            e = e.where(F.col("input_snapshot") == self.input_snapshot)
+        return e.select("partition_id").dropDuplicates()
+
+    def pending(self, partitions: DataFrame,
+                partition_col: str = "partition_id") -> DataFrame:
+        """Anti-join the inventory against completed work → what's left."""
+        inv = partitions.select(F.col(partition_col).cast("string")
+                                .alias("partition_id"))
+        done = F.broadcast(self.completed_partitions())
+        return inv.join(done, "partition_id", "left_anti")
+
+    def record(self, partition_id: str, status: str, n_rows: int,
+               n_violations: int, wall_seconds: float,
+               metrics: dict | None = None) -> None:
+        row = [(self.run_id, str(partition_id), status, self.schema_fp,
+                self.input_snapshot, n_rows, n_violations, wall_seconds,
+                __import__("datetime").datetime.now(),
+                json.dumps(metrics or {}, sort_keys=True))]
+        (self.spark.createDataFrame(row, _LEDGER_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.path))
+
+    def metrics(self) -> DataFrame:
+        return self.entries().select(
+            "run_id", "partition_id", "status", "n_rows", "n_violations",
+            "wall_seconds", "completed_at", "metrics_json")

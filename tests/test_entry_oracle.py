@@ -1,0 +1,76 @@
+"""Driver-contract parity: every queries() entry must match its oracle_sql()
+on sf0.01, mimicking the driver's row-count + schema + value-hash check."""
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _row_key(row, cols):
+    return tuple(_norm(row[c]) for c in cols)
+
+
+def compare(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = [r.asDict() for r in sdf.collect()]
+    orc = duck.execute(sql)
+    cols = [d[0] for d in orc.description]
+    duck_rows = [dict(zip(cols, r)) for r in orc.fetchall()]
+    assert sorted(sdf.columns) == sorted(cols), \
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(cols)}"
+    key_cols = sorted(cols)
+    s = sorted(_row_key(r, key_cols) for r in spark_rows)
+    d = sorted(_row_key(r, key_cols) for r in duck_rows)
+    assert len(s) == len(d), f"{name}: rowcount {len(s)} != {len(d)}"
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
+    assert not mism, (
+        f"{name}: first mismatches "
+        + "; ".join(f"spark={s[i]} duck={d[i]}" for i in mism))
+
+
+@pytest.mark.parametrize("name", sorted(
+    set(entrymod.queries()) & set(entrymod.oracle_sql())))
+def test_query_matches_oracle(spark, duck, name):
+    compare(spark, duck, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_all_queries_have_oracle_or_are_documented():
+    missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    # non-SQL-expressible ops may omit oracles; keep the list deliberate
+    assert missing == set(), f"undocumented oracle omissions: {missing}"
