@@ -71,10 +71,31 @@ def chi_square_drift(df: DataFrame, value_col: str, group_col: str,
     ``baseline=None`` → the global distribution of ``df`` itself (each
     group tested against the whole), which makes the check self-contained.
     Returns (group, n, chi2, critical, drifted).
+
+    Plan note: with a self-baseline, the global histogram and the
+    per-group counts come out of ONE ``cube`` aggregation — a single scan
+    and a single (partially-aggregated) shuffle; the grid join is a
+    broadcast of the tiny histogram.
     """
     if baseline is None:
-        baseline = histogram(df, value_col, lo, hi, buckets)
-    obs = _grouped_counts(df, value_col, group_col, lo, hi, buckets)
+        nn = (df.where(F.col(value_col).isNotNull())
+              .select(F.col(group_col).alias("group"),
+                      _bucket(F.col(value_col), lo, hi, buckets)
+                      .alias("bucket")))
+        cube = (nn.cube("group", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.grouping("group").alias("__all_groups"),
+                     F.grouping("bucket").alias("__all_buckets"))
+                .where(F.col("__all_buckets") == 0))
+        cube = cube.cache()
+        glob = cube.where(F.col("__all_groups") == 1).select("bucket", "n")
+        total = glob.agg(F.sum("n")).collect()[0][0]
+        baseline = glob.select(
+            "bucket", "n", (F.col("n") / F.lit(float(total))).alias("p"))
+        obs = (cube.where(F.col("__all_groups") == 0)
+               .select("group", "bucket", F.col("n").alias("obs")))
+    else:
+        obs = _grouped_counts(df, value_col, group_col, lo, hi, buckets)
     grid = _grid(obs, baseline)
     per_group = (grid.where(F.col("exp") > 0)
                  .groupBy("group")
