@@ -126,6 +126,69 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.col("n_chars")).alias("n_chars_consistent"))
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peri_spark.functions import language_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "text", "doc_id")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peri_spark.functions import quality_scores
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs, "text", "doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peri_spark.functions import cosine_topk_for_query
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    top = cosine_topk_for_query(emb, "embedding", "vec_id", qv, k=10)
+    return top.select("id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over code_files (dup slice is planted).
+    Non-SQL-expressible (xxhash64 signatures) → rows-only driver check."""
+    from peri_spark.functions import lsh_duplicate_pairs
+    df = _code_files(spark, sf_dir)
+    keyed = df.select(
+        F.xxhash64("repo", "path", "commit").alias("id"), "content") \
+        .where(F.col("content").isNotNull())
+    return lsh_duplicate_pairs(keyed, "content", "id",
+                               threshold=0.9, n_hashes=64, bands=16)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (Arrow pandas UDF) → rows-only driver check."""
+    from peri_spark.functions import simhash_signatures
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs, "text", "doc_id")
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint counts (xxhash64) → rows-only driver check."""
+    from peri_spark.functions import winnow_fingerprints
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = winnow_fingerprints(docs, "text", "doc_id")
+    return fp.select("id", F.size("fingerprints").cast("long").alias("n_fp"))
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (seeded numpy planes) → rows-only driver check."""
+    from peri_spark.functions import hyperplane_lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    r = hyperplane_lsh_topk(emb, queries_df, "embedding", "vec_id",
+                            k=5, planes=6, multiprobe=2)
+    return r.select("query_id", "id", F.round("cosine", 4).alias("cosine"),
+                    "rank")
+
+
+# queries whose implementation is deliberately non-SQL-expressible
+# (xxhash64 / Arrow UDFs / seeded hyperplanes); driver records rows-only
+NO_ORACLE = {"minhash_lsh_pairs", "simhash", "winnow_fp", "knn_lsh"}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violations": q_flagship_violations,
@@ -138,6 +201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
+        "langid": q_langid,
+        "quality_scores": q_quality,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "winnow_fp": q_winnow,
+        "knn_lsh": q_knn_lsh,
     }
 
 
@@ -232,6 +302,58 @@ def oracle_sql() -> dict[str, str]:
            length(text) = n_chars AS n_chars_consistent
     FROM documents
     """
+    from peri_spark.functions.textstats import LANG_MARKERS
+    lang_score = (
+        "round(len(regexp_extract_all(lower(text), '{pat}')) * 100.0 / "
+        "greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 4)")
+    score_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, '{lang}' AS lang, "
+        + lang_score.format(pat=pat.replace("'", "''"))
+        + " AS score FROM documents"
+        for lang, pat in sorted(LANG_MARKERS.items()))
+    langid = f"""
+    WITH scores AS (
+{score_selects}
+    ), ranked AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id AS id, lang AS lang_pred, score FROM ranked
+    WHERE rn = 1 AND doc_id NOT IN (
+      SELECT doc_id FROM documents WHERE text IS NULL OR trim(text) = '')
+    UNION ALL
+    SELECT doc_id AS id, NULL AS lang_pred, NULL AS score FROM documents
+    WHERE text IS NULL OR trim(text) = ''
+    """
+    en = LANG_MARKERS["en"]
+    quality_scores_sql = f"""
+    SELECT doc_id AS id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+      round(length(text) * 1.0 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 4) AS avg_token_len,
+      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 4) AS alpha_ratio,
+      round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1), 4) AS digit_ratio,
+      round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+      round(len(regexp_extract_all(lower(text), '{en}')) * 1.0 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 4) AS stopword_ratio,
+      round(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) * 1.0 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 4) AS distinct_token_ratio
+    FROM documents
+    """
+    embedding_topk = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS id,
+        round(
+          list_sum(list_transform(list_zip(e.embedding, q.qv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q.qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c6
+      FROM embeddings e, q)
+    SELECT id, round(c6, 4) AS cosine FROM sims
+    ORDER BY c6 DESC, id ASC LIMIT 10
+    """
     return {
         "flagship_violations": flagship_viol,
         "flagship_valid": flagship_valid,
@@ -243,4 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup,
         "token_count": tokens,
         "text_quality": quality,
+        "langid": langid,
+        "quality_scores": quality_scores_sql,
+        "embedding_topk": embedding_topk,
     }

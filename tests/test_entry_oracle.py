@@ -73,4 +73,13 @@ def test_entry_smoke(spark):
 def test_all_queries_have_oracle_or_are_documented():
     missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
     # non-SQL-expressible ops may omit oracles; keep the list deliberate
-    assert missing == set(), f"undocumented oracle omissions: {missing}"
+    assert missing == entrymod.NO_ORACLE, \
+        f"undocumented oracle omissions: {missing ^ entrymod.NO_ORACLE}"
+
+
+@pytest.mark.parametrize("name", sorted(
+    set(entrymod.queries()) - set(entrymod.oracle_sql())))
+def test_no_oracle_queries_run(spark, name):
+    """Rows-only check for deliberately non-SQL-expressible queries."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0 and len(df.columns) > 0

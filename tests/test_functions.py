@@ -1,0 +1,180 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from peri_spark.functions import (
+    brute_force_topk, cosine_topk_for_query, embedding_duplicate_pairs,
+    exact_duplicates, hyperplane_lsh_topk, language_id, lsh_duplicate_pairs,
+    minhash_signatures, ngram_jaccard_pairs, quality_scores,
+    simhash_signatures, token_counts, winnow_fingerprints)
+from peri_spark.functions.multimodal import (attach_media_metadata,
+                                             decode_features_stub,
+                                             frame_sample_stub)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, t string")
+    pairs = exact_duplicates(df, "t", "id").collect()
+    assert {(r.canonical_id, r.dup_id) for r in pairs} == {(1, 3), (1, 4)}
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = minhash_signatures(docs.limit(20), "text", "doc_id", n_hashes=16)
+    rows = sigs.collect()
+    assert all(len(r.sig) == 16 for r in rows)
+    # deterministic across invocations
+    rows2 = minhash_signatures(docs.limit(20), "text", "doc_id",
+                               n_hashes=16).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
+def test_lsh_finds_planted_near_duplicates(spark, docs):
+    base = docs.limit(30).select("doc_id", "text")
+    # plant: doc_id+10000 is doc with one word appended (near-dup)
+    mutated = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"))
+    corpus = base.unionByName(mutated)
+    pairs = lsh_duplicate_pairs(corpus, "text", "doc_id",
+                                threshold=0.5, n_hashes=64, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(int(r.doc_id), int(r.doc_id) + 10000) for r in base.collect()}
+    assert len(got & planted) >= len(planted) * 0.9  # ≥90% recall
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated text")],
+        "id long, t string")
+    pairs = ngram_jaccard_pairs(df, "t", "id", threshold=0.4, k=3).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        "id long, t string")
+    sig = {r.id: r.simhash for r in simhash_signatures(df, "t", "id").collect()}
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+
+
+def test_cosine_topk_for_query(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    top = cosine_topk_for_query(emb, "embedding", "vec_id", q, k=5).collect()
+    assert top[0].id == 0 and abs(top[0].cosine - 1.0) < 1e-5
+    assert len(top) == 5
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    r = brute_force_topk(emb, queries, "embedding", "vec_id", k=3)
+    rows = r.collect()
+    assert len(rows) == 9
+    firsts = {x.query_id: x.id for x in rows if x.rank == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}  # self is nearest
+
+
+def test_hyperplane_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=1)
+    approx = hyperplane_lsh_topk(emb, queries, "embedding", "vec_id",
+                                 k=1, planes=6, multiprobe=3)
+    e = {r.query_id: r.id for r in exact.collect()}
+    a = {r.query_id: r.id for r in approx.collect()}
+    # self-match must always be retrieved (same bucket by construction)
+    assert sum(a.get(q) == e[q] for q in e) >= 9
+
+
+def test_embedding_duplicate_pairs_selfdup(spark, emb):
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"),
+                   "embedding", "label"))
+    pairs = embedding_duplicate_pairs(doubled.limit(0).unionByName(doubled),
+                                      "embedding", "vec_id",
+                                      threshold=0.999, planes=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((v, v + 1000) in got for v in range(20))
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park"),
+         (2, "el perro y la casa de la playa es bonita"),
+         (3, "der hund und die katze ist ein tier")],
+        "id long, t string")
+    out = {r.id: r.lang_pred for r in language_id(df, "t", "id").collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_quality_scores(spark, docs):
+    q = quality_scores(docs.limit(5), "text", "doc_id")
+    r = q.collect()[0]
+    assert 0 <= r.alpha_ratio <= 1 and 0 <= r.distinct_token_ratio <= 1
+    assert r.n_tokens > 0 and r.avg_token_len > 0
+
+
+def test_token_counts_bpe(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42 here")],
+                               "id long, t string")
+    r = token_counts(df, "t", "id", bpe_like=True).collect()[0]
+    assert r.n_tokens_ws == 5
+    # hello|world|,|it|'|s|4|2|here
+    assert r.n_tokens_bpe_like == 9
+
+
+def test_winnow_fingerprints_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "prefix words the quick brown fox jumps over the lazy dog"),
+         (3, "zzz yyy xxx www vvv uuu ttt sss")],
+        "id long, t string")
+    fp = {r.id: set(r.fingerprints)
+          for r in winnow_fingerprints(df, "t", "id").collect()}
+    assert len(fp[1] & fp[2]) > 0
+    assert len(fp[1] & fp[3]) == 0
+
+
+def test_multimodal_stub_pipeline(spark):
+    rows = [(i, "image", bytes([i % 256] * 100 + [7]),
+             ("image/png", 8, 8, None)) for i in range(6)]
+    rows.append((99, "image", None, ("image/png", 8, 8, None)))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    md = attach_media_metadata(df)
+    assert md.where("payload_bytes = 101").count() == 6
+    feats = decode_features_stub(md, "payload", "media_id").collect()
+    ok = [r for r in feats if r.error is None]
+    bad = [r for r in feats if r.error is not None]
+    assert len(ok) == 6 and len(bad) == 1  # null payload captured, not fatal
+    assert all(len(r.features) == 8 and abs(sum(r.features) - 1.0) < 1e-3
+               for r in ok)
+
+
+def test_frame_sample_stub(spark):
+    df = spark.createDataFrame(
+        [(1, "video", None, (None, None, None, 3500))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    frames = frame_sample_stub(df, every_ms=1000).collect()
+    assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
