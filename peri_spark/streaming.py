@@ -1,0 +1,67 @@
+"""Structured Streaming validation.
+
+The compiled validation plan is a stateless projection, so it applies to a
+streaming DataFrame unchanged — ``validate_stream`` is the same compile as
+batch. On top of it:
+
+- ``split_stream``: one input stream → (valid, violations) streams for
+  dual sinks (``foreachBatch`` or two queries).
+- ``violation_rates``: watermarked tumbling-window violation counts for
+  late-data-tolerant quality dashboards.
+- ``streaming_dedup``: exact-dedup within a watermark via Spark's
+  built-in ``dropDuplicatesWithinWatermark`` (state-store backed; prefer
+  built-ins over applyInPandasWithState when semantics allow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .engine import VIOLATIONS_COLUMN, validate
+
+__all__ = ["validate_stream", "split_stream", "violation_rates",
+           "streaming_dedup"]
+
+
+def validate_stream(stream_df: DataFrame, schema, mode: str = "strict"):
+    """Identical compile path as batch; returns the ValidationResult whose
+    views are streaming DataFrames."""
+    return validate(stream_df, schema, mode=mode)
+
+
+def split_stream(stream_df: DataFrame, schema, mode: str = "strict",
+                 id_cols: list[str] | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(valid_stream, violations_stream) over one annotated projection."""
+    res = validate(stream_df, schema, mode=mode)
+    return res.valid, res.violations(*(id_cols or []))
+
+
+def violation_rates(stream_df: DataFrame, schema, ts_col: str,
+                    window: str = "1 minute",
+                    watermark: str = "5 minutes",
+                    mode: str = "permissive") -> DataFrame:
+    """Per-window (n_rows, n_bad_rows, bad_ratio) with late-data watermark.
+
+    Watermark bounds state: windows older than ``watermark`` finalize and
+    evict — mandatory for unbounded streams.
+    """
+    res = validate(stream_df, schema, mode=mode)
+    ann = res.annotated.withWatermark(ts_col, watermark)
+    nviol = F.size(F.col(VIOLATIONS_COLUMN))
+    return (ann.groupBy(F.window(F.col(ts_col), window).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((nviol > 0).cast("long")).alias("n_bad_rows"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "n_rows", "n_bad_rows",
+                    (F.col("n_bad_rows") / F.col("n_rows"))
+                    .alias("bad_ratio")))
+
+
+def streaming_dedup(stream_df: DataFrame, keys: list[str], ts_col: str,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Keep first occurrence per key within the watermark horizon."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

@@ -1,0 +1,103 @@
+"""Schema walker: depth-first pre-order rewrite of schema definitions.
+
+Analogue of ``Peri.walk/2`` (reference: lib/peri/walker.ex:57-162; tests
+test/walker_test.exs:6-200). The callback sees each (key, directive) entry
+and each bare directive, returning:
+
+- ``("cont", (key, directive))``  — keep (possibly rewritten; key rename ok)
+- ``"drop"``                      — remove this entry
+- anything else                   — raises ValueError (invalid return)
+
+Operates on the *raw* DSL (dicts/tuples), before parsing — like the
+reference, which rewrites the literal schema term.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+__all__ = ["walk", "make_all_optional", "drop_keys", "rename_keys"]
+
+_NESTING = {"required", "meta"}  # single-inner-type wrappers to recurse
+
+
+def _walk_type(t: Any, fn: Callable) -> Any:
+    """Recurse into composite directives, rewriting nested schemas."""
+    if isinstance(t, dict):
+        return walk(t, fn)
+    if not isinstance(t, tuple) or not t:
+        return t
+    head = t[0]
+    if head in _NESTING and len(t) >= 2:
+        return (head, _walk_type(t[1], fn), *t[2:])
+    if head == "list":
+        return ("list", _walk_type(t[1], fn), *t[2:])
+    if head == "map":
+        return ("map", *[_walk_type(x, fn) for x in t[1:]])
+    if head == "tuple" and len(t) == 2:
+        return ("tuple", [_walk_type(x, fn) for x in t[1]])
+    if head == "schema":
+        return ("schema", _walk_type(t[1], fn), *t[2:])
+    if head == "either" and len(t) == 2:
+        a, b = t[1]
+        return ("either", (_walk_type(a, fn), _walk_type(b, fn)))
+    if head == "oneof" and len(t) == 2:
+        return ("oneof", [_walk_type(x, fn) for x in t[1]])
+    if head == "cond" and len(t) == 4:
+        return ("cond", t[1], _walk_type(t[2], fn), _walk_type(t[3], fn))
+    if head == "dependent" and len(t) == 4:
+        return ("dependent", t[1], t[2], _walk_type(t[3], fn))
+    if head == "multi" and len(t) == 3:
+        return ("multi", t[1], {k: _walk_type(v, fn) for k, v in t[2].items()})
+    return t
+
+
+def walk(schema: Any, fn: Callable) -> Any:
+    """Rewrite a schema depth-first, pre-order (entries before nesting)."""
+    if isinstance(schema, dict):
+        out = {}
+        for k, v in schema.items():
+            res = fn((k, v))
+            if res == "drop":
+                continue
+            if (isinstance(res, tuple) and len(res) == 2
+                    and res[0] == "cont"):
+                nk, nv = res[1]
+                out[nk] = _walk_type(nv, fn)
+            else:
+                raise ValueError(
+                    f"invalid walker return for key {k!r}: {res!r} "
+                    "(expected ('cont', (key, type)) or 'drop')")
+        return out
+    res = fn((None, schema))
+    if res == "drop":
+        return None
+    if isinstance(res, tuple) and len(res) == 2 and res[0] == "cont":
+        return _walk_type(res[1][1], fn)
+    raise ValueError(f"invalid walker return: {res!r}")
+
+
+# -- common rewrites (reference walker_test.exs scenarios) --------------------
+
+def make_all_optional(schema: dict) -> dict:
+    """Strip every ``("required", t)`` wrapper."""
+    def fn(entry):
+        k, t = entry
+        while isinstance(t, tuple) and t and t[0] == "required":
+            t = t[1]
+        return ("cont", (k, t))
+    return walk(schema, fn)
+
+
+def drop_keys(schema: dict, keys: set[str]) -> dict:
+    def fn(entry):
+        k, t = entry
+        return "drop" if k in keys else ("cont", (k, t))
+    return walk(schema, fn)
+
+
+def rename_keys(schema: dict, mapping: dict[str, str]) -> dict:
+    def fn(entry):
+        k, t = entry
+        return ("cont", (mapping.get(k, k), t))
+    return walk(schema, fn)
