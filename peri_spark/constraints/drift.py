@@ -21,9 +21,14 @@ __all__ = ["histogram", "chi_square_drift", "ks_drift", "chi2_critical"]
 
 
 def _bucket(col, lo: float, hi: float, nb: int):
-    """Equal-width bucket index in [0, nb-1]; clamped at both ends."""
+    """Equal-width bucket index in [0, nb-1]; clamped at both ends.
+
+    Null-safe: Spark's greatest/least IGNORE nulls (greatest(null,0)=0),
+    which would silently drop null values into bucket 0 — guard first.
+    """
     raw = F.floor((col - F.lit(lo)) / F.lit((hi - lo) / nb))
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1)).cast("int")
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1)).cast("int")
+    return F.when(col.isNotNull(), clamped)
 
 
 def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
@@ -82,16 +87,19 @@ def chi_square_drift(df: DataFrame, value_col: str, group_col: str,
               .select(F.col(group_col).alias("group"),
                       _bucket(F.col(value_col), lo, hi, buckets)
                       .alias("bucket")))
+        from pyspark.sql import Window
+
         cube = (nn.cube("group", "bucket")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.grouping("group").alias("__all_groups"),
                      F.grouping("bucket").alias("__all_buckets"))
                 .where(F.col("__all_buckets") == 0))
-        cube = cube.cache()
         glob = cube.where(F.col("__all_groups") == 1).select("bucket", "n")
-        total = glob.agg(F.sum("n")).collect()[0][0]
+        # total via window over the tiny histogram — avoids a separate
+        # collect job (driver round-trips serialize the whole suite)
         baseline = glob.select(
-            "bucket", "n", (F.col("n") / F.lit(float(total))).alias("p"))
+            "bucket", "n",
+            (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"))
         obs = (cube.where(F.col("__all_groups") == 0)
                .select("group", "bucket", F.col("n").alias("obs")))
     else:

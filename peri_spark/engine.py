@@ -81,13 +81,16 @@ class ValidationResult:
                 for r in self.violations(*id_cols).collect()]
 
 
-def validate(df: DataFrame, schema, mode: str = "strict") -> ValidationResult:
+def validate(df: DataFrame, schema, mode: str = "strict",
+             lean: bool = False) -> ValidationResult:
     """Validate a DataFrame against a Peri-style schema.
 
     - ``strict``  → output contains only schema-declared columns
       (reference: lib/peri.ex:630-664)
     - ``permissive`` → all input columns pass through, declared ones rewritten
       (reference: lib/peri.ex:635-636)
+    - ``lean`` → violation structs carry key only (constant message/
+      content): ~10× smaller plan for counting-only consumers
     """
     if mode not in ("strict", "permissive"):
         # reference raises ArgumentError (lib/peri.ex:575-579)
@@ -96,7 +99,7 @@ def validate(df: DataFrame, schema, mode: str = "strict") -> ValidationResult:
     node = parse(schema) if not isinstance(schema, Node) else schema
     if node.tag == "nested":
         entries = node.args[0]
-        outs = compile_fields(entries, df.schema, mode)
+        outs = compile_fields(entries, df.schema, mode, lean=lean)
         viols = _concat_viols([o.viols for o in outs])
         declared = {o.name for o in outs}
         cols: list[Column] = []

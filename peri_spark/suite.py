@@ -93,12 +93,262 @@ class ValidationSuite:
         self._max_bad_ratio = max_bad_ratio
         return self
 
+    def with_stats(self, columns: list[str] | None = None):
+        """Restrict the stats stage to ``columns``. At corpus scale you
+        track length/null stats for document-text columns, not min/max of
+        the full values (string min/max shuffles and compares whole
+        documents)."""
+        self._stats = True
+        self._stats_columns = columns
+        return self
+
     def without_stats(self):
         self._stats = False
         return self
 
-    def run(self, df: DataFrame, eager: bool = True, persist: bool = False
-            ) -> SuiteResult:
+    def run(self, df: DataFrame, eager: bool = True, persist: bool = False,
+            concurrent: bool = True) -> SuiteResult:
+        """Execute all configured stages.
+
+        ``concurrent=True`` submits each stage's action from its own
+        thread (Spark sessions are thread-safe; jobs share the scheduler).
+        Driver-side planning and job-submission latency overlap with
+        executor compute instead of serializing the suite — on a cluster
+        you'd add FAIR scheduler pools, same idea. Per-stage timings then
+        measure wall under concurrency; the suite wall is what matters.
+        """
+        if eager and concurrent:
+            return self._run_concurrent(df)
+        return self._run_sequential(df, eager)
+
+    def _stage_thunks(self, df: DataFrame, out: "SuiteResult"):
+        """(name, build_and_count callable) per configured stage."""
+        thunks = []
+        counters = out.counters
+
+        if self._partition:
+            def vv():
+                out.verdicts = partition_verdicts(
+                    out.validation.annotated, self._partition,
+                    max_bad_ratio=self._max_bad_ratio)
+                agg = (out.verdicts
+                       .agg(F.sum("n_rows"), F.sum("n_bad_rows"),
+                            F.count(F.lit(1))).collect()[0])
+                counters["n_rows"] = agg[0]
+                counters["n_bad_rows"] = agg[1]
+                counters["n_partitions"] = agg[2]
+            thunks.append(("validate+verdicts", vv))
+        else:
+            def v():
+                counters["n_bad_rows"] = out.validation.invalid.count()
+            thunks.append(("validate", v))
+
+        if self._stats:
+            def st():
+                out.stats = column_stats(
+                    df, getattr(self, "_stats_columns", None))
+                counters["n_stat_cols"] = out.stats.count()
+            thunks.append(("stats", st))
+
+        for keys in self._uniq:
+            def uq(keys=keys):
+                out.duplicate_keys = uniqueness_violations(
+                    df, keys, salt_buckets=self._salt_buckets)
+                counters["n_duplicate_keys"] = out.duplicate_keys.count()
+            thunks.append(("uniqueness", uq))
+
+        for fk, dim, pk, bc in self._refs:
+            name = fk if isinstance(fk, str) else ",".join(fk)
+
+            def rf(fk=fk, dim=dim, pk=pk, bc=bc, name=name):
+                out.referential[name] = referential_violations(
+                    df, fk, dim, pk, broadcast=bc)
+                counters[f"n_ref_violations:{name}"] = \
+                    out.referential[name].count()
+            thunks.append((f"referential:{name}", rf))
+
+        if self._drift:
+            def dr():
+                vexpr, group, lo, hi, buckets, baseline = self._drift
+                dff = df.select(F.expr(vexpr).alias("__v"),
+                                F.col(group).alias("__g"))
+                out.drift = chi_square_drift(dff, "__v", "__g", lo, hi,
+                                             buckets, baseline)
+                counters["n_drift_groups"] = out.drift.count()
+            thunks.append(("drift", dr))
+        return thunks
+
+    def run_fused(self, df: DataFrame) -> "SuiteResult":
+        """Single-pass execution: ONE scan and ONE partial-aggregated
+        shuffle produce verdicts + stats + drift + referential counts;
+        uniqueness (a different key) is the only second shuffle.
+
+        How: referential checks become broadcast-join flags on the scan;
+        the annotated frame aggregates by GROUPING SETS
+        ((partition, bucket), ()) — the finest granularity any stage needs
+        plus one global row — and every stage's result derives from that
+        tiny grouped frame (≤ partitions × buckets rows) without touching
+        the corpus again. This is the plan you want at 100 TB: corpus
+        bytes cross the wire once, as pre-aggregated counters.
+        """
+        from pyspark.storagelevel import StorageLevel
+
+        assert self._partition and len(self._partition) == 1, \
+            "run_fused needs exactly one partition column"
+        pc = self._partition[0]
+        out_timings: dict[str, float] = {}
+        t_all = time.perf_counter()
+
+        res = validate(df, self.schema, mode=self.mode)
+        out = SuiteResult(validation=res, timings=out_timings)
+        # the fused aggregate only COUNTS violations — compile the lean
+        # plan (constant violation structs; ~10× smaller expression tree);
+        # the full plan stays available lazily on out.validation
+        ann = validate(df, self.schema, mode=self.mode, lean=True).annotated
+
+        # referential flags: broadcast the dim keys, left-join once
+        ref_flags: list[tuple[str, str]] = []
+        for i, (fk, dim, pk, bc) in enumerate(self._refs):
+            fkl = [fk] if isinstance(fk, str) else list(fk)
+            pkl = fkl if pk is None else ([pk] if isinstance(pk, str) else list(pk))
+            name = ",".join(fkl)
+            flag = f"__ref_ok_{i}"
+            keys = (dim.select(*[F.col(p).alias(f)
+                                 for p, f in zip(pkl, fkl)])
+                    .dropDuplicates().withColumn(flag, F.lit(1)))
+            ann = ann.join(F.broadcast(keys), fkl, "left")
+            ref_flags.append((name, flag))
+
+        nviol = F.size(F.col(VIOLATIONS_COLUMN))
+        sel = [F.col(pc).alias("__part"), nviol.alias("__nv")]
+        if self._drift:
+            vexpr, _group, lo, hi, buckets, _baseline = self._drift
+            from .constraints.drift import _bucket
+            # -1 sentinel for null drift values: they count for verdicts
+            # but are excluded from the drift histogram (the sequential
+            # path filters value IS NOT NULL)
+            sel.append(F.coalesce(_bucket(F.expr(vexpr), lo, hi, buckets),
+                                  F.lit(-1)).alias("__bk"))
+        else:
+            sel.append(F.lit(0).alias("__bk"))
+        for name, flag in ref_flags:
+            fkl = name.split(",")
+            miss = F.col(fkl[0]).isNotNull() & F.col(flag).isNull()
+            sel.append(miss.cast("long").alias(f"__miss_{flag}"))
+        b = ann.select(*sel)
+
+        # count/sum only — min/max/HLL per group would dominate the agg;
+        # stats are GLOBAL, so they run as their own pruned-scan job below
+        # (that scan reads only the stat columns, not content)
+        aggs = [F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("__nv") > 0).cast("long")).alias("n_bad_rows"),
+                F.sum("__nv").alias("n_violations")]
+        for _name, flag in ref_flags:
+            aggs.append(F.sum(F.col(f"__miss_{flag}")).alias(f"missing_{flag}"))
+
+        g = b.groupBy("__part", "__bk").agg(*aggs)
+        # Truncate lineage by round-tripping the tiny grouped frame
+        # (≤ partitions × buckets rows) through the driver: every derived
+        # stage below plans against a LocalRelation instead of
+        # re-optimizing the giant validation plan per query. NOTE:
+        # localCheckpoint(eager=True) also truncates but measured 4×
+        # slower (it bypasses the AQE final plan); collect is exact here.
+        g_rows = g.collect()
+        g = df.sparkSession.createDataFrame(g_rows, g.schema)
+        out_timings["fused_scan_agg"] = time.perf_counter() - t_all
+
+        t = time.perf_counter()
+        grouped = g
+
+        # verdicts ← re-agg the tiny frame by partition
+        out.verdicts = (grouped.groupBy(F.col("__part").alias(pc))
+                        .agg(F.sum("n_rows").alias("n_rows"),
+                             F.sum("n_bad_rows").alias("n_bad_rows"),
+                             F.sum("n_violations").alias("n_violations"))
+                        .select(pc, "n_rows", "n_bad_rows", "n_violations",
+                                (F.col("n_bad_rows") / F.col("n_rows"))
+                                .alias("bad_ratio"),
+                                (F.col("n_bad_rows") <= F.lit(self._max_bad_ratio)
+                                 * F.col("n_rows")).alias("passed")))
+        out.counters["n_rows"] = sum(r["n_rows"] for r in g_rows)
+        out.counters["n_bad_rows"] = sum(r["n_bad_rows"] for r in g_rows)
+
+        # referential miss counts ← summed counters (violating rows stay
+        # available lazily via the classic anti-join)
+        for (name, flag), (fk, dim, pk, bc) in zip(ref_flags, self._refs):
+            out.counters[f"n_ref_violations:{name}"] = \
+                sum(r[f"missing_{flag}"] for r in g_rows)
+            out.referential[name] = referential_violations(df, fk, dim, pk,
+                                                           broadcast=bc)
+
+        # drift ← chi-square over the tiny (partition × bucket) frame
+        if self._drift:
+            vexpr, _gr, lo, hi, buckets, _bl = self._drift
+            from .constraints.drift import chi2_critical
+            obs = (grouped.where(F.col("__bk") >= 0)
+                   .select(F.col("__part").alias("group"),
+                           F.col("__bk").alias("bucket"),
+                           F.col("n_rows").alias("obs")))
+            base = (obs.groupBy("bucket").agg(F.sum("obs").alias("n")))
+            from pyspark.sql import Window
+            base = base.select("bucket", (F.col("n") / F.sum("n")
+                                          .over(Window.partitionBy()))
+                               .alias("p"))
+            totals = obs.groupBy("group").agg(F.sum("obs").alias("total"))
+            grid = (totals.crossJoin(F.broadcast(base))
+                    .join(obs, ["group", "bucket"], "left")
+                    .select("group", "total", "p",
+                            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+                            (F.col("total") * F.col("p")).alias("exp")))
+            crit = chi2_critical(buckets - 1)
+            out.drift = (grid.where(F.col("exp") > 0).groupBy("group")
+                         .agg(F.max("total").alias("n"),
+                              F.sum((F.col("obs") - F.col("exp")) ** 2
+                                    / F.col("exp")).alias("chi2"))
+                         .select("group", "n", F.round("chi2", 6).alias("chi2"),
+                                 F.lit(round(crit, 6)).alias("critical"),
+                                 (F.col("chi2") > crit).alias("drifted")))
+            out.counters["n_drift_groups"] = out.drift.count()
+        out_timings["derive_stages"] = time.perf_counter() - t
+
+        # stats — its own job over a scan pruned to the stat columns
+        # (global aggregate: partial+final, map-side combined; the scan
+        # never touches content unless content stats were requested)
+        if self._stats:
+            t = time.perf_counter()
+            out.stats = column_stats(
+                df, getattr(self, "_stats_columns", None))
+            out.counters["n_stat_cols"] = out.stats.count()
+            out_timings["stats"] = time.perf_counter() - t
+
+        # uniqueness — the one op needing its own shuffle key
+        for keys in self._uniq:
+            t = time.perf_counter()
+            out.duplicate_keys = uniqueness_violations(
+                df, keys, salt_buckets=self._salt_buckets)
+            out.counters["n_duplicate_keys"] = out.duplicate_keys.count()
+            out_timings["uniqueness"] = time.perf_counter() - t
+        return out
+
+    def _run_concurrent(self, df: DataFrame) -> "SuiteResult":
+        from concurrent.futures import ThreadPoolExecutor
+
+        res = validate(df, self.schema, mode=self.mode)
+        out = SuiteResult(validation=res)
+        thunks = self._stage_thunks(df, out)
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            fn()
+            out.timings[name] = time.perf_counter() - t0
+
+        with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+            futures = [ex.submit(timed, n, f) for n, f in thunks]
+            for f in futures:
+                f.result()  # propagate stage exceptions
+        return out
+
+    def _run_sequential(self, df: DataFrame, eager: bool) -> "SuiteResult":
         timings: dict[str, float] = {}
         counters: dict[str, int] = {}
 
@@ -125,7 +375,7 @@ class ValidationSuite:
 
         if self._stats:
             t = time.perf_counter()
-            out.stats = column_stats(df)
+            out.stats = column_stats(df, getattr(self, "_stats_columns", None))
             if eager:
                 counters["n_stat_cols"] = out.stats.count()
             timings["stats"] = time.perf_counter() - t

@@ -486,3 +486,24 @@ def test_validate_column(spark):
     df = one_row(spark, "s string", ("xx",), ("y",))
     res = ps.validate_column(df, "s", ("string", ("min", 2)))
     assert res.invalid.count() == 1
+
+
+def test_additional_keys_struct(spark):
+    # {:schema, s, {:additional_keys, vt}} — reference lib/peri.ex:1272-1296
+    df = one_row(spark, "cfg struct<host:string, retries:string, timeout:string>",
+                 (("localhost", "3", "abc"),))
+    schema = {"cfg": ("schema", {"host": ("required", "string")},
+                      ("additional_keys", ("string", ("regex", r"^\d+$"))))}
+    res = ps.validate(df, schema)
+    assert viol_set(res) == {
+        (("cfg", "timeout"), "timeout", r"should match the ~r/^\d+$/ pattern")}
+
+
+def test_additional_keys_map(spark):
+    df = one_row(spark, "cfg map<string,string>",
+                 ({"host": "localhost", "retries": "3", "timeout": "abc"},))
+    schema = {"cfg": ("schema", {"host": ("required", "string")},
+                      ("additional_keys", ("string", ("regex", r"^\d+$"))))}
+    res = ps.validate(df, schema)
+    assert viol_set(res) == {
+        (("cfg", "timeout"), "cfg", r"should match the ~r/^\d+$/ pattern")}
