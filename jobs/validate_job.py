@@ -36,10 +36,12 @@ def main() -> int:
                     help="JSON Schema file; defaults to the flagship schema")
     args = ap.parse_args()
 
-    spark = (SparkSession.builder.appName("peri-spark-validate")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.adaptive.skewJoin.enabled", "true")
-             .getOrCreate())
+    from peri_spark.skew import recommended_conf
+
+    builder = SparkSession.builder.appName("peri-spark-validate")
+    for k, v in recommended_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     from peri_spark.engine import validate
     from peri_spark.constraints import partition_verdicts

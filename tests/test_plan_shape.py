@@ -1,0 +1,121 @@
+"""Physical-plan regression tests: the scale properties are assertions,
+not hopes. If a change reintroduces a Python UDF into the hot path, drops
+column pruning, or turns the referential broadcast into a shuffle join,
+these fail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import peri_spark as ps
+from peri_spark.constraints import referential_violations, uniqueness_violations
+from peri_spark.generator import FLAGSHIP_SCHEMA, code_files
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # other test modules cache this parquet; a cached InMemoryRelation
+    # would replace the scan we're asserting on
+    spark.catalog.clearCache()
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_row_validation_is_single_stage_no_python(spark, docs):
+    res = ps.validate(docs, {"doc_id": ("required", "integer"),
+                             "lang": ("enum", ["en", "es"])})
+    p = plan_of(res.annotated)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p            # zero shuffle — pure map stage
+    assert p.count("Scan parquet") == 1   # one scan
+
+
+def test_strict_mode_prunes_scan_columns(spark, docs):
+    # schema references 2 of 5 columns → ReadSchema must carry only those
+    res = ps.validate(docs, {"doc_id": ("required", "integer"),
+                             "lang": "string"})
+    p = plan_of(res.annotated)
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read and "lang" in read
+    assert "text" not in read and "n_chars" not in read and "source" not in read
+
+
+def test_valid_filter_pushes_down_nothing_python(spark, docs):
+    res = ps.validate(docs, {"n_chars": ("integer", ("gte", 0))})
+    assert "Python" not in plan_of(res.valid)
+
+
+def test_referential_uses_broadcast_anti_join(spark, docs):
+    dim = docs.select("lang").dropDuplicates()
+    bad = referential_violations(docs, "lang", dim, "lang", broadcast=True)
+    p = plan_of(bad)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    # the fact side must NOT shuffle for the join
+    assert "Exchange hashpartitioning(lang" not in p.split("BroadcastHashJoin")[0]
+
+
+def test_uniqueness_is_partial_aggregated(spark, docs):
+    dups = uniqueness_violations(docs, ["lang", "source"])
+    p = plan_of(dups)
+    # two HashAggregates around one Exchange = map-side partial combine
+    pre_exchange = p.split("Exchange")[-1]
+    assert "HashAggregate" in p.split("Exchange")[0]  # final agg
+    assert "HashAggregate" in pre_exchange            # partial agg
+    assert p.count("Exchange") <= 2  # one shuffle (+AQE read)
+
+
+def test_uniqueness_salted_two_phase(spark, docs):
+    dups = uniqueness_violations(docs, ["lang"], salt_buckets=8)
+    p = plan_of(dups)
+    # salted plan: aggregate on (keys, salt) then re-aggregate on keys
+    assert p.count("HashAggregate") >= 3
+
+
+def test_fused_scan_agg_shuffles_counters_not_corpus(spark):
+    from peri_spark.engine import validate, VIOLATIONS_COLUMN
+    from peri_spark.constraints.drift import _bucket
+    df = code_files(spark, SF)
+    ann = validate(df, FLAGSHIP_SCHEMA, mode="permissive", lean=True).annotated
+    g = (ann.select(F.col("repo").alias("p"),
+                    F.coalesce(_bucket(F.length("content"), 0.0, 4096.0, 16),
+                               F.lit(-1)).alias("b"),
+                    F.size(F.col(VIOLATIONS_COLUMN)).alias("nv"))
+         .groupBy("p", "b").agg(F.count(F.lit(1)).alias("n"), F.sum("nv")))
+    p = plan_of(g)
+    assert "BatchEvalPython" not in p
+    # 2 scans: the generator's dup-injection UNION (bench uses a single
+    # pre-materialized parquet; here we accept the generator's shape)
+    assert p.count("Scan parquet") <= 2
+    # partial aggregation before the exchange: corpus rows never shuffle
+    first_exchange = p.find("Exchange")
+    assert "HashAggregate" in p[first_exchange:], "no partial agg"
+
+
+def test_lean_plan_is_much_smaller_than_full(spark, docs):
+    full = ps.validate(docs, FLAGSHIP_SCHEMA if False else {
+        "doc_id": ("required", "integer"),
+        "text": ("required", ("string", ("min", 1))),
+        "lang": ("enum", ["en", "es", "de", "fr", "zh"]),
+    }, mode="permissive")
+    lean = ps.validate(docs, {
+        "doc_id": ("required", "integer"),
+        "text": ("required", ("string", ("min", 1))),
+        "lang": ("enum", ["en", "es", "de", "fr", "zh"]),
+    }, mode="permissive", lean=True)
+    assert len(optimized_of(lean.annotated)) < len(optimized_of(full.annotated)) / 2
+
+
+def test_brute_force_topk_uses_take_ordered(spark):
+    from peri_spark.functions import cosine_topk_for_query
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    top = cosine_topk_for_query(emb, "embedding", "vec_id", q, k=5)
+    assert "TakeOrderedAndProject" in plan_of(top)  # heap top-k, no full sort
