@@ -28,9 +28,11 @@ _ID = ["repo", "path", "commit"]
 
 def _violations_flat(df: DataFrame, schema, id_cols) -> DataFrame:
     res = validate(df, schema, mode="permissive")
-    v = res.violations(*id_cols)  # violation path arrives as err_path (clash)
+    v = res.violations(*id_cols)
+    # the violation path column is renamed err_path when an id col clashes
+    path_col = "err_path" if "err_path" in v.columns else "path"
     return v.select(*id_cols, "key",
-                    F.array_join("err_path", "/").alias("err_path"), "message")
+                    F.array_join(path_col, "/").alias("err_path"), "message")
 
 
 def _code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +186,46 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank")
 
 
+EVENTS_SCHEMA = {
+    "event_id": ("required", "integer"),
+    "ts": ("required", "datetime"),
+    "event_type": ("enum", ["click", "view", "purchase", "signup"]),  # 'error' is dirt
+    "value": ("float", ("range", (0.0, 100.0))),
+    "user_id": ("required", "integer"),
+}
+
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime/enum/range directives over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _violations_flat(ev, EVENTS_SCHEMA, ["event_id"])
+
+
+def q_defaults_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default + transform value rewrites (#28-32): null priority defaults,
+    then upper-cases; validated rows only."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    schema = {
+        "o_orderkey": ("required", "integer"),
+        "o_orderpriority": ("string", [("default", "9-none"),
+                                       ("transform", "upper")]),
+        "o_totalprice": ("float", ("gt", 0.0)),
+    }
+    return validate(orders, schema).valid
+
+
+def q_either_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """either/oneof combinator (#34-35): segment is BUILDING or matches
+    a regex; violations for the rest."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    schema = {
+        "c_custkey": ("required", "integer"),
+        "c_mktsegment": ("either", (("string", ("eq", "BUILDING")),
+                                    ("string", ("regex", r"^(MACH|AUTO)")))),
+    }
+    return _violations_flat(cust, schema, ["c_custkey"])
+
+
 # queries whose implementation is deliberately non-SQL-expressible
 # (xxhash64 / Arrow UDFs / seeded hyperplanes); driver records rows-only
 NO_ORACLE = {"minhash_lsh_pairs", "simhash", "winnow_fp", "knn_lsh"}
@@ -208,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fp": q_winnow,
         "knn_lsh": q_knn_lsh,
+        "validate_events": q_validate_events,
+        "defaults_transform_orders": q_defaults_transform_orders,
+        "either_customer": q_either_customer,
     }
 
 
@@ -354,6 +399,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT id, round(c6, 4) AS cosine FROM sims
     ORDER BY c6 DESC, id ASC LIMIT 10
     """
+    validate_events = po.violations_sql(EVENTS_SCHEMA, "events", ["event_id"])
+    defaults_transform_orders = """
+    SELECT o_orderkey,
+           upper(COALESCE(o_orderpriority, '9-none')) AS o_orderpriority,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND COALESCE(o_totalprice > 0.0, TRUE)
+    """
+    either_customer = """
+    SELECT c_custkey, 'c_mktsegment' AS key, 'c_mktsegment' AS err_path,
+           'expected either :string or :string, got: ' ||
+           CASE WHEN c_mktsegment IS NULL THEN 'nil'
+                ELSE '"' || c_mktsegment || '"' END AS message
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL
+      AND c_mktsegment <> 'BUILDING'
+      AND NOT regexp_matches(c_mktsegment, '^(MACH|AUTO)')
+    """
     return {
         "flagship_violations": flagship_viol,
         "flagship_valid": flagship_valid,
@@ -368,4 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": langid,
         "quality_scores": quality_scores_sql,
         "embedding_topk": embedding_topk,
+        "validate_events": validate_events,
+        "defaults_transform_orders": defaults_transform_orders,
+        "either_customer": either_customer,
     }

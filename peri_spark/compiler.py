@@ -115,7 +115,12 @@ def type_ok(prim: str, dtype: T.DataType | None) -> bool:
         "float": _FLOAT_TYPES,             # strict: int column is NOT float
         "boolean": (T.BooleanType,),
         "date": (T.DateType,),
-        "datetime": (T.TimestampType,),
+        # parquet timestamps without tz metadata load as NTZ (Spark 4
+        # inferTimestampNTZ) — :datetime accepts both flavors;
+        # :naive_datetime requires NTZ (doc'd divergence from %DateTime{})
+        "datetime": ((T.TimestampType, T.TimestampNTZType)
+                     if hasattr(T, "TimestampNTZType")
+                     else (T.TimestampType,)),
         "map": (T.MapType, T.StructType),
         "list": (T.ArrayType,),
         "time": (T.StringType,),           # HH:mm:ss string (doc'd)
