@@ -65,3 +65,44 @@ def streaming_dedup(stream_df: DataFrame, keys: list[str], ts_col: str,
     """Keep first occurrence per key within the watermark horizon."""
     return (stream_df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def violation_streaks(stream_df: DataFrame, schema, key_col: str,
+                      ts_col: str, watermark: str = "10 minutes",
+                      mode: str = "permissive") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    count of consecutive invalid records — built-ins can't express
+    "consecutive", so this is the sanctioned Arrow-batched stateful path.
+
+    Emits (key, streak, total_bad) on every update; state times out with
+    the watermark so unbounded key spaces don't leak memory.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    res = validate(stream_df, schema, mode=mode, lean=True)
+    ann = (res.annotated
+           .select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+                   (F.size(F.col(VIOLATIONS_COLUMN)) > 0).alias("bad"))
+           .withWatermark("ts", watermark))
+
+    out_schema = "key long, streak int, total_bad long"
+    state_schema = "streak int, total_bad long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        streak, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            for b in pdf.sort_values("ts")["bad"]:
+                if b:
+                    streak += 1
+                    total += 1
+                else:
+                    streak = 0
+        state.update((streak, total))
+        yield pd.DataFrame({"key": [key[0]], "streak": [streak],
+                            "total_bad": [total]})
+
+    return (ann.groupBy("key")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -147,3 +147,17 @@ def test_streaming_dedup(spark, stream_dir):
     _run(dd, "t_dedup")
     ids = sorted(r.id for r in spark.sql("select id from t_dedup").collect())
     assert ids == [1, 2, 3]
+
+
+def test_violation_streaks_stateful(spark, stream_dir):
+    from peri_spark.streaming import violation_streaks
+    streaks = violation_streaks(_read_stream(spark, stream_dir), SCHEMA,
+                                key_col="id", ts_col="ts")
+    q = (streaks.writeStream.format("memory").queryName("t_streaks")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.key: (r.streak, r.total_bad)
+            for r in spark.sql("select * from t_streaks").collect()}
+    # id=2 is the invalid row (null name, age 15): streak 1, total 1
+    assert rows[2] == (1, 1)
+    assert rows[1] == (0, 0) and rows[3] == (0, 0)
