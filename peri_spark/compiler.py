@@ -69,6 +69,8 @@ class Ctx:
     key: str                               # violation `key` (current field)
     path: tuple = ()                       # str | Column elements
     depth: int = 0                         # ref-recursion guard
+    root_fields: tuple = ()                # root column names (for 2-arity
+                                           # PandasFn callbacks needing the row)
     # lean mode: violation structs become constants (no message/content
     # rendering). For counting-only consumers (verdicts, bad-row filters)
     # this shrinks the expression tree ~10× — less driver-side
@@ -265,7 +267,10 @@ def _c_prim(node, col, dtype, ctx, mode):
         extra = empty_viols()
         # runtime-checked string-backed types
         if prim == "time" and isinstance(dtype, T.StringType):
-            bad = col.isNotNull() & ~col.rlike(r"^\d{2}:\d{2}:\d{2}")
+            # anchored + range-checked (Elixir Time.from_iso8601 rejects
+            # out-of-range fields and trailing garbage)
+            bad = col.isNotNull() & ~col.rlike(
+                r"^([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?$")
             extra = _collect((_type_error(col, dtype, ":time", ctx, bad), False))
         return Compiled(col, extra, dtype)
     return Compiled(col, _collect((_type_error(col, dtype, summarize(node), ctx), False)), dtype)
@@ -426,8 +431,19 @@ def _c_transform(node, col, dtype, ctx, mode):
     elif isinstance(fn, PandasFn):
         from pyspark.sql.functions import pandas_udf
         f = fn.fn
-        udf = pandas_udf(lambda s: f(s), fn.returns)
-        v2 = udf(v)
+        if _arity(f) >= 2:
+            # documented ABI fn(values, root): the root row arrives as a
+            # pandas DataFrame (struct column over Arrow)
+            if not ctx.root_fields:
+                raise NotImplementedError(
+                    "2-arity PandasFn transform needs root columns; "
+                    "use it at top level or switch to a 1-arity fn")
+            udf = pandas_udf(lambda s, r: f(s, r), fn.returns)
+            v2 = udf(v, F.struct(*[ctx.root(n).alias(n)
+                                   for n in ctx.root_fields]))
+        else:
+            udf = pandas_udf(lambda s: f(s), fn.returns)
+            v2 = udf(v)
         out_dtype = _ddl_to_dtype(fn.returns)
     else:
         raise NotImplementedError("transform callback must be registry name, ColFn or PandasFn")
@@ -804,20 +820,32 @@ def _c_custom(node, col, dtype, ctx, mode):
                       _viol_struct(ctx, _static_msg(template, content), content))
         return Compiled(col, _collect((viol, False)), dtype)
     if isinstance(fn, PandasFn):
-        # the vectorized Python ABI: fn(values) -> DataFrame-like with
-        # ok/message columns, via Arrow batches (never per-row Python)
+        # the vectorized Python ABI: fn(values[, root]) -> (ok, message[,...])
+        # via Arrow batches (never per-row Python)
         from pyspark.sql.functions import pandas_udf
         f = fn.fn
+        two_arg = _arity(f) >= 2 and bool(ctx.root_fields)
 
-        @pandas_udf("struct<ok:boolean,message:string>")
-        def _udf(s):
+        def _body(s, r=None):
             import pandas as pd
-            ok, message = f(s)
+            out = f(s, r) if two_arg else f(s)
+            ok, message = out[0], out[1]
             if isinstance(message, str):
                 message = pd.Series([message] * len(s))
             return pd.DataFrame({"ok": ok, "message": message})
 
-        res = _udf(col)
+        if two_arg:
+            _udf = pandas_udf(lambda s, r: _body(s, r),
+                              "struct<ok:boolean,message:string>")
+            res = _udf(col, F.struct(*[ctx.root(n).alias(n)
+                                       for n in ctx.root_fields]))
+        else:
+            _udf = pandas_udf(lambda s: _body(s),
+                              "struct<ok:boolean,message:string>")
+            res = _udf(col)
+        # res is referenced twice below (ok + message); Spark's
+        # ExtractPythonUDFs dedups equal ArrowEvalPython expressions to one
+        # Python round-trip — asserted in tests/test_plan_shape.py
         viol = _maybe(col.isNotNull() & ~F.coalesce(res["ok"], F.lit(False)),
                       _viol_struct(ctx, F.coalesce(res["message"], F.lit("is invalid")), None))
         return Compiled(col, _collect((viol, False)), dtype)
@@ -930,9 +958,11 @@ def compile_fields(entries: dict[str, Node], df_schema: T.StructType,
     def root(name: str) -> Column:
         return F.col(name)
 
+    root_fields = tuple(f.name for f in df_schema.fields)
     out: list[FieldOut] = []
     for k, nd in entries.items():
-        ctx = Ctx(root=root, key=k, path=(k,), lean=lean)
+        ctx = Ctx(root=root, key=k, path=(k,), lean=lean,
+                  root_fields=root_fields)
         if k in by_name:
             c = compile_node(nd, F.col(k), by_name[k].dataType, ctx, mode)
             out.append(FieldOut(k, c.value, c.viols))

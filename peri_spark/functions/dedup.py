@@ -36,16 +36,23 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
 
     Shuffles (digest, id); the canonical survivor per group is the min id
     (deterministic). ``df.join(result, dup_id).where(...)`` filters a corpus.
+
+    Scale note: the per-digest group is NEVER materialized as an array —
+    a hot digest (empty files, license boilerplate) with millions of
+    members streams through a window min/count instead of building a
+    multi-GB collect_list on one reducer.
     """
+    from pyspark.sql import Window
+
     h = df.select(F.sha2(F.col(text_col), 256).alias("__h"),
                   F.col(id_col).alias("dup_id"))
-    agg = (h.groupBy("__h")
-           .agg(F.min("dup_id").alias("canonical_id"),
-                F.collect_list("dup_id").alias("ids"),
-                F.count(F.lit(1)).alias("n")))
-    return (agg.where(F.col("n") > 1)
-            .select("canonical_id", F.explode("ids").alias("dup_id"), "n")
-            .where(F.col("dup_id") != F.col("canonical_id")))
+    w = Window.partitionBy("__h")
+    ann = h.select("dup_id",
+                   F.min("dup_id").over(w).alias("canonical_id"),
+                   F.count(F.lit(1)).over(w).alias("n"))
+    return (ann.where((F.col("n") > 1)
+                      & (F.col("dup_id") != F.col("canonical_id")))
+            .select("canonical_id", "dup_id", "n"))
 
 
 def shingles(text: Column, k: int = 5, words: bool = False) -> Column:
@@ -114,16 +121,39 @@ def _band_explode(sig_df: DataFrame, bands: int) -> DataFrame:
 def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float = 0.7, n_hashes: int = 64,
                         bands: int = 16, k: int = 5, words: bool = False,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        max_bucket_size: int | None = 1000,
+                        dropped_counter: dict | None = None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
 
     Candidates = pairs sharing ≥1 band bucket; verification = signature
     agreement rate (unbiased Jaccard estimate), thresholded. The self-join
     is on (band, band_hash) — only bucket collisions shuffle as pairs.
+
+    ``max_bucket_size`` guards against degenerate buckets (near-identical
+    license boilerplate): a bucket with more members than the cap would
+    contribute O(size²) pairs, so it is dropped from the candidate join
+    (same protection ``ngram_jaccard_pairs`` applies per token). Members
+    of a dropped bucket still pair through their other, smaller band
+    buckets. Pass a dict as ``dropped_counter`` to eagerly record
+    ``n_hot_buckets`` / ``n_dropped_rows`` (costs one extra small job).
     """
+    from pyspark.sql import Window
+
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, words, seed)
     sigs = sigs.persist()
     bands_df = _band_explode(sigs, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        sized = bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        if dropped_counter is not None:
+            hot = (sized.where(F.col("__bsz") > max_bucket_size)
+                   .agg(F.count_distinct("band", "band_hash").alias("b"),
+                        F.count(F.lit(1)).alias("r")).collect()[0])
+            dropped_counter["n_hot_buckets"] = hot["b"]
+            dropped_counter["n_dropped_rows"] = hot["r"]
+        bands_df = (sized.where(F.col("__bsz") <= max_bucket_size)
+                    .drop("__bsz"))
     cand = (bands_df.alias("l")
             .join(bands_df.alias("r"),
                   (F.col("l.band") == F.col("r.band"))

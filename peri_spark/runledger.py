@@ -87,6 +87,28 @@ class RunLedger:
         done = F.broadcast(self.completed_partitions())
         return inv.join(done, "partition_id", "left_anti")
 
+    def record_batch(self, verdicts: DataFrame, wall_seconds: float,
+                     status: str = "completed") -> None:
+        """Append one ledger entry per verdict row in ONE distributed write.
+
+        ``verdicts`` must have (partition_id, n_rows, n_violations, passed)
+        columns. This never collects to the driver — at 10^6 partitions the
+        ledger append is a normal Spark job, not 10^6 tiny writes.
+        """
+        rows = verdicts.select(
+            F.lit(self.run_id).alias("run_id"),
+            F.col("partition_id").cast("string").alias("partition_id"),
+            F.lit(status).alias("status"),
+            F.lit(self.schema_fp).alias("schema_fingerprint"),
+            F.lit(self.input_snapshot).alias("input_snapshot"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.lit(float(wall_seconds)).alias("wall_seconds"),
+            F.current_timestamp().alias("completed_at"),
+            F.to_json(F.struct(F.col("passed").alias("passed")))
+            .alias("metrics_json"))
+        rows.write.mode("append").parquet(self.path)
+
     def record(self, partition_id: str, status: str, n_rows: int,
                n_violations: int, wall_seconds: float,
                metrics: dict | None = None) -> None:

@@ -41,7 +41,8 @@ __all__ = ["ValidationSuite", "SuiteResult"]
 class SuiteResult:
     validation: ValidationResult
     stats: DataFrame | None = None
-    duplicate_keys: DataFrame | None = None
+    duplicate_keys: DataFrame | None = None  # last keyset (compat alias)
+    duplicates: dict[str, DataFrame] = field(default_factory=dict)
     referential: dict[str, DataFrame] = field(default_factory=dict)
     drift: DataFrame | None = None
     verdicts: DataFrame | None = None
@@ -66,17 +67,21 @@ class ValidationSuite:
     def __init__(self, schema, mode: str = "strict"):
         self.schema = schema
         self.mode = mode
-        self._uniq: list[list[str]] = []
+        self._uniq: list[tuple[list[str], int | None]] = []
         self._refs: list[tuple] = []
         self._drift: tuple | None = None
         self._partition: list[str] | None = None
         self._stats = True
-        self._salt_buckets: int | None = None
         self._max_bad_ratio = 0.0
+        # above this many (partition × bucket) groups the fused derivation
+        # stays distributed instead of round-tripping through the driver
+        self.derive_collect_threshold = 100_000
 
     def with_uniqueness(self, keys: list[str], salt_buckets: int | None = None):
-        self._uniq.append(list(keys))
-        self._salt_buckets = salt_buckets
+        """Each call adds an independent uniqueness check; results are keyed
+        by the joined key names (``result.duplicates['repo,path']``) so two
+        key sets don't clobber each other."""
+        self._uniq.append((list(keys), salt_buckets))
         return self
 
     def with_referential(self, fk, dim: DataFrame, pk=None, broadcast=True):
@@ -150,12 +155,18 @@ class ValidationSuite:
                 counters["n_stat_cols"] = out.stats.count()
             thunks.append(("stats", st))
 
-        for keys in self._uniq:
-            def uq(keys=keys):
-                out.duplicate_keys = uniqueness_violations(
-                    df, keys, salt_buckets=self._salt_buckets)
-                counters["n_duplicate_keys"] = out.duplicate_keys.count()
-            thunks.append(("uniqueness", uq))
+        for keys, salt in self._uniq:
+            kname = ",".join(keys)
+
+            def uq(keys=keys, salt=salt, kname=kname):
+                d = uniqueness_violations(df, keys, salt_buckets=salt)
+                out.duplicates[kname] = d
+                out.duplicate_keys = d
+                counters[f"n_duplicate_keys:{kname}"] = d.count()
+                counters["n_duplicate_keys"] = \
+                    counters[f"n_duplicate_keys:{kname}"]
+            thunks.append((f"uniqueness:{kname}" if len(self._uniq) > 1
+                           else "uniqueness", uq))
 
         for fk, dim, pk, bc in self._refs:
             name = fk if isinstance(fk, str) else ",".join(fk)
@@ -196,6 +207,10 @@ class ValidationSuite:
         assert self._partition and len(self._partition) == 1, \
             "run_fused needs exactly one partition column"
         pc = self._partition[0]
+        if self._drift:
+            assert self._drift[1] == pc, \
+                "run_fused derives drift per partition column; " \
+                "use run() for a different drift group"
         out_timings: dict[str, float] = {}
         t_all = time.perf_counter()
 
@@ -233,7 +248,13 @@ class ValidationSuite:
             sel.append(F.lit(0).alias("__bk"))
         for name, flag in ref_flags:
             fkl = name.split(",")
-            miss = F.col(fkl[0]).isNotNull() & F.col(flag).isNull()
+            # ALL FK columns non-null (nil passes, Peri semantics) —
+            # mirrors the cond loop in referential_violations for
+            # composite FKs
+            nn_all = F.col(fkl[0]).isNotNull()
+            for c in fkl[1:]:
+                nn_all = nn_all & F.col(c).isNotNull()
+            miss = nn_all & F.col(flag).isNull()
             sel.append(miss.cast("long").alias(f"__miss_{flag}"))
         b = ann.select(*sel)
 
@@ -253,8 +274,18 @@ class ValidationSuite:
         # re-optimizing the giant validation plan per query. NOTE:
         # localCheckpoint(eager=True) also truncates but measured 4×
         # slower (it bypasses the AQE final plan); collect is exact here.
-        g_rows = g.collect()
-        g = df.sparkSession.createDataFrame(g_rows, g.schema)
+        # GATED: above derive_collect_threshold groups (huge
+        # partition-column cardinality, e.g. repo at 10^8 repos) the frame
+        # stays distributed+persisted — the driver never holds it.
+        thresh = self.derive_collect_threshold
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        head = g.limit(thresh + 1).collect()
+        if len(head) <= thresh:
+            g.unpersist()
+            g_rows = head
+            g = df.sparkSession.createDataFrame(g_rows, g.schema)
+        else:
+            g_rows = None  # distributed path: counters via tiny aggregates
         out_timings["fused_scan_agg"] = time.perf_counter() - t_all
 
         t = time.perf_counter()
@@ -270,14 +301,23 @@ class ValidationSuite:
                                 .alias("bad_ratio"),
                                 (F.col("n_bad_rows") <= F.lit(self._max_bad_ratio)
                                  * F.col("n_rows")).alias("passed")))
-        out.counters["n_rows"] = sum(r["n_rows"] for r in g_rows)
-        out.counters["n_bad_rows"] = sum(r["n_bad_rows"] for r in g_rows)
+        if g_rows is not None:
+            out.counters["n_rows"] = sum(r["n_rows"] for r in g_rows)
+            out.counters["n_bad_rows"] = sum(r["n_bad_rows"] for r in g_rows)
+        else:
+            tot = g.agg(F.sum("n_rows"), F.sum("n_bad_rows"),
+                        *[F.sum(f"missing_{flag}")
+                          for _n, flag in ref_flags]).collect()[0]
+            out.counters["n_rows"] = tot[0]
+            out.counters["n_bad_rows"] = tot[1]
 
         # referential miss counts ← summed counters (violating rows stay
         # available lazily via the classic anti-join)
-        for (name, flag), (fk, dim, pk, bc) in zip(ref_flags, self._refs):
+        for i, ((name, flag), (fk, dim, pk, bc)) in enumerate(
+                zip(ref_flags, self._refs)):
             out.counters[f"n_ref_violations:{name}"] = \
-                sum(r[f"missing_{flag}"] for r in g_rows)
+                (sum(r[f"missing_{flag}"] for r in g_rows)
+                 if g_rows is not None else tot[2 + i])
             out.referential[name] = referential_violations(df, fk, dim, pk,
                                                            broadcast=bc)
 
@@ -289,11 +329,16 @@ class ValidationSuite:
                    .select(F.col("__part").alias("group"),
                            F.col("__bk").alias("bucket"),
                            F.col("n_rows").alias("obs")))
-            base = (obs.groupBy("bucket").agg(F.sum("obs").alias("n")))
-            from pyspark.sql import Window
-            base = base.select("bucket", (F.col("n") / F.sum("n")
-                                          .over(Window.partitionBy()))
-                               .alias("p"))
+            if _bl is not None:
+                # configured baseline histogram (bucket, n, p) — same
+                # semantics as chi_square_drift(..., baseline=_bl)
+                base = _bl.select("bucket", "p")
+            else:
+                base = (obs.groupBy("bucket").agg(F.sum("obs").alias("n")))
+                from pyspark.sql import Window
+                base = base.select("bucket", (F.col("n") / F.sum("n")
+                                              .over(Window.partitionBy()))
+                                   .alias("p"))
             totals = obs.groupBy("group").agg(F.sum("obs").alias("total"))
             grid = (totals.crossJoin(F.broadcast(base))
                     .join(obs, ["group", "bucket"], "left")
@@ -322,12 +367,17 @@ class ValidationSuite:
             out_timings["stats"] = time.perf_counter() - t
 
         # uniqueness — the one op needing its own shuffle key
-        for keys in self._uniq:
+        for keys, salt in self._uniq:
+            kname = ",".join(keys)
             t = time.perf_counter()
-            out.duplicate_keys = uniqueness_violations(
-                df, keys, salt_buckets=self._salt_buckets)
-            out.counters["n_duplicate_keys"] = out.duplicate_keys.count()
-            out_timings["uniqueness"] = time.perf_counter() - t
+            d = uniqueness_violations(df, keys, salt_buckets=salt)
+            out.duplicates[kname] = d
+            out.duplicate_keys = d
+            out.counters[f"n_duplicate_keys:{kname}"] = d.count()
+            out.counters["n_duplicate_keys"] = \
+                out.counters[f"n_duplicate_keys:{kname}"]
+            out_timings["uniqueness:" + kname if len(self._uniq) > 1
+                        else "uniqueness"] = time.perf_counter() - t
         return out
 
     def _run_concurrent(self, df: DataFrame) -> "SuiteResult":
@@ -380,13 +430,18 @@ class ValidationSuite:
                 counters["n_stat_cols"] = out.stats.count()
             timings["stats"] = time.perf_counter() - t
 
-        for keys in self._uniq:
+        for keys, salt in self._uniq:
+            kname = ",".join(keys)
             t = time.perf_counter()
-            out.duplicate_keys = uniqueness_violations(
-                df, keys, salt_buckets=self._salt_buckets)
+            d = uniqueness_violations(df, keys, salt_buckets=salt)
+            out.duplicates[kname] = d
+            out.duplicate_keys = d
             if eager:
-                counters["n_duplicate_keys"] = out.duplicate_keys.count()
-            timings["uniqueness"] = time.perf_counter() - t
+                counters[f"n_duplicate_keys:{kname}"] = d.count()
+                counters["n_duplicate_keys"] = \
+                    counters[f"n_duplicate_keys:{kname}"]
+            timings["uniqueness:" + kname if len(self._uniq) > 1
+                    else "uniqueness"] = time.perf_counter() - t
 
         for fk, dim, pk, bc in self._refs:
             t = time.perf_counter()

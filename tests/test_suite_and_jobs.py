@@ -1,0 +1,291 @@
+"""Round-2 regression tests: ValidationSuite fused-path parity (composite
+FK nulls, configured drift baseline, multiple uniqueness key sets, gated
+driver collect), de-skewed dedup, LSH hot-bucket cap, one-job
+validate_job execution, anchored :time, and PandasFn ABI fixes."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+import peri_spark as ps
+from peri_spark.suite import ValidationSuite
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = []
+    for i in range(400):
+        grp = f"g{i % 4}"
+        # composite FK: (a, b); row i%10==3 has a set but b null → NOT a
+        # violation; i%10==7 has both set but unmatched → violation
+        a = None if i % 10 == 4 else f"a{i % 5}"
+        b = None if i % 10 == 3 else f"b{i % 5}"
+        if i % 10 == 7:
+            a, b = "aX", "bX"
+        val = float(i % 50)
+        rows.append((grp, a, b, val, i))
+    return spark.createDataFrame(
+        rows, "grp string, fka string, fkb string, val double, id long")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(5)], "pa string, pb string")
+
+
+SCHEMA = {"val": ("float", ("gte", 0.0)), "grp": ("required", "string")}
+
+
+def _suite(facts, dim, baseline=None):
+    return (ValidationSuite(SCHEMA, mode="permissive")
+            .with_stats(["grp", "val"])
+            .with_uniqueness(["id"])
+            .with_uniqueness(["grp", "fka"], salt_buckets=4)
+            .with_referential(["fka", "fkb"], dim, ["pa", "pb"])
+            .with_drift("val", "grp", lo=0.0, hi=50.0, buckets=5,
+                        baseline=baseline)
+            .with_partitioning("grp"))
+
+
+def test_fused_matches_sequential_composite_fk_and_dual_uniqueness(
+        spark, facts, dim):
+    fused = _suite(facts, dim).run_fused(facts)
+    seq = _suite(facts, dim)._run_sequential(facts, eager=True)
+    # composite FK: rows with ANY null FK column are not violations
+    assert (fused.counters["n_ref_violations:fka,fkb"]
+            == seq.counters["n_ref_violations:fka,fkb"]
+            == facts.where("fka = 'aX'").count())
+    # lazily-built violating rows agree with the fused counter
+    assert (fused.referential["fka,fkb"].count()
+            == fused.counters["n_ref_violations:fka,fkb"])
+    # two uniqueness key sets — independent results, independent counters
+    assert set(fused.duplicates) == {"id", "grp,fka"}
+    assert fused.counters["n_duplicate_keys:id"] == 0
+    assert (fused.counters["n_duplicate_keys:grp,fka"]
+            == seq.counters["n_duplicate_keys:grp,fka"] > 0)
+    assert fused.counters["n_rows"] == seq.counters["n_rows"] == 400
+    assert fused.counters["n_bad_rows"] == seq.counters["n_bad_rows"]
+
+
+def test_fused_uses_configured_drift_baseline(spark, facts, dim):
+    from peri_spark.constraints import chi_square_drift
+    from peri_spark.constraints.drift import histogram
+
+    # a deliberately skewed baseline (all mass in bucket 0) must flip the
+    # drifted verdicts vs the self-derived pooled histogram
+    skewed = facts.where("val < 10")
+    baseline = histogram(skewed, "val", 0.0, 50.0, 5)
+    fused = _suite(facts, dim, baseline=baseline).run_fused(facts)
+    direct = chi_square_drift(facts, "val", "grp", 0.0, 50.0, 5,
+                              baseline=baseline)
+    f = {r["group"]: (r["n"], round(r["chi2"], 4), r["drifted"])
+         for r in fused.drift.collect()}
+    d = {r["group"]: (r["n"], round(r["chi2"], 4), r["drifted"])
+         for r in direct.collect()}
+    assert f == d
+    # and the self-baseline fused result differs (sanity that the test bites)
+    selfb = _suite(facts, dim).run_fused(facts)
+    s = {r["group"]: round(r["chi2"], 4) for r in selfb.drift.collect()}
+    assert s != {g: c for g, (_n, c, _dr) in f.items()}
+
+
+def test_fused_distributed_derivation_above_collect_threshold(
+        spark, facts, dim):
+    suite = _suite(facts, dim)
+    suite.derive_collect_threshold = 3  # force the distributed path
+    fused = suite.run_fused(facts)
+    ref = _suite(facts, dim).run_fused(facts)
+    assert fused.counters["n_rows"] == ref.counters["n_rows"]
+    assert fused.counters["n_bad_rows"] == ref.counters["n_bad_rows"]
+    assert (fused.counters["n_ref_violations:fka,fkb"]
+            == ref.counters["n_ref_violations:fka,fkb"])
+    assert ({r["group"]: r["drifted"] for r in fused.drift.collect()}
+            == {r["group"]: r["drifted"] for r in ref.drift.collect()})
+
+
+# ---------------------------------------------------------------------------
+# dedup de-skew
+# ---------------------------------------------------------------------------
+
+
+def test_exact_duplicates_no_collect_list_and_hot_digest(spark):
+    from peri_spark.functions import exact_duplicates
+
+    big = spark.range(100_000).select(
+        F.col("id"), F.lit("identical boilerplate").alias("text"))
+    pairs = exact_duplicates(big, "text", "id")
+    assert "collect_list" not in pairs._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # one hot digest with 100k members streams through the window — no
+    # array materialization on a single reducer
+    assert pairs.count() == 99_999
+    r = pairs.where(F.col("dup_id") == 77).collect()[0]
+    assert r["canonical_id"] == 0 and r["n"] == 100_000
+
+
+def test_exact_duplicates_small_correctness(spark):
+    from peri_spark.functions import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x"), (5, None)],
+        "id long, text string")
+    got = {(r["canonical_id"], r["dup_id"], r["n"])
+           for r in exact_duplicates(df, "text", "id").collect()}
+    assert got == {(1, 2, 3), (1, 4, 3)}
+
+
+def test_lsh_hot_bucket_cap(spark):
+    from peri_spark.functions import lsh_duplicate_pairs
+
+    # 20k identical docs: every band bucket is degenerate → capped join
+    # completes without a quadratic pair blowup (uncapped: 16×20k² pairs)
+    big = spark.range(20_000).select(
+        F.col("id"),
+        F.lit("the same license header text for everyone here").alias("t"))
+    dropped = {}
+    pairs = lsh_duplicate_pairs(big, "t", "id", threshold=0.5,
+                                n_hashes=16, bands=4,
+                                max_bucket_size=100,
+                                dropped_counter=dropped)
+    assert pairs.count() == 0
+    assert dropped["n_hot_buckets"] == 4          # one per band
+    assert dropped["n_dropped_rows"] == 4 * 20_000
+
+
+def test_lsh_cap_keeps_normal_buckets(spark):
+    from peri_spark.functions import lsh_duplicate_pairs
+
+    docs = [(i, f"completely unique document number {i} with words "
+             f"{i * 7} {i * 13} {i * 31}") for i in range(50)]
+    docs += [(1000, docs[0][1]), (1001, docs[1][1])]  # planted dups
+    df = spark.createDataFrame(docs, "id long, t string")
+    pairs = lsh_duplicate_pairs(df, "t", "id", threshold=0.9,
+                                max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 1000), (1, 1001)} <= got
+
+
+# ---------------------------------------------------------------------------
+# one-job validate_job
+# ---------------------------------------------------------------------------
+
+
+def _job_count(spark, df, ledger, output):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import run_pending
+
+    sc = spark.sparkContext
+    group = f"jobcount-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "count jobs")
+    try:
+        summary = run_pending(spark, df, SCHEMA, "grp", "permissive",
+                              ledger, output)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group)), summary
+
+
+def test_validate_job_job_count_constant_in_partitions(spark, tmp_path):
+    from peri_spark.runledger import RunLedger
+
+    def mkdf(nparts):
+        return spark.range(1000).select(
+            (F.col("id") % nparts).cast("string").alias("grp"),
+            (F.col("id").cast("double") - 5.0).alias("val"))
+
+    n4, s4 = _job_count(spark, mkdf(4),
+                        RunLedger(spark, str(tmp_path / "l4")), None)
+    n16, s16 = _job_count(spark, mkdf(16),
+                          RunLedger(spark, str(tmp_path / "l16")), None)
+    assert s4["n_partitions"] == 4 and s16["n_partitions"] == 16
+    assert s4["n_rows"] == s16["n_rows"] == 1000
+    # the whole run is a CONSTANT number of Spark jobs — no per-partition
+    # driver loop (4× the partitions, same job count)
+    assert n16 == n4
+
+
+def test_validate_job_resume_touches_only_pending(spark, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import run_pending
+    from peri_spark.runledger import RunLedger, schema_fingerprint
+
+    ledger_path = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id").cast("double") - 50.0).alias("val"))  # half violate
+    fp = schema_fingerprint(SCHEMA)
+
+    led = RunLedger(spark, ledger_path, schema_fp=fp, input_snapshot="in1")
+    s1 = run_pending(spark, df, SCHEMA, "grp", "permissive", led, out)
+    assert s1["n_partitions"] == 5
+
+    # resume with the same lineage: nothing pending → zero partitions
+    led2 = RunLedger(spark, ledger_path, schema_fp=fp, input_snapshot="in1")
+    s2 = run_pending(spark, df, SCHEMA, "grp", "permissive", led2, out,
+                     resume=True)
+    assert s2["n_partitions"] == 0
+
+    # new partitions appear → only they are validated on resume
+    df2 = df.union(spark.range(100, 140).select(
+        F.lit("g_new").alias("grp"), F.col("id").cast("double").alias("val")))
+    led3 = RunLedger(spark, ledger_path, schema_fp=fp, input_snapshot="in1")
+    s3 = run_pending(spark, df2, SCHEMA, "grp", "permissive", led3, out,
+                     resume=True)
+    assert s3["n_partitions"] == 1 and s3["n_rows"] == 40
+
+    # violations output is partition-laid-out (partitionBy write)
+    import os
+    assert any(d.startswith("__pid=") for d in
+               os.listdir(f"{out}/violations"))
+
+
+# ---------------------------------------------------------------------------
+# :time anchoring + PandasFn ABI
+# ---------------------------------------------------------------------------
+
+
+def test_time_directive_anchored_and_range_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "12:00:00"), (2, "23:59:59.123"), (3, "99:99:99"),
+         (4, "12:00:00garbage"), (5, "7:00:00"), (6, None)],
+        "id long, t string")
+    res = ps.validate(df, {"t": "time"}, mode="permissive")
+    bad = {r["id"] for r in res.invalid.select("id").collect()}
+    assert bad == {3, 4, 5}
+
+
+def test_pandasfn_transform_two_arg_abi(spark):
+    from peri_spark.dsl import PandasFn
+
+    def add_flag(values, root):
+        # root arrives as a pandas DataFrame of the row's columns
+        return values + ":" + root["lang"]
+
+    df = spark.createDataFrame([("a", "en"), ("b", "es")],
+                               "name string, lang string")
+    out = ps.validate(
+        df, {"name": ("string", ("transform", PandasFn(add_flag))),
+             "lang": "string"},
+        mode="permissive").valid
+    assert {r["name"] for r in out.collect()} == {"a:en", "b:es"}
+
+
+def test_pandasfn_custom_two_arg_and_single_python_eval(spark):
+    from peri_spark.dsl import PandasFn
+
+    def check(values, root):
+        return values <= root["cap"], "exceeds cap"
+
+    df = spark.createDataFrame([(5, 10), (20, 10)], "v long, cap long")
+    res = ps.validate(df, {"v": ("custom", PandasFn(check)),
+                           "cap": "integer"}, mode="permissive")
+    assert {r["v"] for r in res.invalid.collect()} == {20}
+    # the UDF result struct is referenced twice (ok + message) but must
+    # evaluate in ONE ArrowEvalPython round-trip (Catalyst dedups it)
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
