@@ -232,7 +232,9 @@ NO_ORACLE = {"minhash_lsh_pairs", "simhash", "winnow_fp", "knn_lsh"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from peri_spark.directive_queries import DIRECTIVE_QUERIES
+    out = dict(DIRECTIVE_QUERIES)
+    out.update({
         "flagship_violations": q_flagship_violations,
         "flagship_valid": q_flagship_valid,
         "stats_documents": q_stats_documents,
@@ -253,7 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
-    }
+    })
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +420,9 @@ def oracle_sql() -> dict[str, str]:
       AND c_mktsegment <> 'BUILDING'
       AND NOT regexp_matches(c_mktsegment, '^(MACH|AUTO)')
     """
-    return {
+    from peri_spark.directive_queries import directive_oracles
+    out = dict(directive_oracles())
+    out.update({
         "flagship_violations": flagship_viol,
         "flagship_valid": flagship_valid,
         "stats_documents": stats,
@@ -434,4 +439,5 @@ def oracle_sql() -> dict[str, str]:
         "validate_events": validate_events,
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,
-    }
+    })
+    return out
