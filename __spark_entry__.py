@@ -150,33 +150,41 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over code_files (dup slice is planted).
-    Non-SQL-expressible (xxhash64 signatures) → rows-only driver check."""
-    from peri_spark.functions import lsh_duplicate_pairs
+
+    Runs in portable-hash mode (md5-prefix 60-bit ints) so the DuckDB
+    oracle reproduces shingles → permutation minima → band buckets →
+    est_jaccard bit-for-bit; xxhash64 stays the production default."""
+    from peri_spark.functions import lsh_duplicate_pairs, portable_hash64
     df = _code_files(spark, sf_dir)
     keyed = df.select(
-        F.xxhash64("repo", "path", "commit").alias("id"), "content") \
+        portable_hash64(F.concat_ws("|", "repo", "path", "commit"))
+        .alias("id"), "content") \
         .where(F.col("content").isNotNull())
     return lsh_duplicate_pairs(keyed, "content", "id",
-                               threshold=0.9, n_hashes=64, bands=16)
+                               threshold=0.9, n_hashes=64, bands=16,
+                               max_bucket_size=1000,
+                               hash_fn=portable_hash64)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (Arrow pandas UDF) → rows-only driver check."""
+    """SimHash signatures (Arrow pandas UDF), portable 60-bit mode."""
     from peri_spark.functions import simhash_signatures
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_signatures(docs, "text", "doc_id")
+    return simhash_signatures(docs, "text", "doc_id", portable=True)
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint counts (xxhash64) → rows-only driver check."""
-    from peri_spark.functions import winnow_fingerprints
+    """Winnowing fingerprint counts, portable-hash mode."""
+    from peri_spark.functions import winnow_fingerprints, portable_hash64
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = winnow_fingerprints(docs, "text", "doc_id")
+    fp = winnow_fingerprints(docs, "text", "doc_id",
+                             hash_fn=portable_hash64)
     return fp.select("id", F.size("fingerprints").cast("long").alias("n_fp"))
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (seeded numpy planes) → rows-only driver check."""
+    """Hyperplane-LSH ANN; the seeded plane constants are embedded into
+    the oracle SQL by the generator, so this is fully hash-checked."""
     from peri_spark.functions import hyperplane_lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -226,9 +234,11 @@ def q_either_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _violations_flat(cust, schema, ["c_custkey"])
 
 
-# queries whose implementation is deliberately non-SQL-expressible
-# (xxhash64 / Arrow UDFs / seeded hyperplanes); driver records rows-only
-NO_ORACLE = {"minhash_lsh_pairs", "simhash", "winnow_fp", "knn_lsh"}
+# round 2: every query is oracle-checked — the former no-oracle set
+# (minhash/simhash/winnow/knn) now runs in portable-hash mode with full
+# DuckDB reproductions (md5-prefix 60-bit hashes, embedded plane/perm
+# constants)
+NO_ORACLE: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -262,6 +272,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _CF = f"({code_files_sql('duckdb')})"
+
+
+def _ph(expr: str) -> str:
+    """DuckDB rendering of peri_spark.functions.portable_hash64."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB reproduction of q_minhash_lsh_pairs: portable shingle hashes
+    → (a·x+b) mod M31 permutation minima → band buckets (capped at 1000)
+    → signature-agreement Jaccard estimate ≥ 0.9."""
+    from peri_spark.functions.dedup import _MERSENNE, _perm_coeffs
+    a, b = _perm_coeffs(64, 42)
+    A = "[" + ",".join(str(x) for x in a) + "]"
+    B = "[" + ",".join(str(x) for x in b) + "]"
+    key_expr = _ph('repo || \'|\' || path || \'|\' || "commit"')
+    return f"""
+    WITH keyed AS MATERIALIZED (
+      SELECT {key_expr} AS id, content
+      FROM {_CF} AS code_files WHERE content IS NOT NULL),
+    sh AS MATERIALIZED (
+      SELECT id, list_distinct(list_transform(
+        range(0, greatest(length(lower(content)) - 5, 0) + 1),
+        i -> {_ph("substr(lower(content), i + 1, 5)")})) AS shs
+      FROM keyed),
+    sigs AS MATERIALIZED (
+      -- perm coeffs as a zipped pair list: binding (a,b) per permutation
+      -- (NOT literal-list indexing inside the inner lambda, which
+      -- re-evaluates the 64-element literal per shingle: 400x slower)
+      SELECT id, list_transform(list_zip({A}, {B}), p ->
+        list_min(list_transform(shs,
+          x -> (p[1] * (x % {_MERSENNE}) + p[2]) % {_MERSENNE}))) AS sig
+      FROM sh WHERE len(shs) > 0),
+    bands AS MATERIALIZED (
+      SELECT id, b AS band,
+        {_ph("array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4), v -> CAST(v AS STRING)), ',')")}
+          AS band_hash
+      FROM sigs, LATERAL (SELECT unnest(range(16)) AS b) t
+      QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+        len(list_filter(range(0, 64), j -> sa.sig[j+1] = sb.sig[j+1])) / 64.0
+          AS est_jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.id = c.id_a
+      JOIN sigs sb ON sb.id = c.id_b)
+    SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.9
+    """
+
+
+_SIMHASH_SQL = r"""
+WITH g AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(len(toks) - 3, 0) + 1),
+    j -> CAST('0x' || substr(md5(
+           array_to_string(list_slice(toks, j+1, j+3), ' ')), 1, 15)
+         AS BIGINT)) AS hs
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL))
+SELECT doc_id AS id,
+  CAST(list_sum(list_transform(range(0, 60), b ->
+    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) >= len(hs)
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+    AS BIGINT) AS simhash
+FROM g
+UNION ALL
+SELECT doc_id, 0 FROM documents WHERE text IS NULL
+"""
+
+_WINNOW_SQL = f"""
+WITH s AS (
+  SELECT doc_id, list_transform(
+    range(0, greatest(length(lower(text)) - 8, 0) + 1),
+    i -> {_ph("substr(lower(text), i + 1, 8)")}) AS seq
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id AS id,
+  CAST(len(list_distinct(list_transform(
+    range(0, greatest(len(seq) - 4, 0) + 1),
+    i -> list_min(list_slice(seq, i+1, i+4))))) AS BIGINT) AS n_fp
+FROM s
+"""
+
+
+def _knn_oracle_sql() -> str:
+    """DuckDB reproduction of q_knn_lsh: the seeded hyperplanes are
+    deterministic (numpy RandomState(42), rounded 6dp), so the generator
+    embeds them as literals; buckets, multiprobe flips, candidate join,
+    and cosine re-rank mirror similarity.hyperplane_lsh_topk exactly."""
+    from peri_spark.functions.similarity import _planes
+    planes = _planes(64, 6, 42)
+
+    def dot(p: list[float]) -> str:
+        plit = "[" + ",".join(repr(x) for x in p) + "]"
+        return (f"list_sum(list_transform(range(0, 64), "
+                f"d -> CAST(embedding[d+1] AS DOUBLE) * ({plit})[d+1]))")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    cos = ("list_sum(list_transform(range(0, 64), d -> "
+           "CAST(c.v[d+1] AS DOUBLE) * CAST(q.qv[d+1] AS DOUBLE))) / "
+           "(sqrt(list_sum(list_transform(c.v, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+           "sqrt(list_sum(list_transform(q.qv, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))")
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS id, embedding AS v, {bucket} AS bucket
+      FROM embeddings),
+    qb AS (SELECT id AS query_id, v AS qv, bucket FROM c WHERE id < 5),
+    probes AS (
+      SELECT query_id, qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS bucket
+      FROM qb),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.id, round({cos}, 6) AS c6
+      FROM c JOIN probes q ON c.bucket = q.bucket),
+    ranked AS (
+      SELECT query_id, id, c6,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY c6 DESC, id ASC) AS rank
+      FROM cand)
+    SELECT query_id, id, round(c6, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -439,5 +578,9 @@ def oracle_sql() -> dict[str, str]:
         "validate_events": validate_events,
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "simhash": _SIMHASH_SQL,
+        "winnow_fp": _WINNOW_SQL,
+        "knn_lsh": _knn_oracle_sql(),
     })
     return out

@@ -8,7 +8,8 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, ngram_jaccard_pairs,
-                    simhash_signatures, embedding_duplicate_pairs)
+                    simhash_signatures, embedding_duplicate_pairs,
+                    portable_hash64)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          hyperplane_lsh_topk, normalize_embeddings)
 from .textstats import (language_id, quality_scores, token_counts,
@@ -20,4 +21,5 @@ __all__ = [
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",
     "normalize_embeddings",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
+    "portable_hash64",
 ]

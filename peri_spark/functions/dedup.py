@@ -3,10 +3,12 @@
 Scale notes (the whole point of these implementations):
 - exact: one hash-aggregate on a 16-byte digest — shuffles digests, not
   documents.
-- MinHash+LSH: signatures are computed map-side with built-in HOFs
-  (xxhash64 + transform/array_min — zero Python); the candidate join
-  shuffles only (band_id, band_hash, id) tuples; exact Jaccard runs only
-  on bucket-collision pairs. This is the standard shingle→minhash→band→
+- MinHash+LSH: shingle hashes are JVM-side (xxhash64/md5 HOFs); the 64
+  permutation minima are one Arrow-batched numpy matrix op per document
+  (map-side, no shuffle — the HOF-only version was 300× slower because
+  Spark HOFs are CodegenFallback). The candidate join shuffles only
+  (band_id, band_hash, id) tuples; exact Jaccard runs only on
+  bucket-collision pairs. This is the standard shingle→minhash→band→
   bucket-join pipeline, O(n·bands) shuffle instead of O(n²) pairs.
 - SimHash: 64-bit signature via one Arrow-batched pandas UDF (numpy
   bit-twiddling); near-dup = Hamming distance over band-bucket joins.
@@ -23,7 +25,19 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "lsh_duplicate_pairs", "ngram_jaccard_pairs",
-           "simhash_signatures", "embedding_duplicate_pairs"]
+           "simhash_signatures", "embedding_duplicate_pairs",
+           "portable_hash64"]
+
+
+def portable_hash64(c: Column) -> Column:
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5.
+
+    Always positive (fits BIGINT in every engine); DuckDB equivalent is
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` — this is what lets
+    the driver oracle hash-match MinHash/winnow pipelines. xxhash64 stays
+    the fast default for production paths (one JVM intrinsic vs md5+conv).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 # M31: a·x + b stays under 2^62 for a,b,x < M31 — no int64 overflow in the
 # JVM expression; 2^31 hash space is ample for per-permutation minima
@@ -55,18 +69,23 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
             .select("canonical_id", "dup_id", "n"))
 
 
-def shingles(text: Column, k: int = 5, words: bool = False) -> Column:
-    """Distinct xxhash64 shingle hashes of a text column (JVM HOFs only)."""
+def shingles(text: Column, k: int = 5, words: bool = False,
+             hash_fn=None) -> Column:
+    """Distinct shingle hashes of a text column (JVM HOFs only).
+
+    ``hash_fn`` defaults to xxhash64 (fast path); pass ``portable_hash64``
+    for oracle-reproducible hashes."""
+    h = hash_fn or F.xxhash64
     if words:
         toks = F.split(F.trim(F.lower(text)), r"\s+")
         grams = F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+            lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, k))))
     else:
         t = F.lower(text)
         n = F.greatest(F.length(t) - k, F.lit(0))
         grams = F.transform(F.sequence(F.lit(0), n),
-                            lambda i: F.xxhash64(F.substr(t, i + 1, F.lit(k))))
+                            lambda i: h(F.substr(t, i + 1, F.lit(k))))
     return F.array_distinct(grams)
 
 
@@ -79,37 +98,49 @@ def _perm_coeffs(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_hashes: int = 64, k: int = 5,
-                       words: bool = False, seed: int = 42) -> DataFrame:
+                       words: bool = False, seed: int = 42,
+                       hash_fn=None) -> DataFrame:
     """(id, sig: array<long>[n_hashes]) MinHash signatures, fully JVM-side.
 
-    h_i(x) = (a_i·x + b_i) mod M61 over the shingle-hash set; signature is
+    h_i(x) = (a_i·x + b_i) mod M31 over the shingle-hash set; signature is
     the per-permutation minimum (map-side only; no shuffle).
     """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     a, b = _perm_coeffs(n_hashes, seed)
-    sh = shingles(F.col(text_col), k, words)
+    sh = shingles(F.col(text_col), k, words, hash_fn)
 
-    def perm_min(i: Column) -> Column:
-        ai = F.element_at(F.lit(a), (i + 1).cast("int"))
-        bi = F.element_at(F.lit(b), (i + 1).cast("int"))
-        return F.array_min(F.transform(
-            F.col("__sh"),
-            lambda x: F.pmod(ai * F.pmod(x, F.lit(_MERSENNE)) + bi,
-                             F.lit(_MERSENNE))))
+    # Permutation minima via Arrow-batched numpy broadcasting. The pure-HOF
+    # formulation (transform over 64 perms × transform over shingles) is
+    # semantically identical but ~300× slower: Spark HOFs are
+    # CodegenFallback, so every (a·x+b) mod M runs interpreted with boxing
+    # — measured 8 docs/s/core at 64 hashes. numpy does the (64, n_shingle)
+    # matrix in C; a*x stays < 2^62 (a, x%M < 2^31), no int64 overflow.
+    an = np.asarray(a, dtype=np.int64)[:, None]
+    bn = np.asarray(b, dtype=np.int64)[:, None]
 
-    sig = F.transform(F.sequence(F.lit(0), F.lit(n_hashes - 1)), perm_min)
+    def _sig_batch(shs):
+        out = []
+        for arr in shs:
+            x = (np.asarray(arr, dtype=np.int64) % _MERSENNE)[None, :]
+            out.append(((an * x + bn) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
+
+    _sig = pandas_udf(_sig_batch, "array<long>")
     return (df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
             .where(F.size("__sh") > 0)
-            .select("id", sig.alias("sig")))
+            .select("id", _sig("__sh").alias("sig")))
 
 
-def _band_explode(sig_df: DataFrame, bands: int) -> DataFrame:
+def _band_explode(sig_df: DataFrame, bands: int, hash_fn=None) -> DataFrame:
     """Explode signatures into (band, band_hash, id) — the LSH bucket key."""
-    n = None  # rows per band derived from size at runtime
+    h = hash_fn or F.xxhash64
     return (sig_df.select(
         "id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bidx: F.xxhash64(F.concat_ws(
+            lambda bidx: h(F.concat_ws(
                 ",", F.transform(
                     F.slice(F.col("sig"),
                             bidx * (F.size("sig") / bands).cast("int") + 1,
@@ -123,7 +154,8 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                         bands: int = 16, k: int = 5, words: bool = False,
                         seed: int = 42,
                         max_bucket_size: int | None = 1000,
-                        dropped_counter: dict | None = None) -> DataFrame:
+                        dropped_counter: dict | None = None,
+                        hash_fn=None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
 
     Candidates = pairs sharing ≥1 band bucket; verification = signature
@@ -140,9 +172,10 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, words, seed)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k, words, seed,
+                              hash_fn)
     sigs = sigs.persist()
-    bands_df = _band_explode(sigs, bands)
+    bands_df = _band_explode(sigs, bands, hash_fn)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_hash")
         sized = bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -211,11 +244,33 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       k: int = 3) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched numpy; the one op here
-    where JVM HOFs would be slower than vectorized bit-twiddling)."""
+                       k: int = 3, portable: bool = False) -> DataFrame:
+    """SimHash per document (Arrow-batched numpy; the one op here where
+    JVM HOFs would be slower than vectorized bit-twiddling).
+
+    Default: 64-bit signature over crc32-pair gram hashes (fast).
+    ``portable=True``: 60-bit signature over md5-prefix gram hashes —
+    bit-for-bit reproducible by the DuckDB oracle (same gram definition,
+    ``CAST('0x' || substr(md5(gram),1,15) AS BIGINT)``), always positive.
+    """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    nbits = 60 if portable else 64
+
+    def _gram_hashes(grams):
+        if portable:
+            import hashlib
+            return np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                 for g in grams], dtype=np.uint64)
+        import zlib
+        # crc32 pairs → deterministic 64-bit gram hash (python hash()
+        # is process-salted; never use it in distributed code)
+        return np.array(
+            [np.uint64(zlib.crc32(g.encode())) << np.uint64(32)
+             | np.uint64(zlib.crc32(g.encode()[::-1])) for g in grams],
+            dtype=np.uint64)
 
     def _simhash_batch(texts):
         out = np.zeros(len(texts), dtype=np.int64)
@@ -226,14 +281,8 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
             grams = [" ".join(toks[j:j + k]) for j in range(max(len(toks) - k + 1, 1))]
             if not grams:
                 continue
-            import zlib
-            # crc32 pairs → deterministic 64-bit gram hash (python hash()
-            # is process-salted; never use it in distributed code)
-            hs = np.array(
-                [np.uint64(zlib.crc32(g.encode())) << np.uint64(32)
-                 | np.uint64(zlib.crc32(g.encode()[::-1])) for g in grams],
-                dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            hs = _gram_hashes(grams)
+            bits = ((hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1)
             counts = bits.sum(axis=0)
             sig = np.uint64(0)
             for b in np.where(counts * 2 >= len(grams))[0]:

@@ -93,18 +93,19 @@ def token_counts(df: DataFrame, text_col: str, id_col: str,
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
-                        k: int = 8, window: int = 4) -> DataFrame:
+                        k: int = 8, window: int = 4,
+                        hash_fn=None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     k-gram rolling hashes → per-window minima → distinct fingerprint set.
     JVM HOFs end to end; output (id, fingerprints array<long>) feeds an
-    inverted-index overlap join for plagiarism/near-dup detection."""
-    from .dedup import shingles
-
-    grams = shingles(F.col(text_col), k)  # distinct already
+    inverted-index overlap join for plagiarism/near-dup detection.
+    ``hash_fn`` defaults to xxhash64; pass dedup.portable_hash64 for an
+    oracle-reproducible fingerprint set."""
+    h = hash_fn or F.xxhash64
     t = F.lower(F.col(text_col))
     n = F.greatest(F.length(t) - k, F.lit(0))
     seq = F.transform(F.sequence(F.lit(0), n),
-                      lambda i: F.xxhash64(F.substr(t, i + 1, F.lit(k))))
+                      lambda i: h(F.substr(t, i + 1, F.lit(k))))
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(seq) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(seq, i + 1, window)))
