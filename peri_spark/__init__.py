@@ -10,16 +10,17 @@ anti-joins, distribution drift) that Peri doesn't have but a 10^12-file
 validation pipeline needs.
 """
 
+from .compiler import ErrorRef
 from .dsl import (ColFn, Expr, PandasFn, defschema, get_schema,
                   schema_registry, validate_schema, validate_schema_errors)
 from .engine import ValidationResult, conforms, validate, validate_column
-from .errors import InvalidSchemaError, SchemaError
+from .errors import InvalidSchemaError, SchemaError, traverse_errors
 
 __all__ = [
     "validate", "validate_column", "conforms", "ValidationResult",
     "validate_schema", "validate_schema_errors", "defschema", "get_schema",
-    "schema_registry", "Expr", "ColFn", "PandasFn",
-    "InvalidSchemaError", "SchemaError",
+    "schema_registry", "Expr", "ColFn", "PandasFn", "ErrorRef",
+    "InvalidSchemaError", "SchemaError", "traverse_errors",
 ]
 
 __version__ = "0.1.0"

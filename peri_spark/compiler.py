@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 from .dsl import ColFn, Expr, Node, PandasFn, schema_registry, parse
 from .errors import content_json, format_template, inspect_value, summarize
 
-__all__ = ["compile_node", "compile_fields", "Compiled", "Ctx",
+__all__ = ["compile_node", "compile_fields", "Compiled", "Ctx", "ErrorRef",
            "VIOL_DDL", "AVIOL_DDL", "empty_viols", "TRANSFORM_REGISTRY"]
 
 VIOL_DDL = "struct<path:array<string>,key:string,message:string,content:string>"
@@ -71,6 +71,8 @@ class Ctx:
     depth: int = 0                         # ref-recursion guard
     root_fields: tuple = ()                # root column names (for 2-arity
                                            # PandasFn callbacks needing the row)
+    grapheme: bool = False                 # string length = grapheme clusters
+                                           # (Arrow UDF) instead of chars
     # lean mode: violation structs become constants (no message/content
     # rendering). For counting-only consumers (verdicts, bad-row filters)
     # this shrinks the expression tree ~10× — less driver-side
@@ -94,6 +96,20 @@ class Compiled:
     value: Column            # rewritten value
     viols: Column            # array<VIOL_DDL>, never null
     dtype: T.DataType | None # output type (None = unchanged/unknown)
+
+
+@dataclass(frozen=True)
+class ErrorRef:
+    """What a callable ``error:`` override / ``map_errors`` callback sees —
+    the vectorized analogue of the reference's MFA override receiving a
+    %Peri.Error{} (lib/peri/error.ex:182-195): key/path statically, the
+    default message and content JSON as Columns. The callback returns a
+    replacement message (str or Column); anything else keeps the default
+    (reference apply_override fallthrough)."""
+    key: str | Any
+    path: tuple | Any
+    message: Any             # Column
+    content: Any             # Column (JSON string)
 
 
 # ---------------------------------------------------------------------------
@@ -323,15 +339,57 @@ def _c_constrained(node, col, dtype, ctx, mode):
     if not type_ok(base, dtype):
         return Compiled(col, _collect(
             (_type_error(col, dtype, ":" + base, ctx), False)), dtype)
+    length_fn = _grapheme_len if ctx.grapheme else F.length
     items = []
     nn = col.isNotNull()
     for op, arg in opts:
-        fail, msg, content = _constraint(base, op, arg, col, dtype)
+        fail, msg, content = _constraint(base, op, arg, col, dtype, length_fn)
         items.append((_maybe(nn & fail, _viol_struct(ctx, msg, content)), False))
     return Compiled(col, _collect(*items), dtype)
 
 
-def _constraint(base: str, op: str, arg, col: Column, dtype):
+_GRAPHEME_UDF = None
+
+
+def _grapheme_len(col: Column) -> Column:
+    """Opt-in exact-ish grapheme-cluster length (Elixir String.length
+    parity, reference lib/peri.ex:879-893). Arrow-batched; approximates
+    UAX#29: combining marks, ZWJ sequences, variation selectors, and
+    skin-tone modifiers extend the previous cluster. Default mode stays
+    JVM ``length`` (identical for ASCII/BMP content — doc'd divergence)."""
+    global _GRAPHEME_UDF
+    if _GRAPHEME_UDF is None:
+        import pandas as pd
+        import unicodedata
+        from pyspark.sql.functions import pandas_udf
+
+        def _count(s):
+            if s is None:
+                return None
+            n = 0
+            joined = False  # previous char was a ZWJ → this char extends
+            for ch in s:
+                o = ord(ch)
+                extend = (unicodedata.combining(ch) > 0
+                          or 0xFE00 <= o <= 0xFE0F      # variation selectors
+                          or 0x1F3FB <= o <= 0x1F3FF)   # skin-tone modifiers
+                if extend or joined:
+                    joined = False
+                    continue
+                if ch == "\u200d":  # zero-width joiner
+                    joined = True
+                    continue
+                n += 1
+            return n
+
+        _GRAPHEME_UDF = pandas_udf(
+            lambda s: s.map(_count, na_action="ignore").astype("Int64"),
+            "long")
+    return _GRAPHEME_UDF(col)
+
+
+def _constraint(base: str, op: str, arg, col: Column, dtype,
+                length_fn=F.length):
     """One constraint option → (fail_cond, message, content).
 
     Messages verbatim from the reference (lib/peri.ex:863-968).
@@ -346,12 +404,12 @@ def _constraint(base: str, op: str, arg, col: Column, dtype):
                     _static_msg("should be equal to literal %{literal}", {"literal": arg}),
                     {"literal": arg})
         if op == "min":
-            return (F.length(col) < arg,
+            return (length_fn(col) < arg,
                     _static_msg("should have the minimum length of %{length}",
                                 {"length": inspect_value(arg)}),
                     {"length": inspect_value(arg)})
         if op == "max":
-            return (F.length(col) > arg,
+            return (length_fn(col) > arg,
                     _static_msg("should have the maximum length of %{length}",
                                 {"length": inspect_value(arg)}),
                     {"length": inspect_value(arg)})
@@ -787,9 +845,36 @@ def _c_dependent(node, col, dtype, ctx, mode):
             viols = expr_v.otherwise(empty_viols())
             value = expr_val.otherwise(col)
         return Compiled(value, viols, dtype)
+    if callable(spec) and not isinstance(spec, (Expr, ColFn, PandasFn)):
+        # general dynamic form: cb(root_accessor) returns the branch
+        # enumeration [(cond, schema), ...] where cond is Expr/ColFn/
+        # Column (None = else). This is the vectorized analogue of the
+        # reference's cb(data) -> {:ok, schema} (lib/peri.ex:1001-1037):
+        # the callback derives each branch's condition from root columns,
+        # and the whole dispatch compiles to one CASE chain — no per-row
+        # Python, no second validation pass.
+        pairs = list(spec(ctx.root))
+        expr_v = expr_val = None
+        default = None
+        for cond, sch in pairs:
+            compiled = compile_node(parse(sch), col, dtype, ctx, mode)
+            if cond is None:
+                default = compiled
+                continue
+            cc = cond if isinstance(cond, Column) else _cb_condition(cond, ctx)
+            expr_v = (F.when(cc, compiled.viols) if expr_v is None
+                      else expr_v.when(cc, compiled.viols))
+            expr_val = (F.when(cc, compiled.value) if expr_val is None
+                        else expr_val.when(cc, compiled.value))
+        dv = default.viols if default is not None else empty_viols()
+        dval = default.value if default is not None else col
+        if expr_v is None:
+            return Compiled(dval, dv, dtype)
+        return Compiled(expr_val.otherwise(dval), expr_v.otherwise(dv), dtype)
     raise NotImplementedError(
-        "general {:dependent, cb} requires the branch-dict form "
-        '("dependent", {"on": field, "branches": {...}}) for vectorization')
+        "{:dependent, cb}: cb must be the branch-dict form "
+        '("dependent", {"on": field, "branches": {...}}) or a callable '
+        "(root) -> [(cond, schema), ...] for vectorization")
 
 
 def _c_dependent4(node, col, dtype, ctx, mode):
@@ -906,12 +991,23 @@ def _c_override(node, col, dtype, ctx, mode):
     c = compile_node(inner, col, dtype, ctx, mode)
     if msg is None:
         return c
-    viols = F.transform(
-        c.viols,
-        lambda v: F.struct(v["path"].alias("path"), v["key"].alias("key"),
-                           F.lit(msg).alias("message"),
-                           v["content"].alias("content")))
-    return Compiled(c.value, viols, c.dtype)
+
+    def _rewrite(v: Column) -> Column:
+        if callable(msg):
+            res = msg(ErrorRef(key=ctx.key, path=ctx.path,
+                               message=v["message"], content=v["content"]))
+            if isinstance(res, Column):
+                m = res
+            elif isinstance(res, str):
+                m = F.lit(res)
+            else:  # non-string result → keep default (reference parity)
+                m = v["message"]
+        else:
+            m = F.lit(msg)
+        return F.struct(v["path"].alias("path"), v["key"].alias("key"),
+                        m.alias("message"), v["content"].alias("content"))
+
+    return Compiled(c.value, F.transform(c.viols, _rewrite), c.dtype)
 
 
 _DISPATCH = {
@@ -952,7 +1048,8 @@ class FieldOut:
 
 
 def compile_fields(entries: dict[str, Node], df_schema: T.StructType,
-                   mode: str = "strict", lean: bool = False) -> list[FieldOut]:
+                   mode: str = "strict", lean: bool = False,
+                   grapheme: bool = False) -> list[FieldOut]:
     by_name = {f.name: f for f in df_schema.fields}
 
     def root(name: str) -> Column:
@@ -962,7 +1059,7 @@ def compile_fields(entries: dict[str, Node], df_schema: T.StructType,
     out: list[FieldOut] = []
     for k, nd in entries.items():
         ctx = Ctx(root=root, key=k, path=(k,), lean=lean,
-                  root_fields=root_fields)
+                  root_fields=root_fields, grapheme=grapheme)
         if k in by_name:
             c = compile_node(nd, F.col(k), by_name[k].dataType, ctx, mode)
             out.append(FieldOut(k, c.value, c.viols))

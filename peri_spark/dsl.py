@@ -159,8 +159,17 @@ def _parse(t: Any, errors: list, path: list) -> Node:
     if head == "required" and len(t) in (2, 3):
         inner = _parse(t[1], errors, path)
         override = None
+        gen = None
         if len(t) == 3:
-            override = _parse_error_opt(t[2], errors, path)
+            if isinstance(t[2], dict):  # ("required", t, {"error":…, "gen":…})
+                if "gen" in t[2]:
+                    gen = _parse_gen_opt(t[2]["gen"], errors)
+                if "error" in t[2]:
+                    override = _parse_error_opt(t[2]["error"], errors, path)
+            else:
+                override = _parse_error_opt(t[2], errors, path)
+        if gen is not None:
+            inner = Node("meta", (inner, {"gen": gen}))
         # required + default conflict (reference: lib/peri.ex:829-834, 1780-1783)
         if _has_default(inner):
             errors.append(SchemaError(
@@ -190,11 +199,8 @@ def _parse(t: Any, errors: list, path: list) -> Node:
             if base is not None:
                 base = _parse(base, errors, path)
             override = opts.get("error")
-            if override is not None and not isinstance(override, str):
-                errors.append(_err(
-                    "expected error: opt to be a string or MFA tuple, got %{actual}",
-                    actual=inspect_value(override)))
-                override = None
+            if override is not None:
+                override = _parse_error_opt(override, errors, path)
         n = Node("enum", (list(choices), base))
         return Node("override", (n, override)) if override else n
 
@@ -287,6 +293,10 @@ def _parse(t: Any, errors: list, path: list) -> Node:
                 "expected meta opts to be a keyword list, got %{actual}",
                 actual=inspect_value(opts)))
             opts = {}
+        if "gen" in opts:
+            g = _parse_gen_opt(opts["gen"], errors)
+            opts = {**opts, "gen": g} if g is not None else \
+                {k: v for k, v in opts.items() if k != "gen"}
         return Node("meta", (_parse(t[1], errors, path), opts))
 
     # {type, option} / {type, [options]} — constraints, default, transform
@@ -302,6 +312,7 @@ def _parse_typed_options(base: str, raw, errors: list, path: list) -> Node:
     default = _MISSING
     transform = None
     override = None
+    gen = None
     for o in opts:
         if not (isinstance(o, tuple) and len(o) == 2):
             return _bad(errors, path, (base, raw))
@@ -313,7 +324,7 @@ def _parse_typed_options(base: str, raw, errors: list, path: list) -> Node:
         elif op == "error":
             override = _parse_error_opt(arg, errors, path)
         elif op == "gen":
-            pass  # generation override — carried nowhere at runtime
+            gen = _parse_gen_opt(arg, errors)
         elif base == "string" and op in STRING_CONSTRAINT_OPS:
             constraints.append((op, arg))
         elif base in ("integer", "float") and op in NUMERIC_CONSTRAINT_OPS:
@@ -330,6 +341,8 @@ def _parse_typed_options(base: str, raw, errors: list, path: list) -> Node:
         node = Node("default", (node, default))
     if transform is not None:
         node = Node("transform", (node, transform))
+    if gen is not None:  # carried as meta opts; generate.py consumes it
+        node = Node("meta", (node, {"gen": gen}))
     if override is not None:
         node = Node("override", (node, override))
     return node
@@ -339,10 +352,32 @@ _MISSING = object()
 
 
 def _parse_error_opt(v, errors: list, path: list):
-    if isinstance(v, str):
+    """error: opt — static string, or a callable (the MFA analogue,
+    reference lib/peri/error.ex:182-195). The callable receives an
+    ErrorRef (key + path + message/content Columns) at compile time and
+    returns a replacement message (str or Column) — fully vectorized."""
+    if isinstance(v, str) or callable(v):
         return v
     errors.append(_err(
         "expected error: opt to be a string or MFA tuple, got %{actual}",
+        actual=inspect_value(v)))
+    return None
+
+
+def _parse_gen_opt(v, errors: list):
+    """gen: opt — callable() or callable(rng) producing a conforming value
+    (reference MFA/0-arity StreamData, lib/peri.ex:535-540). Rejects
+    non-callables and arity > 1 like the reference's validate_schema."""
+    if callable(v):
+        import inspect as _i
+        try:
+            n = len(_i.signature(v).parameters)
+        except (TypeError, ValueError):
+            n = 0
+        if n <= 1:
+            return v
+    errors.append(_err(
+        "expected gen: opt to be a 0/1-arity callable, got %{actual}",
         actual=inspect_value(v)))
     return None
 

@@ -80,9 +80,28 @@ class ValidationResult:
         return [r.asDict(recursive=True)
                 for r in self.violations(*id_cols).collect()]
 
+    def map_errors(self, fn, *id_cols: str) -> DataFrame:
+        """Vectorized ``traverse_errors``: the violations frame with each
+        message rewritten by ``fn(ErrorRef) -> Column | str`` (i18n hook);
+        key/path/message/content arrive as Columns. Stays JVM-side when
+        fn builds Column expressions."""
+        from .compiler import ErrorRef
+
+        v = self.violations(*id_cols)
+        path_col = "err_path" if "err_path" in v.columns else "path"
+        msg_col = "err_message" if "err_message" in v.columns else "message"
+        content_col = "err_content" if "err_content" in v.columns else "content"
+        key_col = "err_key" if "err_key" in v.columns else "key"
+        res = fn(ErrorRef(key=F.col(key_col), path=F.col(path_col),
+                          message=F.col(msg_col), content=F.col(content_col)))
+        if isinstance(res, str):
+            res = F.lit(res)
+        return v.withColumn(msg_col, res.cast("string"))
+
 
 def validate(df: DataFrame, schema, mode: str = "strict",
-             lean: bool = False) -> ValidationResult:
+             lean: bool = False,
+             length_mode: str = "chars") -> ValidationResult:
     """Validate a DataFrame against a Peri-style schema.
 
     - ``strict``  → output contains only schema-declared columns
@@ -91,15 +110,20 @@ def validate(df: DataFrame, schema, mode: str = "strict",
       (reference: lib/peri.ex:635-636)
     - ``lean`` → violation structs carry key only (constant message/
       content): ~10× smaller plan for counting-only consumers
+    - ``length_mode="grapheme"`` → string min/max count grapheme clusters
+      (Elixir String.length parity, Arrow UDF) instead of JVM chars
     """
     if mode not in ("strict", "permissive"):
         # reference raises ArgumentError (lib/peri.ex:575-579)
         raise ValueError(
             f"Invalid mode: {mode!r}. Must be 'strict' or 'permissive'")
+    if length_mode not in ("chars", "grapheme"):
+        raise ValueError(f"Invalid length_mode: {length_mode!r}")
     node = parse(schema) if not isinstance(schema, Node) else schema
     if node.tag == "nested":
         entries = node.args[0]
-        outs = compile_fields(entries, df.schema, mode, lean=lean)
+        outs = compile_fields(entries, df.schema, mode, lean=lean,
+                              grapheme=length_mode == "grapheme")
         viols = _concat_viols([o.viols for o in outs])
         declared = {o.name for o in outs}
         cols: list[Column] = []

@@ -25,7 +25,30 @@ __all__ = [
     "format_template",
     "summarize",
     "content_json",
+    "traverse_errors",
 ]
+
+
+def traverse_errors(errors, fun):
+    """Walk an error (dict / SchemaError) or list of errors, replacing each
+    leaf's ``message`` with ``fun(err)`` — the i18n hook
+    (Peri.Error.traverse_errors/2, reference lib/peri/error.ex:212-223).
+
+    Non-string callback results coerce via ``str()``; nested errors (an
+    ``errors`` list on a node) are translated at the leaves. Returns the
+    same shape with new dicts (inputs are not mutated). For the vectorized
+    DataFrame-level equivalent see ``ValidationResult.map_errors``.
+    """
+    if isinstance(errors, list):
+        return [traverse_errors(e, fun) for e in errors]
+    e = dict(errors.to_map()) if isinstance(errors, SchemaError) else dict(errors)
+    nested = e.get("errors")
+    if nested:
+        e["errors"] = [traverse_errors(x, fun) for x in nested]
+        return e
+    res = fun(e)
+    e["message"] = res if isinstance(res, str) else str(res)
+    return e
 
 
 class SchemaError:

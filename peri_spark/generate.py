@@ -24,6 +24,14 @@ __all__ = ["generate_rows", "generate_df", "mutate_rows", "spark_ddl_for"]
 _GEN_REF_DEPTH = 5  # reference: lib/peri/generatable.ex:99,116-131
 
 
+def _gen_arity(f) -> int:
+    import inspect as _i
+    try:
+        return len(_i.signature(f).parameters)
+    except (TypeError, ValueError):
+        return 0
+
+
 def _gen_string(rng: random.Random, opts: dict) -> str:
     lo = opts.get("min", 1)
     hi = opts.get("max", max(lo + 11, 12))
@@ -84,7 +92,16 @@ def _gen_value(node: Node, rng: random.Random, depth: int = 0) -> Any:
         return _gen_value(node.args[0], rng, depth)
     if t == "transform":
         return _gen_value(node.args[0], rng, depth)
-    if t in ("meta", "override"):
+    if t == "meta":
+        # gen: override (reference lib/peri.ex:535-540) — a 0/1-arity
+        # callable replaces the type-driven generator; 1-arity receives
+        # the seeded rng for determinism
+        opts = node.args[1] if len(node.args) > 1 and isinstance(node.args[1], dict) else {}
+        g = opts.get("gen")
+        if g is not None:
+            return g(rng) if _gen_arity(g) >= 1 else g()
+        return _gen_value(node.args[0], rng, depth)
+    if t == "override":
         return _gen_value(node.args[0], rng, depth)
     if t == "list":
         elem, opts = node.args

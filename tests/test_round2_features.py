@@ -1,0 +1,216 @@
+"""Round-2 reference-parity features: callable error: overrides +
+traverse_errors (test/custom_errors_test.exs:17-105), gen: overrides
+(test/gen_overrides_test.exs), dynamic {:dependent, cb}
+(lib/peri.ex:1001-1037), and grapheme-exact string length
+(lib/peri.ex:879-893)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import peri_spark as ps
+from peri_spark.dsl import ColFn, Expr
+
+
+# ---------------------------------------------------------------------------
+# callable error: overrides (reference test/custom_errors_test.exs:17-72)
+# ---------------------------------------------------------------------------
+
+
+def email_msg(err):
+    # MFA-analogue: builds the message from the error's runtime content
+    return F.concat(F.lit("email is invalid (was: "), err.content,
+                    F.lit(")"))
+
+
+USER_SCHEMA = {
+    "age": ("integer", [("gte", 18), ("error", "must be adult")]),
+    "email": ("required", "string", email_msg),
+    "nickname": ("string", [("min", 3), ("error", "too short")]),
+}
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a@b.io", None), (2, 20, None, None), (3, 20, "a@b.io", "ab")],
+        "id long, age long, email string, nickname string")
+
+
+def test_static_string_override(spark, users):
+    res = ps.validate(users.where("id = 1"), USER_SCHEMA, mode="permissive")
+    errs = res.errors("id")
+    assert [e["message"] for e in errs] == ["must be adult"]
+    assert errs[0]["key"] == "age"
+
+
+def test_callable_override_receives_error_content(spark, users):
+    res = ps.validate(users.where("id = 2"), USER_SCHEMA, mode="permissive")
+    errs = res.errors("id")
+    email = next(e for e in errs if e["key"] == "email")
+    assert email["message"].startswith("email is invalid (was: ")
+    assert "expected" in email["message"]  # content JSON interpolated
+
+
+def test_static_override_on_string_constraint(spark, users):
+    res = ps.validate(users.where("id = 3"), USER_SCHEMA, mode="permissive")
+    errs = res.errors("id")
+    assert [e["message"] for e in errs] == ["too short"]
+
+
+def test_non_string_callable_result_keeps_default(spark, users):
+    schema = {"age": ("integer", [("gte", 18), ("error", lambda e: 42)])}
+    res = ps.validate(users.where("id = 1"), schema, mode="permissive")
+    assert res.errors("id")[0]["message"] == \
+        "should be greater then or equal to 18"
+
+
+def test_validate_schema_rejects_non_string_non_callable_error():
+    assert ps.validate_schema_errors({"x": ("integer", ("error", 123))})
+    assert not ps.validate_schema_errors({"x": ("integer", ("error", "bad"))})
+    assert not ps.validate_schema_errors(
+        {"x": ("required", "string", "needed")})
+
+
+# ---------------------------------------------------------------------------
+# traverse_errors (reference test/custom_errors_test.exs:78-105)
+# ---------------------------------------------------------------------------
+
+
+def test_traverse_errors_translates_messages(spark, users):
+    res = ps.validate(users, USER_SCHEMA, mode="permissive")
+    errs = res.errors("id")
+    translated = ps.traverse_errors(errs, lambda e: f"[translated] {e['message']}")
+    assert translated and all(
+        e["message"].startswith("[translated]") for e in translated)
+    # inputs not mutated
+    assert not errs[0]["message"].startswith("[translated]")
+
+
+def test_traverse_errors_coerces_non_string():
+    errs = [{"path": ["x"], "key": "x", "message": "m", "content": "{}"}]
+    out = ps.traverse_errors(errs, lambda e: 123)
+    assert out[0]["message"] == "123"
+
+
+def test_map_errors_vectorized(spark, users):
+    res = ps.validate(users, USER_SCHEMA, mode="permissive")
+    out = res.map_errors(
+        lambda e: F.concat(F.lit("x_"), e.message), "id")
+    msgs = [r["message"] for r in out.collect()]
+    assert msgs and all(m.startswith("x_") for m in msgs)
+    assert "BatchEvalPython" not in \
+        out._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# gen: overrides (reference test/gen_overrides_test.exs)
+# ---------------------------------------------------------------------------
+
+
+def test_gen_override_in_multi_options():
+    from peri_spark.generate import generate_rows
+    schema = {"age": ("integer", [("gte", 18),
+                                  ("gen", lambda rng: rng.randint(18, 120))])}
+    rows = generate_rows(schema, 20)
+    assert all(18 <= r["age"] <= 120 for r in rows)
+
+
+def test_gen_override_in_required_and_meta():
+    from peri_spark.generate import generate_rows
+    schema = {
+        "login": ("required", "string", {"gen": lambda: "system"}),
+        "name": ("meta", "string", {"gen": lambda: "hello"}),
+    }
+    rows = generate_rows(schema, 5)
+    assert all(r["login"] == "system" and r["name"] == "hello" for r in rows)
+
+
+def test_gen_override_values_pass_validation(spark):
+    from peri_spark.generate import generate_df
+    schema = {"age": ("integer", [("gte", 18),
+                                  ("gen", lambda rng: rng.randint(18, 120))])}
+    df = generate_df(spark, schema, 10)
+    assert ps.conforms(df, schema, mode="permissive")
+
+
+def test_validate_schema_rejects_bad_gen():
+    assert ps.validate_schema_errors({"age": ("integer", [("gte", 18), ("gen", 123)])})
+    assert ps.validate_schema_errors(
+        {"x": ("required", "string", {"gen": 42})})
+    assert ps.validate_schema_errors(
+        {"x": ("meta", "string", {"gen": lambda a, b: a})})  # 2-arity
+    assert not ps.validate_schema_errors(
+        {"x": ("meta", "string", {"gen": lambda: "ok"})})
+
+
+# ---------------------------------------------------------------------------
+# dynamic {:dependent, cb} (reference lib/peri.ex:1001-1037)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_dependent_callable(spark):
+    df = spark.createDataFrame(
+        [(1, "purchase", 0.5), (2, "purchase", 5.0), (3, "click", 150.0),
+         (4, "view", -1.0), (5, "click", 50.0)],
+        "id long, event_type string, value double")
+
+    def branches(root):
+        return [
+            (Expr("event_type = 'purchase'"), ("float", ("gte", 1.0))),
+            (ColFn(lambda r: r("event_type") == "click"),
+             ("float", ("lte", 99.0))),
+            (None, "float"),
+        ]
+
+    res = ps.validate(df, {"value": ("dependent", branches)},
+                      mode="permissive")
+    bad = {r["id"]: r["message"]
+           for r in res.violations("id").select("id", "message").collect()}
+    assert bad == {1: "should be greater then or equal to 1.0",
+                   3: "should be less then or equal to 99.0"}
+
+
+def test_dynamic_dependent_matches_branch_dict(spark):
+    df = spark.createDataFrame(
+        [(i, ["purchase", "click", "view"][i % 3], float(i * 7 % 120))
+         for i in range(60)],
+        "id long, event_type string, value double")
+    dyn = {"value": ("dependent", lambda root: [
+        (Expr("event_type = 'purchase'"), ("float", ("gte", 1.0))),
+        (Expr("event_type = 'click'"), ("float", ("lte", 99.0))),
+        (None, "float")])}
+    dct = {"value": ("dependent", {"on": "event_type", "branches": {
+        "purchase": ("float", ("gte", 1.0)),
+        "click": ("float", ("lte", 99.0))}, "else": "float"})}
+    a = {(r["id"], r["message"]) for r in
+         ps.validate(df, dyn, mode="permissive").violations("id").collect()}
+    b = {(r["id"], r["message"]) for r in
+         ps.validate(df, dct, mode="permissive").violations("id").collect()}
+    assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# grapheme length mode (reference lib/peri.ex:879-893)
+# ---------------------------------------------------------------------------
+
+
+def test_grapheme_length_mode(spark):
+    combining = "é"          # 2 chars, 1 grapheme
+    family = "\U0001F468‍\U0001F469"  # man ZWJ woman: 3 chars, 1 grapheme
+    df = spark.createDataFrame(
+        [(1, combining), (2, family), (3, "ab"), (4, None)],
+        "id long, s string")
+
+    chars = ps.validate(df, {"s": ("string", ("min", 2))}, mode="permissive")
+    assert {r["id"] for r in chars.invalid.select("id").collect()} == set()
+
+    graph = ps.validate(df, {"s": ("string", ("min", 2))},
+                        mode="permissive", length_mode="grapheme")
+    assert {r["id"] for r in graph.invalid.select("id").collect()} == {1, 2}
+
+    # default mode diverges only on multi-codepoint clusters — ASCII equal
+    ascii_df = spark.createDataFrame([(1, "abc")], "id long, s string")
+    for mode in ("chars", "grapheme"):
+        r = ps.validate(ascii_df, {"s": ("string", ("max", 2))},
+                        mode="permissive", length_mode=mode)
+        assert r.invalid.count() == 1
