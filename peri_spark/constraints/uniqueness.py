@@ -23,21 +23,43 @@ __all__ = ["uniqueness_violations"]
 
 def uniqueness_violations(df: DataFrame, keys: list[str],
                           salt_buckets: int | None = None,
-                          as_violations: bool = False) -> DataFrame:
+                          as_violations: bool = False,
+                          hash_prefilter: bool = False) -> DataFrame:
     """Rows = duplicated key tuples with their multiplicity (``n_dups``).
 
     ``salt_buckets=K`` forces the explicit two-phase salted plan.
     ``as_violations=True`` emits Peri-shaped violation rows instead.
+
+    ``hash_prefilter=True`` is the wide-key scale plan: phase 1 shuffles
+    only ``xxhash64(keys)`` (8 bytes/row after map-side combine) and
+    keeps the hashes seen more than once; phase 2 re-scans, joins on the
+    (rare) hot hashes — AQE broadcasts the hot set when it is small —
+    and re-counts by the EXACT keys, so hash collisions are weeded out
+    and the result is identical to the default plan. Trades a second
+    pruned-column scan for a ~(key width / 8B) shuffle reduction: the
+    right trade when keys are wide strings and the corpus is 100 TB
+    (shuffling hashes, not keys) — and measurable even single-node,
+    where the shuffle's serialize+sort is memory-bandwidth-bound.
     """
-    if salt_buckets:
+    if hash_prefilter:
+        h = F.xxhash64(*[F.col(k) for k in keys])
+        hot = (df.select(h.alias("__h")).groupBy("__h")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") > 1).select("__h"))
+        dups = (df.select(*keys, h.alias("__h"))
+                .join(hot, "__h")
+                .groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dups"))
+                .where(F.col("n_dups") > 1))
+    elif salt_buckets:
         salt = F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets)
         partial = (df.select(*keys).withColumn("__salt", salt)
                    .groupBy(*keys, "__salt").count())
         counts = (partial.groupBy(*keys)
                   .agg(F.sum("count").alias("n_dups")))
+        dups = counts.where(F.col("n_dups") > 1)
     else:
         counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dups"))
-    dups = counts.where(F.col("n_dups") > 1)
+        dups = counts.where(F.col("n_dups") > 1)
     if not as_violations:
         return dups
     key_txt = ", ".join(keys)

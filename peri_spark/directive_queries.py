@@ -277,6 +277,37 @@ _EVENTS_SCHEMA = {
 }
 
 
+def q_error_callable_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """callable error: override (#43 full form): the MFA analogue — a
+    compile-time callback receives the ErrorRef (default message/content
+    Columns) and builds the replacement message as a Column expression
+    (reference lib/peri/error.ex:182-195, test/custom_errors_test.exs)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cb = lambda e: F.concat(F.upper(e.message), F.lit(" [acct]"))  # noqa: E731
+    schema = {"c_acctbal": ("float", [("gte", 0.0), ("error", cb)])}
+    return _flat(cust, schema, ["c_custkey"])
+
+
+def q_grapheme_min_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """length_mode='grapheme' (#7 exact mode): combining-mark strings
+    count as grapheme clusters (Elixir String.length parity,
+    lib/peri.ex:879-893); 'xxxx' + 'e' + U+0301 is 6 chars but 5
+    graphemes, failing min=6 only in grapheme mode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # NB: Spark's chr() is ASCII-only (mod 256) — embed U+0301 directly
+    # as the two-codepoint cluster "e" + combining acute (6 chars total,
+    # 5 graphemes: fails min=6 only when counting graphemes)
+    t2 = (F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.substring("text", 1, 4), F.lit("e\u0301")))
+          .otherwise(F.substring("text", 1, 6)))
+    df = docs.select("doc_id", t2.alias("t2"))
+    res = validate(df, {"t2": ("string", ("min", 6))},
+                   mode="permissive", length_mode="grapheme")
+    v = res.violations("doc_id")
+    return v.select("doc_id", "key",
+                    F.array_join("path", "/").alias("err_path"), "message")
+
+
 def q_fidelity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 sha256 fidelity vs a reference pass (tampered in-query)."""
     from .constraints import fidelity_violations
@@ -313,6 +344,8 @@ DIRECTIVE_QUERIES = {
     "time_strings_events": q_time_strings_events,
     "verdicts_events": q_verdicts_events,
     "fidelity_documents": q_fidelity_documents,
+    "error_callable_customer": q_error_callable_customer,
+    "grapheme_min_documents": q_grapheme_min_documents,
 }
 
 
@@ -571,6 +604,26 @@ r AS (SELECT doc_id,
 SELECT l.doc_id, sha_actual, sha_ref
 FROM l JOIN r USING (doc_id)
 WHERE sha_ref IS NULL OR sha_actual <> sha_ref
+"""
+
+
+_ORACLES["error_callable_customer"] = """
+SELECT c_custkey, 'c_acctbal' AS key, 'c_acctbal' AS err_path,
+       'SHOULD BE GREATER THEN OR EQUAL TO 0.0 [acct]' AS message
+FROM customer
+WHERE c_acctbal IS NOT NULL AND c_acctbal < 0.0
+"""
+
+_ORACLES["grapheme_min_documents"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 4) || 'e' || chr(769)
+              ELSE substr(text, 1, 6) END AS t2
+  FROM documents)
+SELECT doc_id, 't2' AS key, 't2' AS err_path,
+       'should have the minimum length of 6' AS message
+FROM d
+WHERE t2 IS NOT NULL AND length_grapheme(t2) < 6
 """
 
 

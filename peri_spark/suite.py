@@ -67,7 +67,7 @@ class ValidationSuite:
     def __init__(self, schema, mode: str = "strict"):
         self.schema = schema
         self.mode = mode
-        self._uniq: list[tuple[list[str], int | None]] = []
+        self._uniq: list[tuple[list[str], int | None, bool]] = []
         self._refs: list[tuple] = []
         self._drift: tuple | None = None
         self._partition: list[str] | None = None
@@ -77,11 +77,14 @@ class ValidationSuite:
         # stays distributed instead of round-tripping through the driver
         self.derive_collect_threshold = 100_000
 
-    def with_uniqueness(self, keys: list[str], salt_buckets: int | None = None):
+    def with_uniqueness(self, keys: list[str], salt_buckets: int | None = None,
+                        hash_prefilter: bool = False):
         """Each call adds an independent uniqueness check; results are keyed
         by the joined key names (``result.duplicates['repo,path']``) so two
-        key sets don't clobber each other."""
-        self._uniq.append((list(keys), salt_buckets))
+        key sets don't clobber each other. ``hash_prefilter=True`` selects
+        the wide-key scale plan (shuffle 8-byte key hashes, exact-confirm
+        hot hashes on a second pruned scan — see uniqueness_violations)."""
+        self._uniq.append((list(keys), salt_buckets, hash_prefilter))
         return self
 
     def with_referential(self, fk, dim: DataFrame, pk=None, broadcast=True):
@@ -98,13 +101,26 @@ class ValidationSuite:
         self._max_bad_ratio = max_bad_ratio
         return self
 
-    def with_stats(self, columns: list[str] | None = None):
+    def with_stats(self, columns: list[str] | None = None,
+                   fused: bool = False):
         """Restrict the stats stage to ``columns``. At corpus scale you
         track length/null stats for document-text columns, not min/max of
         the full values (string min/max shuffles and compares whole
-        documents)."""
+        documents).
+
+        ``fused=True`` merges the stats into run_fused's grouped
+        aggregate as per-group partials (nulls/min/max/sums + DataSketches
+        HLL sketches), eliminating the second scan entirely. Trade-off,
+        measured: the sketch is a TypedImperativeAggregate, so the whole
+        hot aggregate drops out of whole-stage codegen
+        (ObjectHashAggregate) — net-negative when the corpus is hot in
+        cache (local bench: 3× slower scan), net-positive only when the
+        scan itself dominates (cold remote storage). Default keeps the
+        separate scan, pruned to ``columns`` and OVERLAPPED with the
+        fused job so it costs no wall-clock at N>1 slots."""
         self._stats = True
         self._stats_columns = columns
+        self._stats_fused = fused
         return self
 
     def without_stats(self):
@@ -155,11 +171,12 @@ class ValidationSuite:
                 counters["n_stat_cols"] = out.stats.count()
             thunks.append(("stats", st))
 
-        for keys, salt in self._uniq:
+        for keys, salt, pre in self._uniq:
             kname = ",".join(keys)
 
-            def uq(keys=keys, salt=salt, kname=kname):
-                d = uniqueness_violations(df, keys, salt_buckets=salt)
+            def uq(keys=keys, salt=salt, pre=pre, kname=kname):
+                d = uniqueness_violations(df, keys, salt_buckets=salt,
+                                          hash_prefilter=pre)
                 out.duplicates[kname] = d
                 out.duplicate_keys = d
                 counters[f"n_duplicate_keys:{kname}"] = d.count()
@@ -192,16 +209,23 @@ class ValidationSuite:
     def run_fused(self, df: DataFrame) -> "SuiteResult":
         """Single-pass execution: ONE scan and ONE partial-aggregated
         shuffle produce verdicts + stats + drift + referential counts;
-        uniqueness (a different key) is the only second shuffle.
+        uniqueness (a different key) is the only second shuffle, and it
+        runs CONCURRENTLY with the fused scan so its tasks fill scheduler
+        slots during the other job's driver gaps (on a cluster: FAIR
+        pools, same idea).
 
         How: referential checks become broadcast-join flags on the scan;
-        the annotated frame aggregates by GROUPING SETS
-        ((partition, bucket), ()) — the finest granularity any stage needs
-        plus one global row — and every stage's result derives from that
-        tiny grouped frame (≤ partitions × buckets rows) without touching
-        the corpus again. This is the plan you want at 100 TB: corpus
-        bytes cross the wire once, as pre-aggregated counters.
+        the annotated frame aggregates by (partition, bucket) — the
+        finest granularity any stage needs — carrying per-group stat
+        partials (null counts, min/max, length sums, DataSketches HLL
+        sketches); every stage's result, stats included, derives from
+        that tiny grouped frame (≤ partitions × buckets rows) without
+        touching the corpus again. This is the plan you want at 100 TB:
+        corpus bytes cross the wire once, as pre-aggregated counters and
+        mergeable sketches.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.storagelevel import StorageLevel
 
         assert self._partition and len(self._partition) == 1, \
@@ -220,6 +244,41 @@ class ValidationSuite:
         # plan (constant violation structs; ~10× smaller expression tree);
         # the full plan stays available lazily on out.validation
         ann = validate(df, self.schema, mode=self.mode, lean=True).annotated
+
+        # uniqueness (and the separate-scan stats job, when stats aren't
+        # fused) overlap the fused scan: their actions are submitted from
+        # threads BEFORE the fused collect so all jobs share the task
+        # slots (at local[1] they serialize on the single slot — same
+        # total work; at N slots the overlap hides each job's driver
+        # planning/submission gaps behind the other's compute)
+        stat_cols = getattr(self, "_stats_columns", None)
+        fuse_stats = bool(self._stats and getattr(self, "_stats_fused", False)
+                          and stat_cols
+                          and all(c in ann.columns for c in stat_cols))
+        n_side = len(self._uniq) + (1 if self._stats and not fuse_stats else 0)
+        pool = ThreadPoolExecutor(max_workers=n_side) if n_side else None
+        uniq_futures = []
+        stats_future = None
+
+        def _uniq_count(keys, salt, pre, kname):
+            t0 = time.perf_counter()
+            d = uniqueness_violations(df, keys, salt_buckets=salt,
+                                      hash_prefilter=pre)
+            n = d.count()
+            return kname, d, n, time.perf_counter() - t0
+
+        def _stats_job():
+            t0 = time.perf_counter()
+            s = column_stats(df, stat_cols)
+            n = s.count()
+            return s, n, time.perf_counter() - t0
+
+        for keys, salt, pre in self._uniq:
+            kname = ",".join(keys)
+            uniq_futures.append(
+                pool.submit(_uniq_count, keys, salt, pre, kname))
+        if self._stats and not fuse_stats:
+            stats_future = pool.submit(_stats_job)
 
         # referential flags: broadcast the dim keys, left-join once
         ref_flags: list[tuple[str, str]] = []
@@ -256,16 +315,40 @@ class ValidationSuite:
                 nn_all = nn_all & F.col(c).isNotNull()
             miss = nn_all & F.col(flag).isNull()
             sel.append(miss.cast("long").alias(f"__miss_{flag}"))
+
+        # opt-in fused stats (see with_stats docstring): per-group
+        # partials (nulls, min/max, length/value sums, DataSketches HLL
+        # sketches) are all mergeable, so the final global stats
+        # re-aggregate the tiny grouped frame — no second corpus scan
+        stat_types: list = []
+        if fuse_stats:
+            from pyspark.sql import types as T
+            by_name = {f.name: f.dataType for f in ann.schema.fields}
+            for i, c in enumerate(stat_cols):
+                stat_types.append(by_name[c])
+                sel.append(F.col(c).alias(f"__st_{i}"))
         b = ann.select(*sel)
 
-        # count/sum only — min/max/HLL per group would dominate the agg;
-        # stats are GLOBAL, so they run as their own pruned-scan job below
-        # (that scan reads only the stat columns, not content)
+        # per-group aggregates stay cheap (count/sum/min/max/sketch —
+        # constant state per group); heavyweight whole-value stats over
+        # unlisted columns run as their own pruned-scan job below
         aggs = [F.count(F.lit(1)).alias("n_rows"),
                 F.sum((F.col("__nv") > 0).cast("long")).alias("n_bad_rows"),
                 F.sum("__nv").alias("n_violations")]
         for _name, flag in ref_flags:
             aggs.append(F.sum(F.col(f"__miss_{flag}")).alias(f"missing_{flag}"))
+        for i, dt in enumerate(stat_types):
+            c = F.col(f"__st_{i}")
+            aggs.append(F.sum(c.isNull().cast("long")).alias(f"st_nulls_{i}"))
+            aggs.append(F.min(c).alias(f"st_min_{i}"))
+            aggs.append(F.max(c).alias(f"st_max_{i}"))
+            if isinstance(dt, T.StringType):
+                aggs.append(F.sum(F.length(c)).alias(f"st_len_{i}"))
+            elif isinstance(dt, T.NumericType):
+                aggs.append(F.sum(c.cast("double")).alias(f"st_len_{i}"))
+            else:
+                aggs.append(F.lit(None).cast("double").alias(f"st_len_{i}"))
+            aggs.append(F.hll_sketch_agg(c.cast("string")).alias(f"st_hll_{i}"))
 
         g = b.groupBy("__part", "__bk").agg(*aggs)
         # Truncate lineage by round-tripping the tiny grouped frame
@@ -276,17 +359,61 @@ class ValidationSuite:
         # slower (it bypasses the AQE final plan); collect is exact here.
         # GATED: above derive_collect_threshold groups (huge
         # partition-column cardinality, e.g. repo at 10^8 repos) the frame
-        # stays distributed+persisted — the driver never holds it.
+        # stays distributed+persisted — the driver never holds it. Only
+        # the COUNTER columns round-trip: HLL sketch binaries (~KB each)
+        # stay executor-side and merge in one distributed aggregate.
         thresh = self.derive_collect_threshold
+        counter_cols = (["__part", "__bk", "n_rows", "n_bad_rows",
+                         "n_violations"]
+                        + [f"missing_{flag}" for _n, flag in ref_flags])
         g = g.persist(StorageLevel.MEMORY_AND_DISK)
-        head = g.limit(thresh + 1).collect()
+        counter_schema = g.select(*counter_cols).schema
+        head = g.select(*counter_cols).limit(thresh + 1).collect()
+        out_timings["fused_scan_agg"] = time.perf_counter() - t_all
+
+        # fused stats ← ONE global merge of the per-group partials over
+        # the persisted grouped frame (sketch union + min/max/sum), then
+        # the single result row becomes a LocalRelation — stats cost no
+        # second corpus scan and no lineage back to it
+        if fuse_stats:
+            t = time.perf_counter()
+            merge = [F.sum("n_rows").alias("n_rows")]
+            for i in range(len(stat_types)):
+                merge.append(F.sum(f"st_nulls_{i}").alias(f"n{i}"))
+                merge.append(F.min(f"st_min_{i}").cast("string").alias(f"mn{i}"))
+                merge.append(F.max(f"st_max_{i}").cast("string").alias(f"mx{i}"))
+                merge.append(F.sum(f"st_len_{i}").alias(f"sl{i}"))
+                merge.append(F.coalesce(
+                    F.hll_sketch_estimate(F.hll_union_agg(f"st_hll_{i}", True)),
+                    F.lit(0)).alias(f"nd{i}"))
+            wrow = g.agg(*merge).collect()[0]
+            n_all = wrow["n_rows"] or 0
+            srows = []
+            for i, c in enumerate(stat_cols):
+                n_null = wrow[f"n{i}"]
+                nonnull = n_all - (n_null or 0)
+                sl = wrow[f"sl{i}"]
+                avg_len = (float(sl) / nonnull
+                           if sl is not None and nonnull else None)
+                srows.append((c, n_all, n_null,
+                              float(n_null) / n_all if n_all else None,
+                              wrow[f"mn{i}"], wrow[f"mx{i}"], avg_len,
+                              wrow[f"nd{i}"]))
+            out.stats = df.sparkSession.createDataFrame(
+                srows,
+                "column string, n_rows bigint, n_null bigint, "
+                "null_rate double, min_value string, max_value string, "
+                "avg_len double, n_distinct bigint")
+            out.counters["n_stat_cols"] = len(srows)
+            out_timings["stats"] = time.perf_counter() - t
+
         if len(head) <= thresh:
             g.unpersist()
             g_rows = head
-            g = df.sparkSession.createDataFrame(g_rows, g.schema)
+            g = df.sparkSession.createDataFrame(g_rows, counter_schema)
         else:
             g_rows = None  # distributed path: counters via tiny aggregates
-        out_timings["fused_scan_agg"] = time.perf_counter() - t_all
+            g = g.select(*counter_cols)
 
         t = time.perf_counter()
         grouped = g
@@ -356,28 +483,23 @@ class ValidationSuite:
             out.counters["n_drift_groups"] = out.drift.count()
         out_timings["derive_stages"] = time.perf_counter() - t
 
-        # stats — its own job over a scan pruned to the stat columns
-        # (global aggregate: partial+final, map-side combined; the scan
-        # never touches content unless content stats were requested)
-        if self._stats:
-            t = time.perf_counter()
-            out.stats = column_stats(
-                df, getattr(self, "_stats_columns", None))
-            out.counters["n_stat_cols"] = out.stats.count()
-            out_timings["stats"] = time.perf_counter() - t
-
-        # uniqueness — the one op needing its own shuffle key
-        for keys, salt in self._uniq:
-            kname = ",".join(keys)
-            t = time.perf_counter()
-            d = uniqueness_violations(df, keys, salt_buckets=salt)
+        # stats / uniqueness — submitted concurrently above; harvest the
+        # futures (their scans/shuffles overlapped the fused job)
+        if stats_future is not None:
+            s, n, wall = stats_future.result()
+            out.stats = s
+            out.counters["n_stat_cols"] = n
+            out_timings["stats"] = wall
+        for fut in uniq_futures:
+            kname, d, n, wall = fut.result()
             out.duplicates[kname] = d
             out.duplicate_keys = d
-            out.counters[f"n_duplicate_keys:{kname}"] = d.count()
-            out.counters["n_duplicate_keys"] = \
-                out.counters[f"n_duplicate_keys:{kname}"]
+            out.counters[f"n_duplicate_keys:{kname}"] = n
+            out.counters["n_duplicate_keys"] = n
             out_timings["uniqueness:" + kname if len(self._uniq) > 1
-                        else "uniqueness"] = time.perf_counter() - t
+                        else "uniqueness"] = wall
+        if pool is not None:
+            pool.shutdown()
         return out
 
     def _run_concurrent(self, df: DataFrame) -> "SuiteResult":
@@ -430,10 +552,11 @@ class ValidationSuite:
                 counters["n_stat_cols"] = out.stats.count()
             timings["stats"] = time.perf_counter() - t
 
-        for keys, salt in self._uniq:
+        for keys, salt, pre in self._uniq:
             kname = ",".join(keys)
             t = time.perf_counter()
-            d = uniqueness_violations(df, keys, salt_buckets=salt)
+            d = uniqueness_violations(df, keys, salt_buckets=salt,
+                                      hash_prefilter=pre)
             out.duplicates[kname] = d
             out.duplicate_keys = d
             if eager:

@@ -214,3 +214,63 @@ def test_grapheme_length_mode(spark):
         r = ps.validate(ascii_df, {"s": ("string", ("max", 2))},
                         mode="permissive", length_mode=mode)
         assert r.invalid.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# regex fast-path (anchored char-class -> translate/length, no rlike)
+# ---------------------------------------------------------------------------
+
+
+FASTPATH_PATTERNS = [
+    r"^[0-9a-f]{40}$",
+    r"^[\w.-]+/[\w.-]+$",
+    r"^[a-z]+$",
+    r"^[A-Za-z0-9_]*$",
+    r"^[abc]{3}$",
+]
+
+ADVERSARIAL = [
+    "", "/", "a/", "/a", "a//b", "a/b", "abc", "ab", "abcd", "aBc",
+    "deadbeef" * 5, "deadbeef" * 5 + "0", ("deadbeef" * 5)[:-1],
+    "DEADBEEF" + "0" * 32, "org/repo", "org/re/po", "o.r-g_1/r.e-p_o2",
+    "café/x", "é", "a" * 40, "0" * 40, "g" * 40, "a-b", ".",
+    "_", "-/-", "a/b/", "x" * 39 + "/",
+]
+
+
+def test_regex_fastpath_matches_rlike(spark):
+    """The translate/length fast path is observationally identical to
+    rlike for every supported pattern (Python re as the neutral oracle —
+    same ASCII-class semantics as java.util.regex for these shapes)."""
+    import re as _re
+
+    from peri_spark.compiler import _regex_fastpath
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ADVERSARIAL)],
+                               "id long, s string")
+    for pat in FASTPATH_PATTERNS:
+        ok = _regex_fastpath(pat, F.col("s"))
+        assert ok is not None, pat
+        got = {r["id"] for r in df.where(ok).collect()}
+        via_rlike = {r["id"] for r in df.where(F.col("s").rlike(pat)).collect()}
+        # re.ASCII: java.util.regex (and the reference's PCRE default)
+        # treat \w as ASCII; Python defaults to Unicode
+        via_re = {i for i, s in enumerate(ADVERSARIAL)
+                  if _re.match(pat + r"\Z", s, _re.ASCII)}
+        assert got == via_rlike == via_re, pat
+
+
+def test_regex_fastpath_in_validate_plan(spark):
+    """The flagship-style schema compiles without RLike in the plan (the
+    allocation-heavy path), and unsupported patterns still use rlike."""
+    df = spark.createDataFrame([(1, "abc/def", "a" * 40)],
+                               "id long, repo string, commit string")
+    sch = {"repo": ("string", ("regex", r"^[\w.-]+/[\w.-]+$")),
+           "commit": ("string", ("regex", r"^[0-9a-f]{40}$"))}
+    res = ps.validate(df, sch, mode="permissive")
+    plan = res.annotated._jdf.queryExecution().optimizedPlan().toString()
+    assert "rlike" not in plan.lower()
+    sch2 = {"repo": ("string", ("regex", r"^Customer#\d+$"))}
+    res2 = ps.validate(df, sch2, mode="permissive")
+    plan2 = res2.annotated._jdf.queryExecution().optimizedPlan().toString()
+    assert "rlike" in plan2.lower()

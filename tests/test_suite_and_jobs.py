@@ -105,6 +105,62 @@ def test_fused_distributed_derivation_above_collect_threshold(
             == {r["group"]: r["drifted"] for r in ref.drift.collect()})
 
 
+def test_fused_stats_match_separate_scan(spark, facts, dim):
+    """Opt-in sketch-merged fused stats reproduce the separate
+    pruned-scan stage (exact for nulls/min/max/avg; HLL estimates are
+    exact at this cardinality)."""
+    from peri_spark.constraints import column_stats
+
+    fused = (_suite(facts, dim)
+             .with_stats(["grp", "val"], fused=True).run_fused(facts))
+    assert fused.timings.get("stats") is not None
+    expect = {r["column"]: r for r in
+              column_stats(facts, ["grp", "val"],
+                           exact_distinct=True).collect()}
+    got = {r["column"]: r for r in fused.stats.collect()}
+    assert set(got) == {"grp", "val"}
+    for c in ("grp", "val"):
+        e, gt = expect[c], got[c]
+        assert gt["n_rows"] == e["n_rows"] and gt["n_null"] == e["n_null"]
+        assert gt["min_value"] == e["min_value"]
+        assert gt["max_value"] == e["max_value"]
+        assert abs(gt["avg_len"] - e["avg_len"]) < 1e-9
+        assert gt["n_distinct"] == e["n_distinct"]
+    # stats columns not in the annotated frame → falls back to the
+    # separate scan, still correct
+    s2 = (ValidationSuite(SCHEMA, mode="strict")
+          .with_stats(["id"]).with_partitioning("grp"))
+    # strict mode drops id unless declared+partition col present; grp is
+    # partitioned so keep schema minimal
+    r2 = s2.run_fused(facts.select("grp", "val", "id"))
+    assert {r["column"] for r in r2.stats.collect()} == {"id"}
+
+
+def test_uniqueness_hash_prefilter_exact(spark, facts, dim):
+    """hash_prefilter plan returns the identical duplicate set: phase-1
+    hash counts only gate candidates; exact keys re-counted in phase 2."""
+    from peri_spark.constraints import uniqueness_violations
+
+    base = {tuple(r) for r in
+            uniqueness_violations(facts, ["grp", "fka"]).collect()}
+    pre = {tuple(r) for r in
+           uniqueness_violations(facts, ["grp", "fka"],
+                                 hash_prefilter=True).collect()}
+    assert pre == base and len(pre) > 0
+    # phase-1 shuffle carries the 8-byte hash, not the key strings
+    plan = (uniqueness_violations(facts, ["grp", "fka"],
+                                  hash_prefilter=True)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "xxhash64" in plan
+    # suite wiring: with_uniqueness(..., hash_prefilter=True) matches too
+    s = (ValidationSuite(SCHEMA, mode="permissive")
+         .without_stats()
+         .with_uniqueness(["grp", "fka"], hash_prefilter=True)
+         .with_partitioning("grp"))
+    r = s.run_fused(facts)
+    assert r.counters["n_duplicate_keys:grp,fka"] == len(base)
+
+
 # ---------------------------------------------------------------------------
 # dedup de-skew
 # ---------------------------------------------------------------------------
