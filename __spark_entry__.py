@@ -194,6 +194,40 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups over the inverted-index candidate
+    generator (hot-token cap 200). Jaccard over distinct word-3-gram sets
+    is hash-invariant, so the DuckDB oracle works on the gram strings
+    directly; ids are portable md5-prefix hashes."""
+    from peri_spark.functions import ngram_jaccard_pairs, portable_hash64
+    df = _code_files(spark, sf_dir)
+    keyed = df.select(
+        portable_hash64(F.concat_ws("|", "repo", "path", "commit"))
+        .alias("id"), "content").where(F.col("content").isNotNull())
+    p = ngram_jaccard_pairs(keyed, "content", "id", threshold=0.5, k=3,
+                            words=True, max_candidates_per_token=200)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (hyperplane-LSH buckets → exact
+    cosine). The corpus has no natural near-dups, so 20 perturbed copies
+    (first component ×1.05, ids +10000) are planted deterministically in
+    BOTH engines; double arithmetic end-to-end so cosines reproduce."""
+    from peri_spark.functions.dedup import embedding_duplicate_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pert = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) * F.lit(1.05)),
+                 F.slice("v", 2, 63)).alias("v"))
+    allv = emb.unionByName(pert)
+    p = embedding_duplicate_pairs(allv, "v", "vec_id", threshold=0.99,
+                                  planes=8)
+    return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 EVENTS_SCHEMA = {
     "event_id": ("required", "integer"),
     "ts": ("required", "datetime"),
@@ -265,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
     })
     return out
 
@@ -357,6 +393,75 @@ SELECT doc_id AS id,
     i -> list_min(list_slice(seq, i+1, i+4))))) AS BIGINT) AS n_fp
 FROM s
 """
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    """DuckDB reproduction of q_ngram_jaccard: same word-3-gram shingling,
+    same ≤200-doc hot-token cap, exact Jaccard over the distinct gram sets
+    (gram strings instead of xxhash64 values — set cardinalities are
+    hash-invariant)."""
+    key_expr = _ph('repo || \'|\' || path || \'|\' || "commit"')
+    return f"""
+    WITH keyed AS MATERIALIZED (
+      SELECT {key_expr} AS id, content
+      FROM {_CF} AS code_files WHERE content IS NOT NULL),
+    sh AS MATERIALIZED (
+      SELECT id, list_distinct(list_transform(
+        range(0, greatest(len(toks) - 3, 0) + 1),
+        j -> array_to_string(list_slice(toks, j+1, j+3), ' '))) AS grams
+      FROM (SELECT id, string_split_regex(trim(lower(content)), '\\s+') AS toks
+            FROM keyed)
+      WHERE len(toks) > 0),
+    inv AS (SELECT id, unnest(grams) AS tok FROM sh),
+    ok_tok AS (SELECT tok FROM inv GROUP BY tok HAVING count(*) <= 200),
+    inv2 AS (SELECT i.id, i.tok FROM inv i JOIN ok_tok USING (tok)),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM inv2 l JOIN inv2 r ON l.tok = r.tok AND l.id < r.id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+        len(list_intersect(a.grams, b.grams)) * 1.0 /
+        len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    """
+
+
+def _embedding_dups_oracle_sql() -> str:
+    """DuckDB reproduction of q_embedding_dups: identical planted
+    perturbations, the seeded 8-hyperplane sign buckets as literals, exact
+    double cosine on bucket-collision pairs."""
+    from peri_spark.functions.similarity import _planes
+    planes = _planes(64, 8, 42)
+
+    def dot(p: list[float]) -> str:
+        plit = "[" + ",".join(repr(x) for x in p) + "]"
+        return (f"list_sum(list_transform(range(0, 64), "
+                f"d -> v[d+1] * ({plit})[d+1]))")
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    cos = ("list_sum(list_transform(range(0, 64), d -> l.v[d+1] * r.v[d+1]))"
+           " / (sqrt(list_sum(list_transform(l.v, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(r.v, x -> x * x))))")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    allv AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([v[1] * 1.05], v[2:64]) FROM base
+      WHERE vec_id < 20),
+    b AS (SELECT vec_id AS id, v, {bucket} AS bucket FROM allv),
+    cand AS (
+      SELECT l.id AS id_a, r.id AS id_b, {cos} AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM cand WHERE cosine >= 0.99
+    """
 
 
 def _knn_oracle_sql() -> str:
@@ -582,5 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "winnow_fp": _WINNOW_SQL,
         "knn_lsh": _knn_oracle_sql(),
+        "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "embedding_dups": _embedding_dups_oracle_sql(),
     })
     return out
