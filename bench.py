@@ -149,8 +149,20 @@ def main() -> None:
     big = prepare_input(SCALE_BIG)
     small = prepare_input(SCALE_SMALL)
     h8 = spawn(HEADLINE_WORKERS, big)
-    s4 = spawn(4, small)
-    s1 = spawn(1, small)
+    # Scaling pair: INTERLEAVED spawns (4,1,4,1,...) with per-config
+    # best-of across the pairs. The host's throughput drifts up to ~40%
+    # over minutes (noisy neighbors); measuring all local[4] runs in one
+    # window and all local[1] runs in another bakes that drift into the
+    # ratio (identical code measured 0.63-0.88 back-to-back). Noise only
+    # ever slows a run down, so the per-config minimum across interleaved
+    # windows is the least-biased estimate of each config's true wall.
+    pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+    s4s, s1s = [], []
+    for _ in range(pairs):
+        s4s.append(spawn(4, small, runs=2))
+        s1s.append(spawn(1, small, runs=2))
+    s4 = min(s4s, key=lambda r: r["wall_sec"])
+    s1 = min(s1s, key=lambda r: r["wall_sec"])
     # all three children run the same input; the headline is the fastest
     # configuration (the host's effective core count floats between 6-8,
     # so local[4] and local[8] trade places run to run)
@@ -172,8 +184,11 @@ def main() -> None:
             "local[4]": {"wall_sec": s4["wall_sec"],
                          "rows_per_sec": s4["rows_per_sec"]},
             "efficiency_1_to_4": eff,
+            "samples": {"local[4]": [r["wall_sec"] for r in s4s],
+                        "local[1]": [r["wall_sec"] for r in s1s]},
             "note": ("host sustains ~6-8 effective cores of 32 advertised; "
-                     "N=1 vs 4N=4 is the honest pair, see BASELINE.md"),
+                     "N=1 vs 4N=4 is the honest pair; interleaved pairs, "
+                     "per-config best — see BASELINE.md"),
         },
     }
     print(json.dumps(out))

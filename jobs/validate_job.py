@@ -94,6 +94,10 @@ def main() -> int:
     ap.add_argument("--partition-col", default="repo")
     ap.add_argument("--mode", default="permissive")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin an Iceberg snapshot (VERSION AS OF); with "
+                         "--resume, defaults to the snapshot the ledger "
+                         "recorded so the rerun sees the same table state")
     ap.add_argument("--schema-json", default=None,
                     help="JSON Schema file; defaults to the flagship schema")
     args = ap.parse_args()
@@ -113,10 +117,19 @@ def main() -> int:
     else:
         from peri_spark.generator import FLAGSHIP_SCHEMA as schema
 
-    df = spark.read.parquet(args.input)
+    from peri_spark.sources import current_snapshot_id, load_table
+
+    # Iceberg/catalog identifiers and parquet paths both resolve here;
+    # when the table is Iceberg, the run pins a snapshot so verdicts and
+    # a later --resume describe ONE table state, not a moving target
+    snap = args.snapshot_id
+    if snap is None:
+        snap = current_snapshot_id(spark, args.input)
+    df = load_table(spark, args.input, snapshot_id=snap)
     ledger = RunLedger(spark, args.ledger,
                        schema_fp=schema_fingerprint(schema),
-                       input_snapshot=args.input)
+                       input_snapshot=(f"{args.input}@{snap}"
+                                       if snap is not None else args.input))
     summary = run_pending(spark, df, schema, args.partition_col, args.mode,
                           ledger, args.output, resume=args.resume)
     print(json.dumps(summary))

@@ -1,0 +1,84 @@
+"""Input-table resolution: Iceberg catalog tables, catalog tables, paths.
+
+The north-rule deployment target is an Iceberg table of source-code
+repositories. Iceberg reaches Spark through the DataSourceV2 catalog API,
+so *reading* one is just ``spark.read.table("catalog.db.files")`` — the
+engine needs no Iceberg-specific scan code: partition pruning, column
+pruning, and predicate pushdown all flow through the same DSv2 scan
+contract this module's plans already rely on. What this module adds:
+
+- one resolver (``load_table``) so jobs accept an Iceberg/catalog table
+  identifier or a parquet path interchangeably;
+- snapshot pinning (``snapshot_id`` / ``as_of``) for reproducible
+  validation runs — the run ledger records the snapshot so a --resume
+  continues against the SAME table state even if the table moved on;
+- ``current_snapshot_id`` read from the table's ``.snapshots`` metadata
+  table when the catalog exposes one (Iceberg does; plain catalogs
+  don't → None).
+
+The sandbox container has no Iceberg runtime jar, so tests exercise the
+identifier path through the built-in ``spark_catalog`` (same DSv2 resolve
+path) and the pinning/metadata branches are gated on capability, not on
+import guesses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["load_table", "current_snapshot_id", "is_table_identifier"]
+
+
+def is_table_identifier(ref: str) -> bool:
+    """A table identifier (``db.table``, ``catalog.db.table``) rather than
+    a filesystem path: no slashes, no URI scheme."""
+    return "/" not in ref and "\\" not in ref and "://" not in ref
+
+
+def load_table(spark: SparkSession, ref: str,
+               snapshot_id: int | None = None,
+               as_of: str | None = None) -> DataFrame:
+    """Resolve ``ref`` to a DataFrame.
+
+    - ``catalog.db.table`` identifiers load via the session catalog
+      (Iceberg tables included — their catalog implements the same DSv2
+      ``loadTable``); ``snapshot_id``/``as_of`` pin the Iceberg snapshot
+      (``VERSION AS OF`` / ``TIMESTAMP AS OF``) so a resumed run
+      revalidates the exact table state the ledger recorded.
+    - anything with a path separator loads as parquet (the sandbox
+      substitution for the Iceberg warehouse).
+    """
+    if is_table_identifier(ref):
+        if snapshot_id is not None:
+            return spark.sql(
+                f"SELECT * FROM {ref} VERSION AS OF {int(snapshot_id)}")
+        if as_of is not None:
+            # string literal — timestamps come from the ledger, not users,
+            # but quote defensively anyway
+            ts = as_of.replace("'", "''")
+            return spark.sql(f"SELECT * FROM {ref} TIMESTAMP AS OF '{ts}'")
+        return spark.read.table(ref)
+    if snapshot_id is not None or as_of is not None:
+        raise ValueError(
+            "snapshot pinning requires a catalog table identifier; "
+            f"got path {ref!r}")
+    return spark.read.parquet(ref)
+
+
+def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
+    """The table's current Iceberg snapshot id, or None when the source
+    has no snapshot metadata (plain catalog tables, parquet paths).
+
+    Recorded into the run ledger at job start so ``--resume`` can pin
+    ``VERSION AS OF`` and per-partition verdicts stay consistent across
+    an interrupted run even if the table receives commits in between.
+    """
+    if not is_table_identifier(ref):
+        return None
+    try:
+        row = (spark.read.table(f"{ref}.snapshots")
+               .orderBy("committed_at", ascending=False)
+               .select("snapshot_id").limit(1).collect())
+        return int(row[0]["snapshot_id"]) if row else None
+    except Exception:
+        return None  # not an Iceberg table — no snapshot concept

@@ -206,28 +206,18 @@ class ValidationSuite:
             thunks.append(("drift", dr))
         return thunks
 
-    def run_fused(self, df: DataFrame) -> "SuiteResult":
-        """Single-pass execution: ONE scan and ONE partial-aggregated
-        shuffle produce verdicts + stats + drift + referential counts;
-        uniqueness (a different key) is the only second shuffle, and it
-        runs CONCURRENTLY with the fused scan so its tasks fill scheduler
-        slots during the other job's driver gaps (on a cluster: FAIR
-        pools, same idea).
+    def fused_grouped_plan(self, df: DataFrame):
+        """Build (lazily — no job runs) the fused grouped-aggregate plan:
+        ONE corpus scan → lean validation projection (+ broadcast
+        referential flag joins) → partial-aggregated groupBy on
+        (partition, drift-bucket) carrying verdict/referential counters
+        and, when stats are fused, mergeable stat partials.
 
-        How: referential checks become broadcast-join flags on the scan;
-        the annotated frame aggregates by (partition, bucket) — the
-        finest granularity any stage needs — carrying per-group stat
-        partials (null counts, min/max, length sums, DataSketches HLL
-        sketches); every stage's result, stats included, derives from
-        that tiny grouped frame (≤ partitions × buckets rows) without
-        touching the corpus again. This is the plan you want at 100 TB:
-        corpus bytes cross the wire once, as pre-aggregated counters and
-        mergeable sketches.
+        Returns ``(grouped_df, ref_flags, stat_types, fuse_stats)``.
+        Public so plan-shape tests assert the ACTUAL executed plan (no
+        Python in the hot path, map-side combine, broadcast ref joins)
+        rather than a hand-mirrored reconstruction.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark.storagelevel import StorageLevel
-
         assert self._partition and len(self._partition) == 1, \
             "run_fused needs exactly one partition column"
         pc = self._partition[0]
@@ -235,50 +225,14 @@ class ValidationSuite:
             assert self._drift[1] == pc, \
                 "run_fused derives drift per partition column; " \
                 "use run() for a different drift group"
-        out_timings: dict[str, float] = {}
-        t_all = time.perf_counter()
-
-        res = validate(df, self.schema, mode=self.mode)
-        out = SuiteResult(validation=res, timings=out_timings)
         # the fused aggregate only COUNTS violations — compile the lean
         # plan (constant violation structs; ~10× smaller expression tree);
-        # the full plan stays available lazily on out.validation
+        # the full plan stays available lazily on the SuiteResult
         ann = validate(df, self.schema, mode=self.mode, lean=True).annotated
-
-        # uniqueness (and the separate-scan stats job, when stats aren't
-        # fused) overlap the fused scan: their actions are submitted from
-        # threads BEFORE the fused collect so all jobs share the task
-        # slots (at local[1] they serialize on the single slot — same
-        # total work; at N slots the overlap hides each job's driver
-        # planning/submission gaps behind the other's compute)
         stat_cols = getattr(self, "_stats_columns", None)
         fuse_stats = bool(self._stats and getattr(self, "_stats_fused", False)
                           and stat_cols
                           and all(c in ann.columns for c in stat_cols))
-        n_side = len(self._uniq) + (1 if self._stats and not fuse_stats else 0)
-        pool = ThreadPoolExecutor(max_workers=n_side) if n_side else None
-        uniq_futures = []
-        stats_future = None
-
-        def _uniq_count(keys, salt, pre, kname):
-            t0 = time.perf_counter()
-            d = uniqueness_violations(df, keys, salt_buckets=salt,
-                                      hash_prefilter=pre)
-            n = d.count()
-            return kname, d, n, time.perf_counter() - t0
-
-        def _stats_job():
-            t0 = time.perf_counter()
-            s = column_stats(df, stat_cols)
-            n = s.count()
-            return s, n, time.perf_counter() - t0
-
-        for keys, salt, pre in self._uniq:
-            kname = ",".join(keys)
-            uniq_futures.append(
-                pool.submit(_uniq_count, keys, salt, pre, kname))
-        if self._stats and not fuse_stats:
-            stats_future = pool.submit(_stats_job)
 
         # referential flags: broadcast the dim keys, left-join once
         ref_flags: list[tuple[str, str]] = []
@@ -351,6 +305,72 @@ class ValidationSuite:
             aggs.append(F.hll_sketch_agg(c.cast("string")).alias(f"st_hll_{i}"))
 
         g = b.groupBy("__part", "__bk").agg(*aggs)
+        return g, ref_flags, stat_types, fuse_stats
+
+    def run_fused(self, df: DataFrame) -> "SuiteResult":
+        """Single-pass execution: ONE scan and ONE partial-aggregated
+        shuffle produce verdicts + stats + drift + referential counts;
+        uniqueness (a different key) is the only second shuffle, and it
+        runs CONCURRENTLY with the fused scan so its tasks fill scheduler
+        slots during the other job's driver gaps (on a cluster: FAIR
+        pools, same idea).
+
+        How: referential checks become broadcast-join flags on the scan;
+        the annotated frame aggregates by (partition, bucket) — the
+        finest granularity any stage needs — carrying per-group stat
+        partials (null counts, min/max, length sums, DataSketches HLL
+        sketches); every stage's result, stats included, derives from
+        that tiny grouped frame (≤ partitions × buckets rows) without
+        touching the corpus again. This is the plan you want at 100 TB:
+        corpus bytes cross the wire once, as pre-aggregated counters and
+        mergeable sketches.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.storagelevel import StorageLevel
+
+        out_timings: dict[str, float] = {}
+        t_all = time.perf_counter()
+
+        res = validate(df, self.schema, mode=self.mode)
+        out = SuiteResult(validation=res, timings=out_timings)
+        # build the (lazy) fused grouped-aggregate plan up front — also
+        # the surface tests/test_plan_shape.py asserts on
+        g, ref_flags, stat_types, fuse_stats = self.fused_grouped_plan(df)
+        pc = self._partition[0]
+        stat_cols = getattr(self, "_stats_columns", None)
+
+        # uniqueness (and the separate-scan stats job, when stats aren't
+        # fused) overlap the fused scan: their actions are submitted from
+        # threads BEFORE the fused collect so all jobs share the task
+        # slots (at local[1] they serialize on the single slot — same
+        # total work; at N slots the overlap hides each job's driver
+        # planning/submission gaps behind the other's compute)
+        n_side = len(self._uniq) + (1 if self._stats and not fuse_stats else 0)
+        pool = ThreadPoolExecutor(max_workers=n_side) if n_side else None
+        uniq_futures = []
+        stats_future = None
+
+        def _uniq_count(keys, salt, pre, kname):
+            t0 = time.perf_counter()
+            d = uniqueness_violations(df, keys, salt_buckets=salt,
+                                      hash_prefilter=pre)
+            n = d.count()
+            return kname, d, n, time.perf_counter() - t0
+
+        def _stats_job():
+            t0 = time.perf_counter()
+            s = column_stats(df, stat_cols)
+            n = s.count()
+            return s, n, time.perf_counter() - t0
+
+        for keys, salt, pre in self._uniq:
+            kname = ",".join(keys)
+            uniq_futures.append(
+                pool.submit(_uniq_count, keys, salt, pre, kname))
+        if self._stats and not fuse_stats:
+            stats_future = pool.submit(_stats_job)
+
         # Truncate lineage by round-tripping the tiny grouped frame
         # (≤ partitions × buckets rows) through the driver: every derived
         # stage below plans against a LocalRelation instead of

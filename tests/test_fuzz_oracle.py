@@ -1,0 +1,145 @@
+"""Cross-engine differential fuzz: random flat schemas from the
+SQL-expressible directive subset + random data → the compiled Spark plan
+and the generated DuckDB oracle (peri_spark.oracle.violations_sql) must
+emit IDENTICAL violation rows (ids, key, path, message strings).
+
+This multiplies the driver's per-query correctness gate across the whole
+message-template space — including the round-2 ASCII regex fast-path,
+which must stay observationally identical to both rlike and DuckDB
+regexp_matches on every generated pattern.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import peri_spark as ps
+from peri_spark.oracle import violations_sql
+
+# --- schema-directive strategies (oracle-expressible subset) ---------------
+
+_REGEXES = [r"^[a-z]+$", r"^[A-Z]{2}[0-9]+$", r"^a", r"xyz", r"^\d+$",
+            r"^[a-z]+ [a-z]+$", r"^[0-9a-f]*$"]
+
+_string_dir = st.one_of(
+    st.just("string"),
+    st.sampled_from([("string", ("regex", r)) for r in _REGEXES]),
+    st.builds(lambda v: ("string", ("eq", v)),
+              st.sampled_from(["abc", "Zz9", ""])),
+    st.builds(lambda n: ("string", ("min", n)), st.integers(0, 6)),
+    st.builds(lambda n: ("string", ("max", n)), st.integers(0, 6)),
+    st.builds(lambda lo, hi: ("string", [("min", lo), ("max", hi)]),
+              st.integers(0, 3), st.integers(3, 8)),
+    st.builds(lambda cs: ("enum", list(cs)),
+              st.sets(st.sampled_from(["abc", "de", "xyz", "Zz9", ""]),
+                      min_size=1, max_size=3)),
+    st.builds(lambda v: ("literal", v), st.sampled_from(["abc", "de"])),
+)
+
+_num_ops = st.one_of(
+    st.builds(lambda v: ("eq", v), st.integers(-5, 5)),
+    st.builds(lambda v: ("neq", v), st.integers(-5, 5)),
+    st.builds(lambda v: ("gt", v), st.integers(-5, 5)),
+    st.builds(lambda v: ("gte", v), st.integers(-5, 5)),
+    st.builds(lambda v: ("lt", v), st.integers(-5, 5)),
+    st.builds(lambda v: ("lte", v), st.integers(-5, 5)),
+    st.builds(lambda lo, hi: ("range", (lo, hi)),
+              st.integers(-5, 0), st.integers(0, 5)),
+    st.builds(lambda v: ("multiple_of", v), st.integers(1, 4)),
+)
+
+_int_dir = st.one_of(
+    st.just("integer"),
+    st.builds(lambda op: ("integer", op), _num_ops),
+    st.builds(lambda cs: ("enum", sorted(cs)),
+              st.sets(st.integers(-3, 3), min_size=1, max_size=3)),
+)
+
+_wrap = st.sampled_from(["plain", "required", "override"])
+
+
+def _as_override(d):
+    """error: override — an ("error", msg) option on a constrained tuple
+    (custom_errors_test.exs syntax); other shapes keep their message."""
+    if (isinstance(d, tuple) and len(d) == 2 and d[0] in ("string", "integer")
+            and not isinstance(d[1], dict)):
+        opts = d[1] if isinstance(d[1], list) else [d[1]]
+        return (d[0], opts + [("error", "custom oops")])
+    return d
+
+
+def _wrapped(dir_strategy):
+    return st.tuples(dir_strategy, _wrap).map(
+        lambda t: {"plain": t[0],
+                   "required": ("required", t[0]),
+                   "override": _as_override(t[0])}[t[1]])
+
+
+_schemas = st.fixed_dictionaries(
+    {}, optional={
+        "s1": _wrapped(_string_dir),
+        "s2": _wrapped(_string_dir),
+        "n1": _wrapped(_int_dir),
+        "n2": _wrapped(_int_dir),
+    }).filter(lambda d: len(d) >= 1)
+
+_string_vals = st.one_of(st.none(), st.sampled_from(
+    ["abc", "de", "xyz", "Zz9", "", "a b", "AB12", "0f3c", "7", "hello xyz"]))
+_int_vals = st.one_of(st.none(), st.integers(-6, 6))
+
+
+@st.composite
+def _cases(draw):
+    schema = draw(_schemas)
+    n = draw(st.integers(1, 6))
+    rows = []
+    for i in range(n):
+        row = {"row_id": i}
+        for k in schema:
+            row[k] = draw(_string_vals if k.startswith("s") else _int_vals)
+        rows.append(row)
+    return schema, rows
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(case=_cases())
+def test_spark_matches_duckdb_oracle(spark, duck, case):
+    schema, rows = case
+    cols = ["row_id"] + list(schema)
+    pdf = pd.DataFrame(rows, columns=cols)
+    for k in schema:
+        if k.startswith("n"):
+            pdf[k] = pdf[k].astype("Int64")
+    spark_types = ", ".join(
+        ["row_id long"] + [f"{k} {'string' if k.startswith('s') else 'long'}"
+                           for k in schema])
+    # plain tuples for Spark — pandas nullable Int64 NaN is rejected by
+    # LongType verification
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], spark_types)
+
+    res = ps.validate(df, schema, mode="permissive")
+    v = res.violations("row_id")
+    import pyspark.sql.functions as F
+    path_col = "err_path" if "err_path" in v.columns else "path"
+    got = sorted(
+        (r["row_id"], r["key"], r["p"], r["message"])
+        for r in v.select("row_id", "key",
+                          F.array_join(path_col, "/").alias("p"),
+                          "message").collect())
+
+    duck.register("fuzz_t", pdf)
+    sql = violations_sql(schema, "fuzz_t", ["row_id"])
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall()) if sql else []
+    assert got == want, f"schema={schema!r}\nrows={rows!r}"

@@ -113,6 +113,75 @@ def test_lean_plan_is_much_smaller_than_full(spark, docs):
     assert len(optimized_of(lean.annotated)) < len(optimized_of(full.annotated)) / 2
 
 
+def test_fused_suite_actual_plan(spark, docs):
+    """Assert the REAL fused grouped-aggregate plan (not a mirror):
+    one scan, broadcast referential join, partial agg before the
+    exchange, no Python, corpus columns absent from the shuffle."""
+    from peri_spark.suite import ValidationSuite
+    dim = docs.select("lang").dropDuplicates()
+    suite = (ValidationSuite({"doc_id": ("required", "integer"),
+                              "lang": ("enum", ["en", "es", "de", "fr"]),
+                              "text": ("string", ("min", 1))},
+                             mode="permissive")
+             .with_referential("lang", dim, "lang", broadcast=True)
+             .with_drift("length(text)", "source", lo=0.0, hi=4096.0,
+                         buckets=16)
+             .with_partitioning("source"))
+    g, ref_flags, stat_types, fuse_stats = suite.fused_grouped_plan(docs)
+    p = plan_of(g)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p            # ref dim never shuffles facts
+    # map-side combine: a HashAggregate below the first Exchange
+    first_exchange = p.find("Exchange")
+    assert first_exchange > 0 and "HashAggregate" in p[first_exchange:]
+    # only counters shuffle: the corpus text column must not appear in
+    # any exchange output (it is consumed by the pre-agg projection)
+    exchange_lines = [l for l in p.splitlines() if "Exchange" in l]
+    assert exchange_lines and all("text" not in l for l in exchange_lines)
+
+
+def test_lsh_pairs_plan_bucket_join_no_row_python(spark, docs):
+    """MinHash-LSH candidate join: signatures via ONE Arrow-batched UDF
+    (never row-at-a-time Python), candidates join on (band, band_hash)
+    — no cartesian/nested-loop pairing, no corpus text in the join."""
+    from peri_spark.functions import lsh_duplicate_pairs
+    pairs = lsh_duplicate_pairs(docs, "text", "doc_id", threshold=0.8,
+                                n_hashes=16, bands=4, max_bucket_size=100)
+    p = plan_of(pairs)
+    assert "BatchEvalPython" not in p          # no per-row Python
+    assert "ArrowEvalPython" in p              # vectorized signature UDF
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band_hash" in p                    # bucket-keyed equi-join
+    # the pair join carries (band, band_hash, id) only — documents' text
+    # is consumed by the signature projection, never joined
+    join_region = p[p.find("Join"):]
+    for l in join_region.splitlines():
+        if "Join" in l:
+            assert "text" not in l
+
+
+def test_embedding_dups_plan_is_bucketed_equi_join(spark):
+    from peri_spark.functions.dedup import embedding_duplicate_pairs
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_duplicate_pairs(emb, "embedding", "vec_id",
+                                      threshold=0.95, planes=8)
+    p = plan_of(pairs)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p                       # hyperplane-bucket equi-join
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ngram_jaccard_plan_hot_token_filter_broadcasts(spark, docs):
+    from peri_spark.functions import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                                max_candidates_per_token=200)
+    p = plan_of(pairs)
+    assert "BroadcastHashJoin" in p            # ok-token semi-filter
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_brute_force_topk_uses_take_ordered(spark):
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")

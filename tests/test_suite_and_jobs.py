@@ -345,3 +345,39 @@ def test_pandasfn_custom_two_arg_and_single_python_eval(spark):
     # evaluate in ONE ArrowEvalPython round-trip (Catalyst dedups it)
     plan = res.annotated._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+# ---------------------------------------------------------------------------
+# sources: Iceberg/catalog identifier vs parquet path resolution
+
+
+def test_load_table_parquet_path(spark):
+    from peri_spark.sources import load_table
+    df = load_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() > 0
+
+
+def test_load_table_catalog_identifier(spark):
+    from peri_spark.sources import is_table_identifier, load_table
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("src_docs_view")
+    assert is_table_identifier("src_docs_view")
+    assert not is_table_identifier("/tmp/x.parquet")
+    # same DSv2 catalog resolve path an Iceberg catalog table goes through
+    assert load_table(spark, "src_docs_view").count() == docs.count()
+
+
+def test_load_table_snapshot_pin_requires_identifier(spark):
+    import pytest as _pytest
+    from peri_spark.sources import load_table
+    with _pytest.raises(ValueError):
+        load_table(spark, "/tmp/some/path", snapshot_id=3)
+
+
+def test_current_snapshot_id_none_without_iceberg(spark):
+    from peri_spark.sources import current_snapshot_id
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("src_docs_view2")
+    assert current_snapshot_id(spark, "src_docs_view2") is None
+    assert current_snapshot_id(
+        spark, "/root/testdata/sf0.001/documents.parquet") is None
