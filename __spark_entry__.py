@@ -73,6 +73,27 @@ def q_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("avg_len", 4).alias("avg_len"), "n_distinct")
 
 
+def q_stats_fused_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused-suite stats with EXACT n_distinct: one scan + ONE shuffle via
+    GROUPING SETS ((partition,bucket),(col),...) — Expand feeds a
+    hash-based partial aggregate whose exchange carries counter groups
+    plus map-side-deduped distinct values (suite.with_stats
+    exact_distinct=True)."""
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (ValidationSuite({"doc_id": ("required", "integer")},
+                           mode="permissive")
+           .with_stats(["doc_id", "lang", "n_chars"], fused=True,
+                       exact_distinct=True)
+           .with_partitioning("source")
+           .run_fused(docs))
+    return out.stats.select(
+        "column", "n_rows", "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+        "min_value", "max_value",
+        F.round("avg_len", 4).alias("avg_len"), "n_distinct")
+
+
 def q_uniqueness_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _code_files(spark, sf_dir)
     return uniqueness_violations(df, _ID, salt_buckets=8)
@@ -282,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_violations": q_flagship_violations,
         "flagship_valid": q_flagship_valid,
         "stats_documents": q_stats_documents,
+        "stats_fused_exact": q_stats_fused_exact,
         "uniqueness_code_files": q_uniqueness_code_files,
         "referential_lang": q_referential_lang,
         "referential_lineitem_orders": q_referential_lineitem_orders,
@@ -538,6 +560,26 @@ def oracle_sql() -> dict[str, str]:
              avg(n_chars), count(DISTINCT n_chars) FROM documents
     )
     """
+    stats_fused = """
+    SELECT "column", n_rows, n_null, round(n_null * 1.0 / n_rows, 6) AS null_rate,
+           min_value, max_value, round(avg_len, 4) AS avg_len, n_distinct
+    FROM (
+      SELECT 'doc_id' AS "column", count(*) AS n_rows,
+             count(*) FILTER (WHERE doc_id IS NULL) AS n_null,
+             CAST(min(doc_id) AS STRING) AS min_value,
+             CAST(max(doc_id) AS STRING) AS max_value,
+             avg(doc_id) AS avg_len, count(DISTINCT doc_id) AS n_distinct
+      FROM documents
+      UNION ALL
+      SELECT 'lang', count(*), count(*) FILTER (WHERE lang IS NULL),
+             CAST(min(lang) AS STRING), CAST(max(lang) AS STRING),
+             avg(length(lang)), count(DISTINCT lang) FROM documents
+      UNION ALL
+      SELECT 'n_chars', count(*), count(*) FILTER (WHERE n_chars IS NULL),
+             CAST(min(n_chars) AS STRING), CAST(max(n_chars) AS STRING),
+             avg(n_chars), count(DISTINCT n_chars) FROM documents
+    )
+    """
     uniq = f"""
     SELECT repo, path, "commit", CAST(count(*) AS BIGINT) AS n_dups
     FROM {_CF} AS code_files
@@ -670,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_violations": flagship_viol,
         "flagship_valid": flagship_valid,
         "stats_documents": stats,
+        "stats_fused_exact": stats_fused,
         "uniqueness_code_files": uniq,
         "referential_lang": ref_lang,
         "referential_lineitem_orders": ref_li,

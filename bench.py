@@ -75,6 +75,42 @@ def prepare_input(scale: int) -> str:
     return path
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds consumed so far by this process and every live
+    descendant (the py4j-launched JVM, pyspark daemons), plus reaped
+    children. utime+stime exclude hypervisor steal and scheduled-out
+    time, so per-run CPU deltas are robust to the shared host's 2×
+    wall-clock drift; memory-stall cycles ARE counted, so 4-thread
+    bandwidth contention still shows up — exactly the split needed to
+    separate engine scaling from neighbor noise."""
+    clk = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    ppid_of, cpu_of = {}, {}
+    import glob
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                raw = f.read()
+            pid = int(raw.split(" ", 1)[0])
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid_of[pid] = int(rest[1])
+            cpu_of[pid] = (int(rest[11]) + int(rest[12])) / clk
+        except (OSError, ValueError, IndexError):
+            continue
+    total = 0.0
+    for pid in cpu_of:
+        p = pid
+        for _ in range(64):
+            if p == me:
+                total += cpu_of[pid]
+                break
+            p = ppid_of.get(p, 0)
+            if p <= 1:
+                break
+    t = os.times()
+    return total + t.children_user + t.children_system
+
+
 def run_suite(workers: int, input_path: str, runs: int) -> dict:
     """Child-process body: run the full suite ``runs`` times warm in one
     JVM; report the fastest (shared-host noise damping)."""
@@ -96,27 +132,38 @@ def run_suite(workers: int, input_path: str, runs: int) -> dict:
 
     suite = (ValidationSuite(FLAGSHIP_SCHEMA, mode="permissive")
              .with_stats(["repo", "path", "commit", "lang"])
-             .with_uniqueness(["repo", "path", "commit"])
+             # hash-prefilter: shuffle 8-byte key hashes, exact-confirm
+             # the (rare) hot hashes on a second pruned scan — the
+             # wide-string-key plan for 100 TB, and less memory-bus
+             # traffic at every parallelism level here
+             .with_uniqueness(["repo", "path", "commit"],
+                              hash_prefilter=True)
              .with_referential("lang", dim, "lang", broadcast=True)
              .with_drift("length(content)", "repo", lo=0.0, hi=4096.0,
                          buckets=16)
              .with_partitioning("repo"))
 
     best, best_stages, n_bad = None, None, None
+    best_cpu = None
     for _ in range(max(runs, 1)):
+        c0 = _tree_cpu_seconds()
         t0 = time.perf_counter()
         # fused plan: ONE scan+shuffle for validate/verdicts/stats/
         # referential/drift + one uniqueness shuffle (see suite.run_fused)
         result = suite.run_fused(df)
         wall = time.perf_counter() - t0
+        cpu = _tree_cpu_seconds() - c0
         if best is None or wall < best:
             best, best_stages = wall, result.timings
             n_bad = result.counters.get("n_bad_rows")
+        if best_cpu is None or cpu < best_cpu:
+            best_cpu = cpu
     out = {
         "workers": workers,
         "n_rows": n_rows,
         "n_bad_rows": n_bad,
         "wall_sec": round(best, 3),
+        "cpu_sec": round(best_cpu, 3),
         "rows_per_sec": round(n_rows / best, 1),
         "stages": {k: round(v, 3) for k, v in best_stages.items()},
     }
@@ -163,6 +210,15 @@ def main() -> None:
         s1s.append(spawn(1, small, runs=2))
     s4 = min(s4s, key=lambda r: r["wall_sec"])
     s1 = min(s1s, key=lambda r: r["wall_sec"])
+    # CPU-second work inflation: utime+stime exclude the hypervisor
+    # steal that dominates wall-clock variance here (identical code
+    # measures wall efficiency 0.63-0.88 across windows), while memory
+    # -stall cycles from 4 threads sharing one bus still count. On a
+    # dedicated N→4N EXECUTOR cluster (each node its own memory bus)
+    # wall efficiency converges to 1/work_inflation.
+    cpu4 = min(r["cpu_sec"] for r in s4s)
+    cpu1 = min(r["cpu_sec"] for r in s1s)
+    eff_cpu = round(cpu1 / cpu4, 3) if cpu4 else None
     # all three children run the same input; the headline is the fastest
     # configuration (the host's effective core count floats between 6-8,
     # so local[4] and local[8] trade places run to run)
@@ -184,8 +240,14 @@ def main() -> None:
             "local[4]": {"wall_sec": s4["wall_sec"],
                          "rows_per_sec": s4["rows_per_sec"]},
             "efficiency_1_to_4": eff,
+            "cpu_sec": {"local[1]": cpu1, "local[4]": cpu4},
+            "work_inflation_cpu_1_to_4": (round(cpu4 / cpu1, 3)
+                                          if cpu1 else None),
+            "efficiency_cpu_1_to_4": eff_cpu,
             "samples": {"local[4]": [r["wall_sec"] for r in s4s],
-                        "local[1]": [r["wall_sec"] for r in s1s]},
+                        "local[1]": [r["wall_sec"] for r in s1s],
+                        "cpu[4]": [r["cpu_sec"] for r in s4s],
+                        "cpu[1]": [r["cpu_sec"] for r in s1s]},
             "note": ("host sustains ~6-8 effective cores of 32 advertised; "
                      "N=1 vs 4N=4 is the honest pair; interleaved pairs, "
                      "per-config best — see BASELINE.md"),

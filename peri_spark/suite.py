@@ -37,6 +37,23 @@ from .constraints import (chi_square_drift, column_stats, partition_verdicts,
 __all__ = ["ValidationSuite", "SuiteResult"]
 
 
+class _LazyValidation:
+    """Defers the FULL validation compile (the ~10× larger non-lean
+    expression tree) until a caller actually touches ``.validation`` —
+    run_fused derives everything from the lean plan, so eagerly building
+    the full tree would be ~1 s of serial driver time inside the hot
+    suite wall for a result most callers never read."""
+
+    def __init__(self, thunk):
+        self._thunk = thunk
+        self._v = None
+
+    def __getattr__(self, name):
+        if self._v is None:
+            self._v = self._thunk()
+        return getattr(self._v, name)
+
+
 @dataclass
 class SuiteResult:
     validation: ValidationResult
@@ -102,7 +119,7 @@ class ValidationSuite:
         return self
 
     def with_stats(self, columns: list[str] | None = None,
-                   fused: bool = False):
+                   fused: bool = False, exact_distinct: bool = False):
         """Restrict the stats stage to ``columns``. At corpus scale you
         track length/null stats for document-text columns, not min/max of
         the full values (string min/max shuffles and compares whole
@@ -117,10 +134,24 @@ class ValidationSuite:
         cache (local bench: 3× slower scan), net-positive only when the
         scan itself dominates (cold remote storage). Default keeps the
         separate scan, pruned to ``columns`` and OVERLAPPED with the
-        fused job so it costs no wall-clock at N>1 slots."""
+        fused job so it costs no wall-clock at N>1 slots.
+
+        ``exact_distinct=True`` (with ``fused=True``) replaces the HLL
+        sketch with EXACT n_distinct while keeping the single scan +
+        single shuffle: the fused aggregate groups by GROUPING SETS
+        ((partition, bucket), (col0), (col1), ...) — the same Expand
+        shape Catalyst itself rewrites multi-countDistinct into. Counter
+        groups and map-side-deduped distinct values share one exchange;
+        n_distinct(col i) = count of that column's value-groups. Cost:
+        Expand feeds the partial aggregate 1+k copies of each row and
+        the shuffle carries the distinct values themselves — the
+        irreducible price of exactness any engine pays; HLL stays the
+        default for sketch-sized shuffles. Stat columns must be atomic
+        (groupable) types in this mode."""
         self._stats = True
         self._stats_columns = columns
         self._stats_fused = fused
+        self._stats_exact_distinct = exact_distinct
         return self
 
     def without_stats(self):
@@ -291,20 +322,49 @@ class ValidationSuite:
                 F.sum("__nv").alias("n_violations")]
         for _name, flag in ref_flags:
             aggs.append(F.sum(F.col(f"__miss_{flag}")).alias(f"missing_{flag}"))
+        exact_nd = fuse_stats and getattr(self, "_stats_exact_distinct",
+                                          False)
         for i, dt in enumerate(stat_types):
             c = F.col(f"__st_{i}")
             aggs.append(F.sum(c.isNull().cast("long")).alias(f"st_nulls_{i}"))
-            aggs.append(F.min(c).alias(f"st_min_{i}"))
-            aggs.append(F.max(c).alias(f"st_max_{i}"))
+            if not exact_nd:
+                # min/max buffers are variable-width for strings; without
+                # the HLL TypedImperativeAggregate they would demote the
+                # whole corpus aggregate to SortAggregate. In exact mode
+                # min/max derive from the value-group rows instead (each
+                # distinct value IS a group key), keeping every corpus-agg
+                # buffer fixed-width → HashAggregate.
+                aggs.append(F.min(c).alias(f"st_min_{i}"))
+                aggs.append(F.max(c).alias(f"st_max_{i}"))
             if isinstance(dt, T.StringType):
                 aggs.append(F.sum(F.length(c)).alias(f"st_len_{i}"))
             elif isinstance(dt, T.NumericType):
                 aggs.append(F.sum(c.cast("double")).alias(f"st_len_{i}"))
             else:
                 aggs.append(F.lit(None).cast("double").alias(f"st_len_{i}"))
-            aggs.append(F.hll_sketch_agg(c.cast("string")).alias(f"st_hll_{i}"))
+            if not exact_nd:
+                aggs.append(
+                    F.hll_sketch_agg(c.cast("string")).alias(f"st_hll_{i}"))
 
-        g = b.groupBy("__part", "__bk").agg(*aggs)
+        if exact_nd:
+            # GROUPING SETS: counter groups + one value-group per stat
+            # column share ONE scan and ONE partial-aggregated exchange.
+            # grouping() flags (not grouping_id bit layout) discriminate
+            # the sets — robust to column order and to genuinely-null
+            # partition values.
+            for i, dt in enumerate(stat_types):
+                assert isinstance(dt, T.AtomicType), \
+                    f"exact_distinct needs a groupable stat column; " \
+                    f"{stat_cols[i]!r} is {dt.simpleString()}"
+            st_names = [f"__st_{i}" for i in range(len(stat_types))]
+            flags = ([F.grouping("__part").alias("__g_part")]
+                     + [F.grouping(n).alias(f"__g_st_{i}")
+                        for i, n in enumerate(st_names)])
+            g = (b.groupingSets([["__part", "__bk"]] + [[n] for n in st_names],
+                                "__part", "__bk", *st_names)
+                 .agg(*flags, *aggs))
+        else:
+            g = b.groupBy("__part", "__bk").agg(*aggs)
         return g, ref_flags, stat_types, fuse_stats
 
     def run_fused(self, df: DataFrame) -> "SuiteResult":
@@ -332,7 +392,8 @@ class ValidationSuite:
         out_timings: dict[str, float] = {}
         t_all = time.perf_counter()
 
-        res = validate(df, self.schema, mode=self.mode)
+        res = _LazyValidation(
+            lambda: validate(df, self.schema, mode=self.mode))
         out = SuiteResult(validation=res, timings=out_timings)
         # build the (lazy) fused grouped-aggregate plan up front — also
         # the surface tests/test_plan_shape.py asserts on
@@ -386,7 +447,16 @@ class ValidationSuite:
         counter_cols = (["__part", "__bk", "n_rows", "n_bad_rows",
                          "n_violations"]
                         + [f"missing_{flag}" for _n, flag in ref_flags])
-        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        exact_nd = fuse_stats and getattr(self, "_stats_exact_distinct",
+                                          False)
+        g_persisted = g.persist(StorageLevel.MEMORY_AND_DISK)
+        g_all = g_persisted
+        if exact_nd:
+            # counter derivation sees only the (partition, bucket) set;
+            # the value-group rows exist solely for exact n_distinct
+            g = g_all.where(F.col("__g_part") == 0)
+        else:
+            g = g_all
         counter_schema = g.select(*counter_cols).schema
         head = g.select(*counter_cols).limit(thresh + 1).collect()
         out_timings["fused_scan_agg"] = time.perf_counter() - t_all
@@ -397,16 +467,40 @@ class ValidationSuite:
         # second corpus scan and no lineage back to it
         if fuse_stats:
             t = time.perf_counter()
-            merge = [F.sum("n_rows").alias("n_rows")]
+            # under exact_distinct the persisted frame mixes counter rows
+            # and value-group rows: stat partials merge from the counter
+            # set only; n_distinct counts each column's value-groups
+            # (nulls excluded, count-distinct semantics)
+            cg = (F.col("__g_part") == 0) if exact_nd else F.lit(True)
+            merge = [F.sum(F.when(cg, F.col("n_rows"))).alias("n_rows")]
             for i in range(len(stat_types)):
-                merge.append(F.sum(f"st_nulls_{i}").alias(f"n{i}"))
-                merge.append(F.min(f"st_min_{i}").cast("string").alias(f"mn{i}"))
-                merge.append(F.max(f"st_max_{i}").cast("string").alias(f"mx{i}"))
-                merge.append(F.sum(f"st_len_{i}").alias(f"sl{i}"))
-                merge.append(F.coalesce(
-                    F.hll_sketch_estimate(F.hll_union_agg(f"st_hll_{i}", True)),
-                    F.lit(0)).alias(f"nd{i}"))
-            wrow = g.agg(*merge).collect()[0]
+                merge.append(F.sum(F.when(cg, F.col(f"st_nulls_{i}")))
+                             .alias(f"n{i}"))
+                if exact_nd:
+                    # min/max over the value-group rows — each distinct
+                    # value appears as its set's group key
+                    vg = F.when(F.col(f"__g_st_{i}") == 0,
+                                F.col(f"__st_{i}"))
+                    merge.append(F.min(vg).cast("string").alias(f"mn{i}"))
+                    merge.append(F.max(vg).cast("string").alias(f"mx{i}"))
+                else:
+                    merge.append(F.min(F.when(cg, F.col(f"st_min_{i}")))
+                                 .cast("string").alias(f"mn{i}"))
+                    merge.append(F.max(F.when(cg, F.col(f"st_max_{i}")))
+                                 .cast("string").alias(f"mx{i}"))
+                merge.append(F.sum(F.when(cg, F.col(f"st_len_{i}")))
+                             .alias(f"sl{i}"))
+                if exact_nd:
+                    merge.append(F.coalesce(F.sum(
+                        ((F.col(f"__g_st_{i}") == 0)
+                         & F.col(f"__st_{i}").isNotNull()).cast("long")),
+                        F.lit(0)).alias(f"nd{i}"))
+                else:
+                    merge.append(F.coalesce(
+                        F.hll_sketch_estimate(
+                            F.hll_union_agg(f"st_hll_{i}", True)),
+                        F.lit(0)).alias(f"nd{i}"))
+            wrow = g_all.agg(*merge).collect()[0]
             n_all = wrow["n_rows"] or 0
             srows = []
             for i, c in enumerate(stat_cols):
@@ -428,7 +522,7 @@ class ValidationSuite:
             out_timings["stats"] = time.perf_counter() - t
 
         if len(head) <= thresh:
-            g.unpersist()
+            g_persisted.unpersist()
             g_rows = head
             g = df.sparkSession.createDataFrame(g_rows, counter_schema)
         else:

@@ -136,6 +136,55 @@ def test_fused_stats_match_separate_scan(spark, facts, dim):
     assert {r["column"] for r in r2.stats.collect()} == {"id"}
 
 
+def test_fused_exact_distinct_grouping_sets(spark, facts, dim):
+    """exact_distinct=True: EXACT n_distinct fused into the single
+    scan+shuffle via GROUPING SETS; counters/verdicts/drift unchanged."""
+    from peri_spark.constraints import column_stats
+
+    suite = (_suite(facts, dim)
+             .with_stats(["grp", "val"], fused=True, exact_distinct=True))
+    fused = suite.run_fused(facts)
+    expect = {r["column"]: r for r in
+              column_stats(facts, ["grp", "val"],
+                           exact_distinct=True).collect()}
+    got = {r["column"]: r for r in fused.stats.collect()}
+    for c in ("grp", "val"):
+        e, gt = expect[c], got[c]
+        assert gt["n_rows"] == e["n_rows"] and gt["n_null"] == e["n_null"]
+        assert gt["min_value"] == e["min_value"]
+        assert gt["max_value"] == e["max_value"]
+        assert abs(gt["avg_len"] - e["avg_len"]) < 1e-9
+        assert gt["n_distinct"] == e["n_distinct"]  # exact, not estimate
+    ref = _suite(facts, dim).run_fused(facts)
+    assert fused.counters["n_rows"] == ref.counters["n_rows"]
+    assert fused.counters["n_bad_rows"] == ref.counters["n_bad_rows"]
+    assert (fused.counters["n_ref_violations:fka,fkb"]
+            == ref.counters["n_ref_violations:fka,fkb"])
+    assert ({r["group"]: r["drifted"] for r in fused.drift.collect()}
+            == {r["group"]: r["drifted"] for r in ref.drift.collect()})
+    # plan shape: ONE Expand feeding a hash-based partial aggregate
+    # (fixed-width buffers — no SortAggregate demotion, no corpus sort),
+    # exactly one corpus exchange (counter groups + map-side-deduped
+    # values share it, keyed by the grouping id), no Python
+    g, *_ = suite.fused_grouped_plan(facts)
+    p = g._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p
+    assert "SortAggregate" not in p and "HashAggregate" in p
+    corpus_exchanges = [l for l in p.splitlines()
+                        if "Exchange hashpartitioning" in l
+                        and "spark_grouping_id" in l]
+    assert len(corpus_exchanges) == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # distributed derivation path agrees too
+    suite2 = (_suite(facts, dim)
+              .with_stats(["grp", "val"], fused=True, exact_distinct=True))
+    suite2.derive_collect_threshold = 3
+    f2 = suite2.run_fused(facts)
+    assert ({r["column"]: r["n_distinct"] for r in f2.stats.collect()}
+            == {c: got[c]["n_distinct"] for c in got})
+    assert f2.counters["n_rows"] == ref.counters["n_rows"]
+
+
 def test_uniqueness_hash_prefilter_exact(spark, facts, dim):
     """hash_prefilter plan returns the identical duplicate set: phase-1
     hash counts only gate candidates; exact keys re-counted in phase 2."""
