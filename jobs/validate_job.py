@@ -46,21 +46,26 @@ def run_pending(spark: SparkSession, df: DataFrame, schema, pc: str,
     from peri_spark.constraints import partition_verdicts
 
     t0 = time.perf_counter()
-    inventory = df.select(F.col(pc).cast("string").alias("partition_id")) \
-                  .dropDuplicates()
-    todo = ledger.pending(inventory) if resume else inventory
-
-    # broadcast semi-join: the pending inventory (partition ids only) is
-    # tiny next to the fact table; the scan is filtered executor-side,
-    # no driver loop, no per-partition re-scan
     fact = df.withColumn(_PID, F.col(pc).cast("string"))
-    fact = fact.join(
-        F.broadcast(todo.withColumnRenamed("partition_id", _PID)),
-        _PID, "left_semi")
+    if resume:
+        # broadcast semi-join: the pending inventory (partition ids only)
+        # is tiny next to the fact table; the scan is filtered
+        # executor-side, no driver loop, no per-partition re-scan. The
+        # inventory scan only exists on resume — a fresh run validates
+        # everything and needs no todo set.
+        inventory = (df.select(F.col(pc).cast("string")
+                               .alias("partition_id")).dropDuplicates())
+        todo = ledger.pending(inventory)
+        fact = fact.join(
+            F.broadcast(todo.withColumnRenamed("partition_id", _PID)),
+            _PID, "left_semi")
 
-    # the job emits violations + verdicts only, which are identical across
-    # modes; permissive keeps the partition column in the annotated frame
-    # (strict would project it away)
+    # NOTE on `mode`: this job emits violations + per-partition verdicts,
+    # which are identical across validation modes (mode only changes the
+    # VALID-rows projection, which this job does not write) — the
+    # parameter is accepted for CLI/API symmetry with validate/3.
+    # Internally permissive is required: strict would project the
+    # partition column out of the annotated frame.
     res = validate(fact, schema, mode="permissive")
     if output:
         viols = res.violations(_PID)
@@ -69,13 +74,20 @@ def run_pending(spark: SparkSession, df: DataFrame, schema, pc: str,
          .partitionBy(_PID)
          .parquet(f"{output}/violations"))
 
-    # one aggregate over the annotated frame → per-partition verdicts;
-    # ledger append is one distributed write (RunLedger.record_batch)
+    # corpus pass 2 (pass 1 was the violations write): ONE aggregate →
+    # per-partition verdicts, materialized small (one row per partition)
+    # via localCheckpoint so the ledger append and the summary read the
+    # tiny checkpointed frame instead of re-validating the corpus.
+    # NOT persist(): on resume the verdicts lineage READS the ledger
+    # path, and record_batch's append to that path would trigger
+    # recacheByPath — recomputing the "cached" frame against its own
+    # freshly-appended completions (= empty pending). localCheckpoint
+    # cuts the lineage, so the append cannot invalidate the result.
     verdicts = (partition_verdicts(res.annotated, _PID)
-                .withColumnRenamed(_PID, "partition_id"))
+                .withColumnRenamed(_PID, "partition_id")
+                .localCheckpoint(eager=True))
     wall = time.perf_counter() - t0
     ledger.record_batch(verdicts, wall_seconds=wall)
-
     summary = (verdicts.agg(F.count(F.lit(1)).alias("n_partitions"),
                             F.sum("n_rows").alias("n_rows"),
                             F.sum("n_violations").alias("n_violations"))
@@ -121,8 +133,15 @@ def main() -> int:
 
     # Iceberg/catalog identifiers and parquet paths both resolve here;
     # when the table is Iceberg, the run pins a snapshot so verdicts and
-    # a later --resume describe ONE table state, not a moving target
+    # a later --resume describe ONE table state, not a moving target.
+    # Pin priority: explicit --snapshot-id > (on --resume) the snapshot
+    # the ledger recorded for this schema+input > the table's current
+    # snapshot — so a resumed run revalidates the interrupted run's
+    # table state even if the table has moved on.
     snap = args.snapshot_id
+    if snap is None and args.resume:
+        snap = RunLedger.last_recorded_snapshot(
+            spark, args.ledger, schema_fingerprint(schema), args.input)
     if snap is None:
         snap = current_snapshot_id(spark, args.input)
     df = load_table(spark, args.input, snapshot_id=snap)

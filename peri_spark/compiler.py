@@ -286,9 +286,12 @@ def _c_prim(node, col, dtype, ctx, mode):
         # runtime-checked string-backed types
         if prim == "time" and isinstance(dtype, T.StringType):
             # anchored + range-checked (Elixir Time.from_iso8601 rejects
-            # out-of-range fields and trailing garbage)
+            # out-of-range fields and trailing garbage, but ACCEPTS a
+            # ./, fractional second and a discarded Z / ±hh[:]mm offset
+            # suffix — lib/elixir Calendar.ISO parse_time)
             bad = col.isNotNull() & ~col.rlike(
-                r"^([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?$")
+                r"^([01]\d|2[0-3]):[0-5]\d:[0-5]\d([.,]\d+)?"
+                r"(Z|[+-]\d{2}:?\d{2})?$")
             extra = _collect((_type_error(col, dtype, ":time", ctx, bad), False))
         return Compiled(col, extra, dtype)
     return Compiled(col, _collect((_type_error(col, dtype, summarize(node), ctx), False)), dtype)
@@ -401,6 +404,8 @@ def _parse_charclass(body: str) -> str | None:
     (negation, non-ASCII, unknown escapes)."""
     if body.startswith("^"):
         return None
+    if "&&" in body:
+        return None  # java class intersection [a-z&&b] — not a literal &
     out, i = [], 0
     while i < len(body):
         ch = body[i]
@@ -461,6 +466,17 @@ def _regex_fastpath(pattern: str, col: Column) -> Column | None:
     c1 = _parse_charclass(m.group("c1"))
     if c1 is None:
         return None
+    # java non-MULTILINE `$` also matches just before ONE final line
+    # terminator ("abc\n" matches ^[a-c]+$); mirror rlike by dropping a
+    # single trailing terminator (\r\n counts as one) before the
+    # byte-level checks — the branch only allocates for the rare
+    # terminator-ended values
+    term = col.substr(F.length(col), F.lit(1))
+    col = (F.when(col.endswith("\r\n"),
+                  col.substr(F.lit(1), F.length(col) - F.lit(2)))
+           .when(term.isin("\n", "\r", "\u0085", "\u2028", "\u2029"),
+                 col.substr(F.lit(1), F.length(col) - F.lit(1)))
+           .otherwise(col))
     empty = F.lit("")
     if m.group("sep") is None:
         q = m.group("q1")
@@ -1008,6 +1024,12 @@ def _c_custom(node, col, dtype, ctx, mode):
         # via Arrow batches (never per-row Python)
         from pyspark.sql.functions import pandas_udf
         f = fn.fn
+        if _arity(f) >= 2 and not ctx.root_fields:
+            # mirror the transform branch: fail at compile time with a
+            # clear message, not a TypeError deep inside an Arrow batch
+            raise NotImplementedError(
+                "2-arity PandasFn custom check needs root columns; "
+                "use it at top level or switch to a 1-arity fn")
         two_arg = _arity(f) >= 2 and bool(ctx.root_fields)
 
         def _body(s, r=None):

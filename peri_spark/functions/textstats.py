@@ -109,5 +109,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(seq) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(seq, i + 1, window)))
-    return df.select(F.col(id_col).alias("id"),
-                     F.array_distinct(wins).alias("fingerprints"))
+    # null text has no k-grams — drop the row (greatest() ignoring the
+    # null length would otherwise emit one bogus hash-of-nothing
+    # fingerprint per null document)
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.array_distinct(wins).alias("fingerprints")))

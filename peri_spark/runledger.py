@@ -87,6 +87,29 @@ class RunLedger:
         done = F.broadcast(self.completed_partitions())
         return inv.join(done, "partition_id", "left_anti")
 
+    @staticmethod
+    def last_recorded_snapshot(spark: SparkSession, path: str,
+                               schema_fp: str, input_ref: str) -> int | None:
+        """The snapshot id (``<input>@<snap>`` suffix) of the most recent
+        ledger entry for this schema + input — what ``--resume`` must pin
+        so the rerun sees the SAME table state the interrupted run
+        recorded, even if the table has received commits since."""
+        try:
+            e = spark.read.parquet(path)
+        except Exception:
+            return None
+        e = (e.where(F.col("schema_fingerprint") == schema_fp)
+             .where(F.col("input_snapshot").startswith(input_ref + "@"))
+             .orderBy(F.col("completed_at").desc())
+             .select("input_snapshot").limit(1).collect())
+        if not e:
+            return None
+        suffix = e[0]["input_snapshot"].rsplit("@", 1)[1]
+        try:
+            return int(suffix)
+        except ValueError:
+            return None
+
     def record_batch(self, verdicts: DataFrame, wall_seconds: float,
                      status: str = "completed") -> None:
         """Append one ledger entry per verdict row in ONE distributed write.

@@ -65,8 +65,22 @@ class SuiteResult:
     verdicts: DataFrame | None = None
     timings: dict[str, float] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
+    # frames run_fused left persisted for the lazy derived stages
+    # (distributed derivation path only); released by unpersist()
+    persisted_frames: list = field(default_factory=list)
 
-    def unpersist(self):  # kept for API compat; nothing is persisted
+    def unpersist(self):
+        """Release frames the fused run left cached for the lazy derived
+        stages (above derive_collect_threshold the grouped frame stays
+        persisted executor-side — in exact-distinct mode it holds one row
+        per distinct stat value, so long-lived sessions running many
+        suites should release it once done with verdicts/drift)."""
+        for f in self.persisted_frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        self.persisted_frames = []
         return self
 
 
@@ -202,17 +216,23 @@ class ValidationSuite:
                 counters["n_stat_cols"] = out.stats.count()
             thunks.append(("stats", st))
 
-        for keys, salt, pre in self._uniq:
+        for i, (keys, salt, pre) in enumerate(self._uniq):
             kname = ",".join(keys)
+            # legacy single-keyset aliases: only the LAST-registered key
+            # set writes them, so concurrent stage threads finishing out
+            # of order can't make duplicate_keys flap between key sets
+            is_last = i == len(self._uniq) - 1
 
-            def uq(keys=keys, salt=salt, pre=pre, kname=kname):
+            def uq(keys=keys, salt=salt, pre=pre, kname=kname,
+                   is_last=is_last):
                 d = uniqueness_violations(df, keys, salt_buckets=salt,
                                           hash_prefilter=pre)
                 out.duplicates[kname] = d
-                out.duplicate_keys = d
-                counters[f"n_duplicate_keys:{kname}"] = d.count()
-                counters["n_duplicate_keys"] = \
-                    counters[f"n_duplicate_keys:{kname}"]
+                n = d.count()
+                counters[f"n_duplicate_keys:{kname}"] = n
+                if is_last:
+                    out.duplicate_keys = d
+                    counters["n_duplicate_keys"] = n
             thunks.append((f"uniqueness:{kname}" if len(self._uniq) > 1
                            else "uniqueness", uq))
 
@@ -528,6 +548,9 @@ class ValidationSuite:
         else:
             g_rows = None  # distributed path: counters via tiny aggregates
             g = g.select(*counter_cols)
+            # the derived stages (verdicts/drift) stay lazy over the
+            # persisted frame — hand the handle to the caller for release
+            out.persisted_frames.append(g_persisted)
 
         t = time.perf_counter()
         grouped = g

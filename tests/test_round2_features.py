@@ -260,6 +260,66 @@ def test_regex_fastpath_matches_rlike(spark):
         assert got == via_rlike == via_re, pat
 
 
+def test_regex_fastpath_line_terminators_match_rlike(spark):
+    """java non-MULTILINE `$` matches before ONE final line terminator —
+    'abc\\n' passes ^[a-c]+$ via rlike; the byte-level fast path must
+    agree (it strips exactly one trailing terminator first)."""
+    from peri_spark.compiler import _regex_fastpath
+
+    cases = ["abc", "abc\n", "abc\r\n", "abc\r", "abc\n\n", "abc\nx",
+             "\n", "ab\nc", "abc\u0085", "abc\u2028",
+             "a" * 40 + "\n", "deadbeef" * 5 + "\n", "org/repo\n",
+             "org/repo\r\n", "org\n/repo", ""]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "id long, s string")
+    for pat in FASTPATH_PATTERNS:
+        ok = _regex_fastpath(pat, F.col("s"))
+        assert ok is not None, pat
+        got = {r["id"] for r in df.where(ok).collect()}
+        via_rlike = {r["id"]
+                     for r in df.where(F.col("s").rlike(pat)).collect()}
+        assert got == via_rlike, pat
+
+
+def test_regex_fastpath_rejects_class_intersection(spark):
+    """[a-z&&b] is java class INTERSECTION (matches only 'b'), not
+    literal '&' chars — the fast path must decline and fall back to
+    rlike rather than silently accepting a-z."""
+    from peri_spark.compiler import _regex_fastpath
+
+    assert _regex_fastpath(r"^[a-z&&b]+$", F.col("s")) is None
+    df = spark.createDataFrame([(1, "abc"), (2, "b"), (3, "ab&")],
+                               "id long, s string")
+    sch = {"s": ("string", ("regex", r"^[a-z&&b]+$"))}
+    res = ps.validate(df, sch, mode="permissive")
+    bad = {r["id"] for r in res.invalid.select("id").collect()}
+    assert bad == {1, 3}  # only 'b' conforms under intersection
+    # single literal '&' (no intersection) still fast-paths correctly
+    ok = _regex_fastpath(r"^[a&b]+$", F.col("s"))
+    assert ok is not None
+    got = {r["id"] for r in df.where(ok).collect()}
+    via = {r["id"]
+           for r in df.where(F.col("s").rlike(r"^[a&b]+$")).collect()}
+    assert got == via == {2, 3}
+
+
+def test_time_accepts_iso8601_suffixes(spark):
+    """Elixir Time.from_iso8601 accepts fractional ,/. seconds and a
+    discarded Z / ±hh:mm offset; the :time runtime check must too,
+    while still rejecting range violations and trailing garbage."""
+    good = ["23:50:07", "23:50:07Z", "23:50:07.123", "23:50:07,012",
+            "23:50:07.123+02:30", "00:00:00-0100", "23:50:07+02:30"]
+    bad = ["99:99:99", "12:00:00garbage", "24:00:00", "12:60:00",
+           "12:00:61", "12:00", "12:00:00Zx"]
+    rows = [(i, s, True) for i, s in enumerate(good)] + \
+           [(100 + i, s, False) for i, s in enumerate(bad)]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows],
+                               "id long, t string")
+    res = ps.validate(df, {"t": "time"}, mode="permissive")
+    invalid = {r["id"] for r in res.invalid.select("id").collect()}
+    assert invalid == {i for i, _s, okk in rows if not okk}
+
+
 def test_regex_fastpath_in_validate_plan(spark):
     """The flagship-style schema compiles without RLike in the plan (the
     allocation-heavy path), and unsupported patterns still use rlike."""

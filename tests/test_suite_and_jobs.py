@@ -430,3 +430,53 @@ def test_current_snapshot_id_none_without_iceberg(spark):
     assert current_snapshot_id(spark, "src_docs_view2") is None
     assert current_snapshot_id(
         spark, "/root/testdata/sf0.001/documents.parquet") is None
+
+
+def test_resume_pins_ledger_recorded_snapshot(spark, tmp_path):
+    """--resume must revalidate the snapshot the interrupted run
+    recorded, not whatever the table moved to since."""
+    from peri_spark.runledger import RunLedger
+
+    path = str(tmp_path / "ledger")
+    led = RunLedger(spark, path, schema_fp="fp1",
+                    input_snapshot="cat.db.files@7")
+    v = spark.createDataFrame([("p1", 10, 0, True)],
+                              "partition_id string, n_rows long, "
+                              "n_violations long, passed boolean")
+    led.record_batch(v, wall_seconds=1.0)
+    # a later run against a NEWER snapshot of the same table
+    led2 = RunLedger(spark, path, schema_fp="fp1",
+                     input_snapshot="cat.db.files@9")
+    led2.record_batch(v, wall_seconds=1.0)
+    assert RunLedger.last_recorded_snapshot(
+        spark, path, "fp1", "cat.db.files") == 9
+    # different schema or input → no pin
+    assert RunLedger.last_recorded_snapshot(
+        spark, path, "other_fp", "cat.db.files") is None
+    assert RunLedger.last_recorded_snapshot(
+        spark, path, "fp1", "cat.db.other") is None
+    assert RunLedger.last_recorded_snapshot(
+        spark, str(tmp_path / "missing"), "fp1", "cat.db.files") is None
+
+
+def test_winnow_drops_null_text(spark):
+    from peri_spark.functions import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"), (2, None)],
+        "id long, t string")
+    rows = winnow_fingerprints(df, "t", "id").collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+def test_pandasfn_two_arity_custom_without_root_raises():
+    from peri_spark.compiler import Ctx, compile_node
+    from peri_spark.dsl import PandasFn, parse
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    node = parse(("custom", PandasFn(lambda s, root: (s.notna(), "bad"),
+                                     returns="boolean")))
+    ctx = Ctx(root=lambda n: F.col(n), key="x", root_fields=())
+    with pytest.raises(NotImplementedError, match="root columns"):
+        compile_node(node, F.col("x"), T.StringType(), ctx)
