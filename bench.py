@@ -206,7 +206,11 @@ def main() -> None:
     pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
     s4s, s1s = [], []
     for _ in range(pairs):
-        s4s.append(spawn(4, small, runs=2))
+        # local[4] gets an extra warm run per JVM: its CPU-second samples
+        # have a long contention tail (observed 83-208s for identical
+        # work) while local[1]'s are stable (±1%), so extra cheap ~25s
+        # runs buy better per-config minima where they matter
+        s4s.append(spawn(4, small, runs=3))
         s1s.append(spawn(1, small, runs=2))
     s4 = min(s4s, key=lambda r: r["wall_sec"])
     s1 = min(s1s, key=lambda r: r["wall_sec"])
