@@ -230,6 +230,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram-Jaccard near-dup pairs →
+    (id, cluster_id) dedup groups (hash-to-min label propagation; the
+    DuckDB oracle walks the same edges with a recursive CTE)."""
+    from peri_spark.functions import (near_dup_clusters,
+                                      ngram_jaccard_pairs, portable_hash64)
+    df = _code_files(spark, sf_dir)
+    keyed = df.select(
+        portable_hash64(F.concat_ws("|", "repo", "path", "commit"))
+        .alias("id"), "content").where(F.col("content").isNotNull())
+    p = ngram_jaccard_pairs(keyed, "content", "id", threshold=0.5, k=3,
+                            words=True, max_candidates_per_token=200)
+    return near_dup_clusters(p).orderBy("id")
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (hyperplane-LSH buckets → exact
     cosine). The corpus has no natural near-dups, so 20 perturbed copies
@@ -322,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_dups": q_embedding_dups,
     })
     return out
@@ -447,6 +463,24 @@ def _ngram_jaccard_oracle_sql() -> str:
       FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b)
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM pairs WHERE jaccard >= 0.5
+    """
+
+
+def _near_dup_clusters_oracle_sql() -> str:
+    """DuckDB reproduction of q_near_dup_clusters: the ngram-Jaccard pair
+    SQL as a CTE, then connected components via recursive reachability
+    (min reachable id per node = the cluster label)."""
+    pair_sql = _ngram_jaccard_oracle_sql()
+    return f"""
+    WITH RECURSIVE np AS MATERIALIZED ({pair_sql}),
+    e AS (SELECT id_a AS a, id_b AS b FROM np
+          UNION SELECT id_b, id_a FROM np),
+    n AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM n
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
     """
 
 
@@ -731,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": _WINNOW_SQL,
         "knn_lsh": _knn_oracle_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "embedding_dups": _embedding_dups_oracle_sql(),
     })
     return out

@@ -9,6 +9,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
+                    near_dup_clusters, deduplicate_by_clusters,
                     portable_hash64)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          hyperplane_lsh_topk, normalize_embeddings)
@@ -18,6 +19,7 @@ from .textstats import (language_id, quality_scores, token_counts,
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
+    "near_dup_clusters", "deduplicate_by_clusters",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",
     "normalize_embeddings",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "lsh_duplicate_pairs", "ngram_jaccard_pairs",
            "simhash_signatures", "embedding_duplicate_pairs",
+           "near_dup_clusters", "deduplicate_by_clusters",
            "portable_hash64"]
 
 
@@ -309,3 +310,65 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                     _cosine(F.col("l.v"), F.col("r.v")).alias("cosine")))
     return cand.where(F.col("cosine") >= threshold)
+
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id).
+
+    Turns the pairwise output of ``lsh_duplicate_pairs`` /
+    ``ngram_jaccard_pairs`` / ``embedding_duplicate_pairs`` into dedup
+    GROUPS: every member maps to its component's minimum id, which doubles
+    as the canonical-survivor choice (the reference dedup recipe: keep one
+    doc per near-dup class). Only ids that appear in a pair are returned —
+    unpaired corpus docs are their own singletons by definition.
+
+    Algorithm: hash-to-min label propagation. Each round joins the label
+    frame to the symmetrized edge list and takes
+    ``min(own label, neighbors' labels)``; rounds = graph diameter. For
+    dedup graphs this converges in a handful of rounds — LSH buckets emit
+    quasi-cliques (diameter 1-2), chains only arise from borderline
+    transitive near-dups. Each round is ONE shuffle of (node, label)
+    pairs, lineage is cut per round (localCheckpoint) so round N plans
+    against round N-1's materialized result, not a 2^N-deep join tree.
+    Convergence is detected with a changed-label count; ``max_iter``
+    bounds pathological chains (at which point the partial labels are
+    still a valid refinement — documented, not silent).
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        # min over self + neighborhood; neighbors' labels arrive via the
+        # edge join keyed on the neighbor side
+        neigh = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, "id", "left")
+               .select("id", F.least(F.col("label"),
+                                     F.coalesce(F.col("nlabel"),
+                                                F.col("label")))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def deduplicate_by_clusters(df: DataFrame, id_col: str,
+                            clusters: DataFrame) -> DataFrame:
+    """Drop every non-canonical near-dup member: keeps rows whose id is
+    absent from ``clusters`` (singletons) or equals its cluster_id (the
+    component minimum). Broadcast-friendly when the dup set is small
+    relative to the corpus; Spark picks SMJ automatically otherwise."""
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col),
+                   id_col, "left_anti")

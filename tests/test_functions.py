@@ -178,3 +178,40 @@ def test_frame_sample_stub(spark):
         "meta struct<mime:string,width:int,height:int,duration_ms:long>")
     frames = frame_sample_stub(df, every_ms=1000).collect()
     assert [f.frame_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_near_dup_clusters_components_and_dedup(spark):
+    from peri_spark.functions import near_dup_clusters, deduplicate_by_clusters
+
+    # two components: a 3-clique {1,2,3} and a CHAIN 10-11-12-13 (worst
+    # case for label propagation: needs diameter rounds), plus pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+    corpus = spark.createDataFrame([(i,) for i in
+                                    [1, 2, 3, 10, 11, 12, 13, 20, 21, 99]],
+                                   "doc long")
+    kept = sorted(r["doc"] for r in deduplicate_by_clusters(
+        corpus, "doc", near_dup_clusters(pairs)).collect())
+    # one survivor per component + untouched singleton 99
+    assert kept == [1, 10, 20, 99]
+
+
+def test_near_dup_clusters_max_iter_partial_refinement(spark):
+    from peri_spark.functions import near_dup_clusters
+
+    # a long chain with max_iter=1 yields a valid partial refinement
+    # (labels only ever decrease toward the component min)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30, 40)],
+                                  "id_a long, id_b long")
+    full = {r["id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs).collect()}
+    assert set(full.values()) == {30}
+    part = {r["id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs, max_iter=1).collect()}
+    assert all(part[i] >= full[i] for i in part) and part[31] == 30
