@@ -106,15 +106,20 @@ def child(workers: int) -> None:
     df = spark.read.parquet(INPUT)
     df.count()  # warm FS cache/JVM
     dim = spark.createDataFrame([(l,) for l in LANG_ENUM], "lang string")
+    from bench import _tree_cpu_seconds
     out = {}
     for name, fn in _kernels(spark, df, dim):
-        best = None
+        best, best_cpu = None, None
         for _ in range(RUNS):
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             fn()
             w = time.perf_counter() - t0
+            c = _tree_cpu_seconds() - c0
             best = w if best is None or w < best else best
+            best_cpu = c if best_cpu is None or c < best_cpu else best_cpu
         out[name] = round(best, 3)
+        out[name + "_cpu"] = round(best_cpu, 3)
     print("CHILD_JSON:" + json.dumps(out))
     spark.stop()
 
@@ -135,11 +140,20 @@ def main() -> None:
             raise RuntimeError(f"decompose child workers={workers} failed")
     report = {}
     for k in res[1]:
+        if k.endswith("_cpu"):
+            continue
         t1, t4 = res[1][k], res[4][k]
+        c1, c4 = res[1].get(k + "_cpu"), res[4].get(k + "_cpu")
         report[k] = {"local1_sec": t1, "local4_sec": t4,
                      "core_sec_1": t1, "core_sec_4": round(4 * t4, 2),
                      "work_inflation_4": round(4 * t4 / t1, 3),
                      "efficiency_1_to_4": round(t1 / (4 * t4), 3)}
+        if c1 and c4:
+            # CPU seconds (utime+stime of the process tree) exclude
+            # hypervisor steal — the load-robust work measure; see bench.py
+            report[k]["cpu_sec_1"] = c1
+            report[k]["cpu_sec_4"] = c4
+            report[k]["work_inflation_cpu_4"] = round(c4 / c1, 3)
     print(json.dumps(report))
 
 
