@@ -46,15 +46,21 @@ def run_pending(spark: SparkSession, df: DataFrame, schema, pc: str,
     from peri_spark.constraints import partition_verdicts
 
     t0 = time.perf_counter()
-    fact = df.withColumn(_PID, F.col(pc).cast("string"))
+    # null partition values coalesce to a sentinel id so fresh and
+    # resumed runs see the SAME row set: a left_semi join on a null key
+    # never matches, which would make --resume silently skip rows a
+    # fresh run validates (and the ledger can't key a checkpoint on null)
+    pid_expr = F.coalesce(F.col(pc).cast("string"),
+                          F.lit("__NULL_PARTITION__"))
+    fact = df.withColumn(_PID, pid_expr)
     if resume:
         # broadcast semi-join: the pending inventory (partition ids only)
         # is tiny next to the fact table; the scan is filtered
         # executor-side, no driver loop, no per-partition re-scan. The
         # inventory scan only exists on resume — a fresh run validates
         # everything and needs no todo set.
-        inventory = (df.select(F.col(pc).cast("string")
-                               .alias("partition_id")).dropDuplicates())
+        inventory = (df.select(pid_expr.alias("partition_id"))
+                     .dropDuplicates())
         todo = ledger.pending(inventory)
         fact = fact.join(
             F.broadcast(todo.withColumnRenamed("partition_id", _PID)),

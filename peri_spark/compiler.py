@@ -286,12 +286,16 @@ def _c_prim(node, col, dtype, ctx, mode):
         # runtime-checked string-backed types
         if prim == "time" and isinstance(dtype, T.StringType):
             # anchored + range-checked (Elixir Time.from_iso8601 rejects
-            # out-of-range fields and trailing garbage, but ACCEPTS a
-            # ./, fractional second and a discarded Z / ±hh[:]mm offset
-            # suffix — lib/elixir Calendar.ISO parse_time)
-            bad = col.isNotNull() & ~col.rlike(
-                r"^([01]\d|2[0-3]):[0-5]\d:[0-5]\d([.,]\d+)?"
-                r"(Z|[+-]\d{2}:?\d{2})?$")
+            # out-of-range fields and trailing garbage, but ACCEPTS an
+            # optional T prefix, a ./, fractional second, and a discarded
+            # offset suffix: Z, ±hh, ±hhmm or ±hh:mm with hour<24 min<60
+            # — EXCEPT the negative-zero offset (-00/-0000/-00:00), which
+            # Calendar.ISO rejects explicitly)
+            ok = col.rlike(
+                r"^T?([01]\d|2[0-3]):[0-5]\d:[0-5]\d([.,]\d+)?"
+                r"(Z|[+-]([01]\d|2[0-3])(:?[0-5]\d)?)?$") \
+                & ~col.rlike(r"-00(:?00)?$")
+            bad = col.isNotNull() & ~ok
             extra = _collect((_type_error(col, dtype, ":time", ctx, bad), False))
         return Compiled(col, extra, dtype)
     return Compiled(col, _collect((_type_error(col, dtype, summarize(node), ctx), False)), dtype)
@@ -466,6 +470,11 @@ def _regex_fastpath(pattern: str, col: Column) -> Column | None:
     c1 = _parse_charclass(m.group("c1"))
     if c1 is None:
         return None
+    # a class that itself contains a line terminator interacts with the
+    # $-before-final-terminator rule in ways the strip below would get
+    # wrong ("^[a\n]+$" must match "\n") — fall back to rlike
+    if any(t in c1 for t in "\n\r\u0085\u2028\u2029"):
+        return None
     # java non-MULTILINE `$` also matches just before ONE final line
     # terminator ("abc\n" matches ^[a-c]+$); mirror rlike by dropping a
     # single trailing terminator (\r\n counts as one) before the
@@ -629,6 +638,20 @@ def _arity(f) -> int:
     import inspect as _i
     try:
         return len(_i.signature(f).parameters)
+    except (TypeError, ValueError):
+        return 1
+
+
+def _required_arity(f) -> int:
+    """Parameters WITHOUT defaults — a fn(s, root=None) can still be
+    called 1-ary, so compile-time must-have-root guards key off this,
+    not _arity (which counts defaulted params)."""
+    import inspect as _i
+    try:
+        return sum(1 for p in _i.signature(f).parameters.values()
+                   if p.default is _i.Parameter.empty
+                   and p.kind in (p.POSITIONAL_ONLY,
+                                  p.POSITIONAL_OR_KEYWORD))
     except (TypeError, ValueError):
         return 1
 
@@ -1024,9 +1047,10 @@ def _c_custom(node, col, dtype, ctx, mode):
         # via Arrow batches (never per-row Python)
         from pyspark.sql.functions import pandas_udf
         f = fn.fn
-        if _arity(f) >= 2 and not ctx.root_fields:
+        if _required_arity(f) >= 2 and not ctx.root_fields:
             # mirror the transform branch: fail at compile time with a
-            # clear message, not a TypeError deep inside an Arrow batch
+            # clear message, not a TypeError deep inside an Arrow batch.
+            # _required_arity: fn(s, root=None) stays callable 1-ary.
             raise NotImplementedError(
                 "2-arity PandasFn custom check needs root columns; "
                 "use it at top level or switch to a 1-arity fn")

@@ -98,7 +98,10 @@ class RunLedger:
             e = spark.read.parquet(path)
         except Exception:
             return None
-        e = (e.where(F.col("schema_fingerprint") == schema_fp)
+        # completed entries only — mirrors completed_partitions()'s view
+        # so a failed run's snapshot is never pinned
+        e = (e.where(F.col("status") == "completed")
+             .where(F.col("schema_fingerprint") == schema_fp)
              .where(F.col("input_snapshot").startswith(input_ref + "@"))
              .orderBy(F.col("completed_at").desc())
              .select("input_snapshot").limit(1).collect())

@@ -308,9 +308,13 @@ def test_time_accepts_iso8601_suffixes(spark):
     discarded Z / ±hh:mm offset; the :time runtime check must too,
     while still rejecting range violations and trailing garbage."""
     good = ["23:50:07", "23:50:07Z", "23:50:07.123", "23:50:07,012",
-            "23:50:07.123+02:30", "00:00:00-0100", "23:50:07+02:30"]
+            "23:50:07.123+02:30", "00:00:00-0100", "23:50:07+02:30",
+            "T23:50:07", "23:50:07+02", "23:50:07+0000", "23:50:07+00:00",
+            "23:50:07-00:30"]
     bad = ["99:99:99", "12:00:00garbage", "24:00:00", "12:60:00",
-           "12:00:61", "12:00", "12:00:00Zx"]
+           "12:00:61", "12:00", "12:00:00Zx",
+           "23:50:07+24:00", "23:50:07+12:60",  # offset out of range
+           "23:50:07-00:00", "23:50:07-0000", "23:50:07-00"]  # neg zero
     rows = [(i, s, True) for i, s in enumerate(good)] + \
            [(100 + i, s, False) for i, s in enumerate(bad)]
     df = spark.createDataFrame([(i, s) for i, s, _ in rows],
@@ -334,3 +338,18 @@ def test_regex_fastpath_in_validate_plan(spark):
     res2 = ps.validate(df, sch2, mode="permissive")
     plan2 = res2.annotated._jdf.queryExecution().optimizedPlan().toString()
     assert "rlike" in plan2.lower()
+
+
+def test_regex_fastpath_declines_terminator_in_class(spark):
+    """A class containing a literal line terminator must fall back to
+    rlike — the $-strip would mis-handle '^[a\\n]+$' on '\\n'."""
+    from peri_spark.compiler import _regex_fastpath
+
+    assert _regex_fastpath("^[a\n]+$", F.col("s")) is None
+    df = spark.createDataFrame([(1, "\n"), (2, "a\na"), (3, "b")],
+                               "id long, s string")
+    res = ps.validate(df, {"s": ("string", ("regex", "^[a\n]+$"))},
+                      mode="permissive")
+    ok = {r["id"] for r in res.valid.select("id").collect()}
+    via = {r["id"] for r in df.where(F.col("s").rlike("^[a\n]+$")).collect()}
+    assert ok == via == {1, 2}

@@ -480,3 +480,39 @@ def test_pandasfn_two_arity_custom_without_root_raises():
     ctx = Ctx(root=lambda n: F.col(n), key="x", root_fields=())
     with pytest.raises(NotImplementedError, match="root columns"):
         compile_node(node, F.col("x"), T.StringType(), ctx)
+
+
+def test_pandasfn_defaulted_root_param_still_compiles():
+    """fn(s, root=None) is callable 1-ary — the compile-time guard must
+    key off REQUIRED arity, not raw parameter count."""
+    from peri_spark.compiler import Ctx, compile_node
+    from peri_spark.dsl import PandasFn, parse
+    from pyspark.sql import types as T
+
+    node = parse(("custom", PandasFn(lambda s, root=None: (s.notna(), "bad"),
+                                     returns="boolean")))
+    ctx = Ctx(root=lambda n: F.col(n), key="x", root_fields=())
+    compiled = compile_node(node, F.col("x"), T.StringType(), ctx)
+    assert compiled is not None  # no NotImplementedError
+
+
+def test_validate_job_null_partition_fresh_vs_resume(spark, tmp_path):
+    """Rows with a NULL partition value must be validated identically by
+    fresh and resumed runs (sentinel id, semi-join matches, ledger keyed)."""
+    from jobs.validate_job import run_pending
+    from peri_spark.runledger import RunLedger, schema_fingerprint
+
+    df = spark.createDataFrame(
+        [(None, -1.0), (None, 2.0), ("g1", 3.0), ("g1", -4.0)],
+        "grp string, val double")
+    fp = schema_fingerprint(SCHEMA)
+    lp = str(tmp_path / "ledger")
+    led = RunLedger(spark, lp, schema_fp=fp, input_snapshot="in1")
+    s1 = run_pending(spark, df, SCHEMA, "grp", "permissive", led,
+                     str(tmp_path / "out"))
+    assert s1["n_partitions"] == 2 and s1["n_rows"] == 4
+    # resume over the same data: the null partition is checkpointed too
+    led2 = RunLedger(spark, lp, schema_fp=fp, input_snapshot="in1")
+    s2 = run_pending(spark, df, SCHEMA, "grp", "permissive", led2,
+                     str(tmp_path / "out"), resume=True)
+    assert s2["n_partitions"] == 0 and s2["n_rows"] == 0
