@@ -297,6 +297,23 @@ def _c_prim(node, col, dtype, ctx, mode):
                 & ~col.rlike(r"-00(:?00)?$")
             bad = col.isNotNull() & ~ok
             extra = _collect((_type_error(col, dtype, ":time", ctx, bad), False))
+        elif prim == "duration" and isinstance(dtype, T.StringType):
+            # Elixir Duration.from_iso8601 grammar (the canonical string →
+            # %Duration{} path; reference validates the struct,
+            # lib/peri.ex:790): optional leading sign, designators in
+            # canonical order Y M W D [T H M S] each at most once, signed
+            # components ("P3Y-2MT3H", "-PT10H-30M"), fractional seconds
+            # ("PT4.650S"). Rejected: bare "P"/"-P", a trailing "T" with
+            # no time component, out-of-order or unknown designators,
+            # fractions on non-second units. No lookaheads — the DuckDB
+            # oracle (RE2) runs the identical pattern.
+            ok = (col.rlike(
+                r"^[+-]?P(-?\d+Y)?(-?\d+M)?(-?\d+W)?(-?\d+D)?"
+                r"(T(-?\d+H)?(-?\d+M)?(-?\d+([.,]\d+)?S)?)?$")
+                & ~col.rlike(r"^[+-]?P$") & ~col.rlike(r"T$"))
+            bad = col.isNotNull() & ~ok
+            extra = _collect((_type_error(col, dtype, ":duration", ctx, bad),
+                              False))
         return Compiled(col, extra, dtype)
     return Compiled(col, _collect((_type_error(col, dtype, summarize(node), ctx), False)), dtype)
 

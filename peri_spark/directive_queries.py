@@ -245,6 +245,49 @@ def q_transform_colfn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.valid.select("o_orderkey", "o_orderpriority")
 
 
+def q_transform_root_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform f/2 explicit row (#31, lib/peri.ex:1067-1074): the
+    2-arity callback receives (value, root accessor) — the vectorized
+    analogue of the reference's fn(val, data)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fn = ColFn(lambda v, root: F.concat(
+        v, F.lit("#"), F.substring(root("o_orderpriority"), 1, 1)))
+    res = validate(orders, {"o_orderstatus": ("string", ("transform", fn))},
+                   mode="permissive")
+    return res.valid.select("o_orderkey", "o_orderstatus")
+
+
+def q_type_strictness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numeric type-strictness (#16, reference test/peri_test.exs:
+    2360-2384): :float does NOT accept an integer column and :integer
+    does not accept a string column — static mismatch, so every non-null
+    value violates (no coercion)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return _flat(orders, {"o_custkey": "float", "o_orderstatus": "integer"},
+                 ["o_orderkey"])
+
+
+def q_duration_strings_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:duration runtime check (#1c): Elixir Duration.from_iso8601
+    grammar — negative components and fractional seconds accepted; bare
+    'P', dangling 'T', unit-without-T and out-of-order designators
+    rejected (compiler.py duration branch)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 60
+    d = (F.when(m == 0, F.lit("P"))                # bare P → reject
+         .when(m == 1, F.lit("P1YT"))             # dangling T → reject
+         .when(m == 2, F.lit("P5S"))              # S without T → reject
+         .when(m == 3, F.lit("PT4.650S"))         # fractional seconds → ok
+         .when(m == 4, F.lit("-PT10H-30M"))       # leading minus → ok
+         .when(m == 5, F.lit("P3Y-2MT3H"))        # negative component → ok
+         .when(m == 6, F.lit("PT3H5Y"))           # out of order → reject
+         .when(m == 7, F.lit("P2W"))              # weeks → ok
+         .otherwise(F.concat(F.lit("PT"), (F.col("event_id") % 24)
+                             .cast("string"), F.lit("H"))))
+    df = ev.select("event_id", d.alias("d"))
+    return _flat(df, {"d": "duration"}, ["event_id"])
+
+
 def q_time_strings_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:time runtime check (#1b): anchored, range-checked HH:mm:ss."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -341,6 +384,9 @@ DIRECTIVE_QUERIES = {
     "num_constraints_lineitem": q_num_constraints_lineitem,
     "nested_defaults_customer": q_nested_defaults_customer,
     "transform_colfn_orders": q_transform_colfn_orders,
+    "transform_root_orders": q_transform_root_orders,
+    "type_strictness_orders": q_type_strictness_orders,
+    "duration_strings_events": q_duration_strings_events,
     "time_strings_events": q_time_strings_events,
     "verdicts_events": q_verdicts_events,
     "fidelity_documents": q_fidelity_documents,
@@ -556,6 +602,45 @@ _ORACLES["transform_colfn_orders"] = """
 SELECT o_orderkey,
        o_orderpriority || '@' || o_orderstatus AS o_orderpriority
 FROM orders
+"""
+
+_ORACLES["transform_root_orders"] = """
+SELECT o_orderkey,
+       o_orderstatus || '#' || substr(o_orderpriority, 1, 1) AS o_orderstatus
+FROM orders
+"""
+
+_ORACLES["type_strictness_orders"] = """
+SELECT o_orderkey, 'o_custkey' AS key, 'o_custkey' AS err_path,
+       'expected type of :float received ' || CAST(o_custkey AS STRING)
+       || ' value' AS message
+FROM orders WHERE o_custkey IS NOT NULL
+UNION ALL
+SELECT o_orderkey, 'o_orderstatus', 'o_orderstatus',
+       'expected type of :integer received "' || o_orderstatus || '" value'
+FROM orders WHERE o_orderstatus IS NOT NULL
+"""
+
+_ORACLES["duration_strings_events"] = r"""
+WITH t AS (
+  SELECT event_id,
+    CASE WHEN event_id % 60 = 0 THEN 'P'
+         WHEN event_id % 60 = 1 THEN 'P1YT'
+         WHEN event_id % 60 = 2 THEN 'P5S'
+         WHEN event_id % 60 = 3 THEN 'PT4.650S'
+         WHEN event_id % 60 = 4 THEN '-PT10H-30M'
+         WHEN event_id % 60 = 5 THEN 'P3Y-2MT3H'
+         WHEN event_id % 60 = 6 THEN 'PT3H5Y'
+         WHEN event_id % 60 = 7 THEN 'P2W'
+         ELSE 'PT' || CAST(event_id % 24 AS STRING) || 'H' END AS d
+  FROM events)
+SELECT event_id, 'd' AS key, 'd' AS err_path,
+       'expected type of :duration received "' || d || '" value' AS message
+FROM t
+WHERE d IS NOT NULL AND NOT (
+  regexp_matches(d, '^[+-]?P(-?\d+Y)?(-?\d+M)?(-?\d+W)?(-?\d+D)?(T(-?\d+H)?(-?\d+M)?(-?\d+([.,]\d+)?S)?)?$')
+  AND NOT regexp_matches(d, '^[+-]?P$')
+  AND NOT regexp_matches(d, 'T$'))
 """
 
 _ORACLES["time_strings_events"] = r"""

@@ -15,7 +15,19 @@ from typing import Any
 
 from .dsl import Node, parse, schema_registry
 
-__all__ = ["to_json_schema", "from_json_schema"]
+__all__ = ["to_json_schema", "from_json_schema", "UnsupportedTypeError"]
+
+
+class UnsupportedTypeError(TypeError):
+    """Raised by ``to_json_schema(..., on_unsupported='raise')`` for
+    dynamic Peri types that cannot be expressed statically (reference
+    Peri.JSONSchema.Encoder.UnsupportedTypeError, encoder.ex:31-45)."""
+
+    def __init__(self, tag: str, reason: str):
+        self.tag = tag
+        self.reason = reason
+        super().__init__(
+            f"cannot encode {tag!r} to JSON Schema: {reason}")
 
 _FORMAT_REGEX = {
     # reference decoder.ex:182-191
@@ -24,10 +36,28 @@ _FORMAT_REGEX = {
 }
 
 
-def to_json_schema(schema: Any, title: str | None = None) -> dict:
+def to_json_schema(schema: Any, title: str | None = None,
+                   on_unsupported: str = "omit",
+                   exclude_meta_keys: list[str] | None = None) -> dict:
+    """Peri DSL → JSON Schema.
+
+    ``on_unsupported`` controls dynamic types (:cond/:dependent/:custom,
+    reference encoder.ex:27,288): ``"omit"`` (default) and
+    ``"true_schema"`` emit ``{}`` (the true schema); ``"raise"`` raises
+    :class:`UnsupportedTypeError`. ``exclude_meta_keys`` drops the listed
+    annotation keywords (meta vocabulary plus ``"default"``) from the
+    output — for consumer-facing schemas where defaults are
+    validation-only (encoder.ex:16-21).
+    """
+    if on_unsupported not in ("omit", "true_schema", "raise"):
+        raise ValueError(
+            f"on_unsupported must be omit|true_schema|raise, "
+            f"got {on_unsupported!r}")
     node = parse(schema)
     defs: dict[str, dict] = {}
-    out = _encode(node, defs)
+    opts = {"on_unsupported": on_unsupported,
+            "exclude": frozenset(exclude_meta_keys or ())}
+    out = _encode(node, defs, opts)
     if title:
         out["title"] = title
     if defs:
@@ -35,7 +65,14 @@ def to_json_schema(schema: Any, title: str | None = None) -> dict:
     return out
 
 
-def _encode(node: Node, defs: dict) -> dict:
+_DEFAULT_OPTS = {"on_unsupported": "omit", "exclude": frozenset()}
+
+# meta vocabulary → emitted JSON Schema keyword (for exclude_meta_keys)
+_META_KEYWORD = {"doc": "description", "example": "examples",
+                 "format": "format"}
+
+
+def _encode(node: Node, defs: dict, opts: dict = _DEFAULT_OPTS) -> dict:
     t = node.tag
     if t == "prim":
         p = node.args[0]
@@ -60,9 +97,9 @@ def _encode(node: Node, defs: dict) -> dict:
     if t == "enum":
         return {"enum": list(node.args[0])}
     if t == "constrained":
-        base, opts = node.args
-        out = _encode(Node("prim", (base,)), defs)
-        for op, arg in opts:
+        base, copts = node.args
+        out = _encode(Node("prim", (base,)), defs, opts)
+        for op, arg in copts:
             if base == "string":
                 out.update({"regex": {"pattern": arg},
                             "eq": {"const": arg},
@@ -79,47 +116,45 @@ def _encode(node: Node, defs: dict) -> dict:
                 }[op])
         return out
     if t == "required":
-        return _encode(node.args[0], defs)  # required surfaces at object level
+        return _encode(node.args[0], defs, opts)  # required surfaces at object level
     if t == "default":
-        out = _encode(node.args[0], defs)
-        out["default"] = node.args[1] if not callable(node.args[1]) \
-            else node.args[1]()
+        out = _encode(node.args[0], defs, opts)
+        if "default" not in opts["exclude"]:
+            out["default"] = node.args[1] if not callable(node.args[1]) \
+                else node.args[1]()
         return out
     if t == "transform":
-        return _encode(node.args[0], defs)
+        return _encode(node.args[0], defs, opts)
     if t == "override":
-        return _encode(node.args[0], defs)
+        return _encode(node.args[0], defs, opts)
     if t == "meta":
-        out = _encode(node.args[0], defs)
-        opts = node.args[1]
-        if "doc" in opts:
-            out["description"] = opts["doc"]
-        if "example" in opts:
-            out["examples"] = [opts["example"]]
-        if "format" in opts:
-            out["format"] = opts["format"]
+        out = _encode(node.args[0], defs, opts)
+        meta = node.args[1]
+        for mk, keyword in _META_KEYWORD.items():
+            if mk in meta and mk not in opts["exclude"]:
+                out[keyword] = [meta[mk]] if mk == "example" else meta[mk]
         return out
     if t == "list":
-        elem, opts = node.args
-        out = {"type": "array", "items": _encode(elem, defs)}
-        if "min" in opts:
-            out["minItems"] = opts["min"]
-        if "max" in opts:
-            out["maxItems"] = opts["max"]
-        if opts.get("unique"):
+        elem, lopts = node.args
+        out = {"type": "array", "items": _encode(elem, defs, opts)}
+        if "min" in lopts:
+            out["minItems"] = lopts["min"]
+        if "max" in lopts:
+            out["maxItems"] = lopts["max"]
+        if lopts.get("unique"):
             out["uniqueItems"] = True
         return out
     if t == "map":
         kt, vt = node.args
-        return {"type": "object", "additionalProperties": _encode(vt, defs)}
+        return {"type": "object", "additionalProperties": _encode(vt, defs, opts)}
     if t == "tuple":
         return {"type": "array",
-                "items": [_encode(x, defs) for x in node.args[0]],
+                "items": [_encode(x, defs, opts) for x in node.args[0]],
                 "minItems": len(node.args[0]), "maxItems": len(node.args[0])}
     if t == "nested":
         props, req = {}, []
         for k, child in node.args[0].items():
-            props[k] = _encode(child, defs)
+            props[k] = _encode(child, defs, opts)
             if _is_required(child):
                 req.append(k)
         out = {"type": "object", "properties": props,
@@ -128,20 +163,20 @@ def _encode(node: Node, defs: dict) -> dict:
             out["required"] = req
         return out
     if t == "additional":
-        inner = _encode(Node("nested", (node.args[0],)), defs)
-        inner["additionalProperties"] = _encode(node.args[1], defs)
+        inner = _encode(Node("nested", (node.args[0],)), defs, opts)
+        inner["additionalProperties"] = _encode(node.args[1], defs, opts)
         return inner
     if t == "either":
-        return {"anyOf": [_encode(node.args[0], defs),
-                          _encode(node.args[1], defs)]}
+        return {"anyOf": [_encode(node.args[0], defs, opts),
+                          _encode(node.args[1], defs, opts)]}
     if t == "oneof":
-        return {"anyOf": [_encode(x, defs) for x in node.args[0]]}
+        return {"anyOf": [_encode(x, defs, opts) for x in node.args[0]]}
     if t == "multi":
         fld, branches = node.args
         # discriminator pattern (reference multi_test.exs JSON Schema case)
         one = []
         for tag, branch in branches.items():
-            enc = _encode(branch, defs)
+            enc = _encode(branch, defs, opts)
             enc.setdefault("properties", {})[fld] = {"const": tag}
             one.append(enc)
         return {"oneOf": one,
@@ -151,10 +186,14 @@ def _encode(node: Node, defs: dict) -> dict:
         if name not in defs:
             defs[name] = {}  # placeholder breaks recursion
             schema, _ = schema_registry[name]
-            defs[name] = _encode(parse(schema), defs)
+            defs[name] = _encode(parse(schema), defs, opts)
         return {"$ref": f"#/$defs/{name}"}
     if t in ("cond", "dependent", "dependent4", "custom"):
-        return {}  # dynamic; reference encodes via on_unsupported modes
+        # dynamic types cannot be expressed statically — reference
+        # encoder.ex:287-292 fallback modes
+        if opts["on_unsupported"] == "raise":
+            raise UnsupportedTypeError(t, "dynamic schema")
+        return {}  # :omit / :true_schema → the true schema
     raise NotImplementedError(t)
 
 

@@ -24,15 +24,40 @@ import guesses.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["load_table", "current_snapshot_id", "is_table_identifier"]
 
+# dotted word-char parts: `db.table`, `catalog.db.table`, `t`. Anything
+# else (spaces, quotes, parens, semicolons) is NOT an identifier — it
+# neither resolves as a catalog table nor reaches interpolated SQL.
+_IDENT_RE = re.compile(r"^\w+(\.\w+)*$")
+
+# a slash-free ref whose last dotted part is a known data-file extension
+# is a relative file path, not a `db.table` identifier (`--input
+# documents.parquet` must read the file, as it did pre-round-2)
+_FILE_EXTS = {"parquet", "csv", "json", "orc", "avro", "txt", "tsv"}
+
 
 def is_table_identifier(ref: str) -> bool:
     """A table identifier (``db.table``, ``catalog.db.table``) rather than
-    a filesystem path: no slashes, no URI scheme."""
-    return "/" not in ref and "\\" not in ref and "://" not in ref
+    a filesystem path: dotted word-char parts only — no slashes, no URI
+    scheme, no data-file extension, and nothing that exists on the local
+    filesystem."""
+    if not _IDENT_RE.match(ref):
+        return False
+    if ref.rsplit(".", 1)[-1].lower() in _FILE_EXTS:
+        return False
+    return not os.path.exists(ref)
+
+
+def _quoted(ref: str) -> str:
+    """Backtick-quote each dotted part, so an identifier-shaped ref keeps
+    identifier semantics when interpolated into pinned-snapshot SQL."""
+    return ".".join(f"`{part}`" for part in ref.split("."))
 
 
 def load_table(spark: SparkSession, ref: str,
@@ -51,12 +76,14 @@ def load_table(spark: SparkSession, ref: str,
     if is_table_identifier(ref):
         if snapshot_id is not None:
             return spark.sql(
-                f"SELECT * FROM {ref} VERSION AS OF {int(snapshot_id)}")
+                f"SELECT * FROM {_quoted(ref)} "
+                f"VERSION AS OF {int(snapshot_id)}")
         if as_of is not None:
             # string literal — timestamps come from the ledger, not users,
             # but quote defensively anyway
             ts = as_of.replace("'", "''")
-            return spark.sql(f"SELECT * FROM {ref} TIMESTAMP AS OF '{ts}'")
+            return spark.sql(
+                f"SELECT * FROM {_quoted(ref)} TIMESTAMP AS OF '{ts}'")
         return spark.read.table(ref)
     if snapshot_id is not None or as_of is not None:
         raise ValueError(

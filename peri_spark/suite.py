@@ -24,6 +24,7 @@ Execution strategy (chosen for 100 TB, verified by .explain on every stage):
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -42,16 +43,28 @@ class _LazyValidation:
     expression tree) until a caller actually touches ``.validation`` —
     run_fused derives everything from the lean plan, so eagerly building
     the full tree would be ~1 s of serial driver time inside the hot
-    suite wall for a result most callers never read."""
+    suite wall for a result most callers never read.
+
+    Thread-safe: the thunk runs exactly once under a lock (concurrent
+    first-touch from two stage threads must not compile the plan twice).
+    For a typed handle (isinstance checks, dunder access) call
+    ``SuiteResult.validation_result()``, which resolves the proxy and
+    swaps the real ValidationResult into the field."""
 
     def __init__(self, thunk):
         self._thunk = thunk
         self._v = None
+        self._lock = threading.Lock()
+
+    def _resolve(self):
+        if self._v is None:
+            with self._lock:
+                if self._v is None:
+                    self._v = self._thunk()
+        return self._v
 
     def __getattr__(self, name):
-        if self._v is None:
-            self._v = self._thunk()
-        return getattr(self._v, name)
+        return getattr(self._resolve(), name)
 
 
 @dataclass
@@ -68,6 +81,16 @@ class SuiteResult:
     # frames run_fused left persisted for the lazy derived stages
     # (distributed derivation path only); released by unpersist()
     persisted_frames: list = field(default_factory=list)
+
+    def validation_result(self) -> ValidationResult:
+        """The full ValidationResult, resolving run_fused's lazy proxy
+        (and caching the real object into ``.validation`` so isinstance
+        checks and dunder access hold from then on)."""
+        v = self.validation
+        if isinstance(v, _LazyValidation):
+            v = v._resolve()
+            self.validation = v
+        return v
 
     def unpersist(self):
         """Release frames the fused run left cached for the lazy derived
@@ -212,7 +235,9 @@ class ValidationSuite:
         if self._stats:
             def st():
                 out.stats = column_stats(
-                    df, getattr(self, "_stats_columns", None))
+                    df, getattr(self, "_stats_columns", None),
+                    exact_distinct=getattr(self, "_stats_exact_distinct",
+                                           False))
                 counters["n_stat_cols"] = out.stats.count()
             thunks.append(("stats", st))
 
@@ -284,6 +309,17 @@ class ValidationSuite:
         fuse_stats = bool(self._stats and getattr(self, "_stats_fused", False)
                           and stat_cols
                           and all(c in ann.columns for c in stat_cols))
+        if (self._stats and getattr(self, "_stats_fused", False)
+                and getattr(self, "_stats_exact_distinct", False)
+                and not fuse_stats):
+            # the caller asked for exact n_distinct via the fused path but
+            # a stat column is missing from the annotated frame — degrading
+            # to the HLL estimate silently is how round 2 lost the request
+            missing = [c for c in (stat_cols or [])
+                       if c not in ann.columns] or ["<no stat columns>"]
+            raise ValueError(
+                "exact_distinct=True requires every fused stat column on "
+                f"the annotated frame; missing: {missing}")
 
         # referential flags: broadcast the dim keys, left-join once
         ref_flags: list[tuple[str, str]] = []
@@ -441,7 +477,9 @@ class ValidationSuite:
 
         def _stats_job():
             t0 = time.perf_counter()
-            s = column_stats(df, stat_cols)
+            s = column_stats(df, stat_cols,
+                             exact_distinct=getattr(
+                                 self, "_stats_exact_distinct", False))
             n = s.count()
             return s, n, time.perf_counter() - t0
 

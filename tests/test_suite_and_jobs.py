@@ -221,10 +221,15 @@ def test_exact_duplicates_no_collect_list_and_hot_digest(spark):
     big = spark.range(100_000).select(
         F.col("id"), F.lit("identical boilerplate").alias("text"))
     pairs = exact_duplicates(big, "text", "id")
-    assert "collect_list" not in pairs._jdf.queryExecution() \
-        .optimizedPlan().toString()
-    # one hot digest with 100k members streams through the window — no
-    # array materialization on a single reducer
+    opt = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in opt
+    # one hot digest with 100k members reduces via map-side partial
+    # aggregation (HashAggregate) + a streaming join back — NO Window
+    # (a window would buffer the whole digest group in one task) and no
+    # array materialization on a single reducer (VERDICT r02 #2)
+    assert "Window" not in opt
+    phys = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in phys and "Window" not in phys
     assert pairs.count() == 99_999
     r = pairs.where(F.col("dup_id") == 77).collect()[0]
     assert r["canonical_id"] == 0 and r["n"] == 100_000
