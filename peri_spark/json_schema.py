@@ -67,9 +67,24 @@ def to_json_schema(schema: Any, title: str | None = None,
 
 _DEFAULT_OPTS = {"on_unsupported": "omit", "exclude": frozenset()}
 
-# meta vocabulary → emitted JSON Schema keyword (for exclude_meta_keys)
-_META_KEYWORD = {"doc": "description", "example": "examples",
-                 "format": "format"}
+# meta vocabulary → emitted JSON Schema keyword (reference @meta_keys +
+# camelCase renames, encoder.ex:41-61; unknown keys are dropped). "doc"
+# is this repo's historical alias for "description".
+_META_KEYWORD = {
+    "doc": "description",
+    "title": "title",
+    "description": "description",
+    "example": "examples",          # List.wrap parity
+    "examples": "examples",
+    "deprecated": "deprecated",
+    "default": "default",
+    "format": "format",
+    "pattern": "pattern",
+    "read_only": "readOnly",
+    "write_only": "writeOnly",
+    "content_encoding": "contentEncoding",
+    "content_media_type": "contentMediaType",
+}
 
 
 def _encode(node: Node, defs: dict, opts: dict = _DEFAULT_OPTS) -> dict:
@@ -130,9 +145,15 @@ def _encode(node: Node, defs: dict, opts: dict = _DEFAULT_OPTS) -> dict:
     if t == "meta":
         out = _encode(node.args[0], defs, opts)
         meta = node.args[1]
-        for mk, keyword in _META_KEYWORD.items():
-            if mk in meta and mk not in opts["exclude"]:
-                out[keyword] = [meta[mk]] if mk == "example" else meta[mk]
+        for mk, v in meta.items():
+            keyword = _META_KEYWORD.get(mk)
+            if keyword is None:
+                continue  # unknown meta keys are dropped (encoder.ex:334)
+            if mk in opts["exclude"] or keyword in opts["exclude"]:
+                continue
+            if keyword == "examples" and not isinstance(v, list):
+                v = [v]  # List.wrap (encoder.ex:339-340)
+            out[keyword] = v
         return out
     if t == "list":
         elem, lopts = node.args

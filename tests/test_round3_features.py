@@ -106,6 +106,71 @@ def test_json_schema_exclude_meta_keys():
     assert slim["properties"]["v"]["examples"] == ["ex"]
 
 
+# ported encoder-mode cases from reference test/json_schema_test.exs
+
+
+def test_json_schema_raise_on_dependent():
+    """json_schema_test.exs:178-184."""
+    from peri_spark.dsl import ColFn
+    from peri_spark.json_schema import UnsupportedTypeError, to_json_schema
+    cb = {"cond": ColFn(lambda v, root: v.isNotNull()), "error": "bad"}
+    schema = {"a": ("dependent", "b", cb, "integer"), "b": "integer"}
+    with pytest.raises(UnsupportedTypeError):
+        to_json_schema(schema, on_unsupported="raise")
+    # default still omits
+    assert to_json_schema(schema)["properties"]["a"] == {}
+
+
+def test_json_schema_meta_full_vocabulary():
+    """json_schema_test.exs:150-169: camelCase renames, List.wrap for
+    example, unknown keys dropped."""
+    from peri_spark.json_schema import to_json_schema
+    schema = {"f": ("meta", "string",
+                    {"title": "T", "deprecated": True, "pattern": "^x",
+                     "read_only": True, "write_only": False,
+                     "content_encoding": "base64",
+                     "content_media_type": "application/jwt",
+                     "custom_internal": 1, "fromat": "uuid"})}
+    prop = to_json_schema(schema)["properties"]["f"]
+    assert prop == {"type": "string", "title": "T", "deprecated": True,
+                    "pattern": "^x", "readOnly": True, "writeOnly": False,
+                    "contentEncoding": "base64",
+                    "contentMediaType": "application/jwt"}
+
+
+def test_json_schema_examples_list_wrap():
+    from peri_spark.json_schema import to_json_schema
+    one = to_json_schema({"f": ("meta", "string", {"example": "a"})})
+    many = to_json_schema({"f": ("meta", "string",
+                                 {"examples": ["a", "b"]})})
+    assert one["properties"]["f"]["examples"] == ["a"]
+    assert many["properties"]["f"]["examples"] == ["a", "b"]
+
+
+def test_json_schema_exclude_default_from_directive():
+    """json_schema_test.exs:500-529: {:integer, {:default, 0}} with and
+    without exclude_meta_keys=[:default]."""
+    from peri_spark.json_schema import to_json_schema
+    s = {"f": ("integer", ("default", 0))}
+    assert to_json_schema(s)["properties"]["f"] == \
+        {"type": "integer", "default": 0}
+    assert to_json_schema(s, exclude_meta_keys=["default"])[
+        "properties"]["f"] == {"type": "integer"}
+
+
+def test_json_schema_exclude_preserves_other_meta():
+    """json_schema_test.exs:512-524."""
+    from peri_spark.json_schema import to_json_schema
+    s = {"f": ("meta", ("integer", ("default", 0)),
+               {"description": "count", "deprecated": True})}
+    got = to_json_schema(s, exclude_meta_keys=["default"])["properties"]["f"]
+    assert got == {"type": "integer", "description": "count",
+                   "deprecated": True}
+    got2 = to_json_schema(
+        s, exclude_meta_keys=["default", "deprecated"])["properties"]["f"]
+    assert got2 == {"type": "integer", "description": "count"}
+
+
 # ---------------------------------------------------------------------------
 # sources: path-vs-identifier resolution (ADVICE)
 # ---------------------------------------------------------------------------
