@@ -144,7 +144,11 @@ def type_ok(prim: str, dtype: T.DataType | None) -> bool:
         "map": (T.MapType, T.StructType),
         "list": (T.ArrayType,),
         "time": (T.StringType,),           # HH:mm:ss string (doc'd)
-        "duration": (T.DayTimeIntervalType, T.StringType),
+        # %Duration{} carries year/month AND day/time components; Spark
+        # splits those across two interval types — accept both (plus the
+        # runtime-checked ISO-8601 string form)
+        "duration": (T.DayTimeIntervalType, T.YearMonthIntervalType,
+                     T.StringType),
     }
     if prim == "naive_datetime":
         ok: tuple = (T.TimestampType,)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features_stub",
-           "frame_sample_stub"]
+           "resize_stub", "frame_sample_stub"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -90,6 +90,69 @@ def decode_features_stub(df: DataFrame, payload_col: str = "payload",
                 {"media_id": ids, "features": feats, "error": errs})
 
     return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=out_schema))
+
+
+def resize_stub(df: DataFrame, target_w: int, target_h: int,
+                payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """Image-resize plumbing: (id, payload, meta', error) with meta
+    width/height rewritten to the target box (aspect preserved —
+    fit-inside), payload re-emitted at the proportional byte budget.
+
+    STUB codec: the "resampled" payload is the original byte stream
+    truncated to ``ceil(len · target_area / source_area)`` bytes —
+    deterministic, size-plausible, and exercising the real contract
+    (binary in → smaller binary out + corrected metadata) so batch
+    sizing, schema, and error capture are all testable. A real build
+    replaces ``_resize_bytes`` with PIL ``Image.resize`` and nothing
+    else changes.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ])
+
+    def _resize_bytes(payload: bytes, w, h):
+        if payload is None:
+            raise ValueError("null payload")
+        if not w or not h or w <= 0 or h <= 0:
+            raise ValueError(f"bad source dims {w}x{h}")
+        scale = min(target_w / w, target_h / h, 1.0)  # never upscale
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        keep = max(int(len(payload) * (nw * nh) / (w * h)), 1)
+        return payload[:keep], nw, nh
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, outs, ws, hs, errs = [], [], [], [], []
+            for mid, payload, w, h in zip(pdf[id_col], pdf[payload_col],
+                                          pdf["__w"], pdf["__h"]):
+                ids.append(mid)
+                try:
+                    p, nw, nh = _resize_bytes(
+                        bytes(payload) if payload is not None else None,
+                        None if pd.isna(w) else int(w),
+                        None if pd.isna(h) else int(h))
+                    outs.append(p)
+                    ws.append(nw)
+                    hs.append(nh)
+                    errs.append(None)
+                except Exception as e:  # capture, don't fail the batch
+                    outs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame({"media_id": ids, "payload": outs,
+                                "width": ws, "height": hs, "error": errs})
+
+    return (df.select(F.col(id_col), F.col(payload_col),
+                      F.col("meta.width").alias("__w"),
+                      F.col("meta.height").alias("__h"))
             .mapInPandas(run, schema=out_schema))
 
 

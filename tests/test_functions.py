@@ -10,7 +10,7 @@ from peri_spark.functions import (
     simhash_signatures, token_counts, winnow_fingerprints)
 from peri_spark.functions.multimodal import (attach_media_metadata,
                                              decode_features_stub,
-                                             frame_sample_stub)
+                                             frame_sample_stub, resize_stub)
 
 SF = "/root/testdata/sf0.001"
 
@@ -222,6 +222,27 @@ def test_multimodal_stub_pipeline(spark):
     assert len(ok) == 6 and len(bad) == 1  # null payload captured, not fatal
     assert all(len(r.features) == 8 and abs(sum(r.features) - 1.0) < 1e-3
                for r in ok)
+
+
+def test_resize_stub(spark):
+    rows = [(1, "image", bytes(range(200)) * 5, ("image/png", 100, 80, None)),
+            (2, "image", b"tiny", ("image/png", 10, 10, None)),
+            (3, "image", None, ("image/png", 8, 8, None)),       # null payload
+            (4, "image", b"x" * 64, ("image/png", None, None, None))]  # no dims
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,duration_ms:long>")
+    out = {r.media_id: r for r in resize_stub(df, 50, 50).collect()}
+    # aspect preserved, fit inside 50x50: 100x80 → 50x40
+    assert (out[1].width, out[1].height) == (50, 40)
+    # byte budget proportional to target/source area: 1000 * (2000/8000)
+    assert len(out[1].payload) == 250
+    # never upscale: 10x10 stays 10x10, payload untouched
+    assert (out[2].width, out[2].height) == (10, 10)
+    assert bytes(out[2].payload) == b"tiny"
+    # per-row error capture, batch survives
+    assert out[3].error is not None and out[3].payload is None
+    assert out[4].error is not None and "dims" in out[4].error
 
 
 def test_frame_sample_stub(spark):

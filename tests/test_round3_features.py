@@ -49,11 +49,13 @@ def test_duration_violation_message_shape(spark):
 
 
 def test_duration_interval_column_type_gates(spark):
-    """A true DayTimeIntervalType column passes the static gate with no
-    runtime regex stage (it is a duration by construction)."""
+    """True interval columns pass the static gate with no runtime regex
+    stage (they are durations by construction) — both the day-time and
+    year-month halves of %Duration{}."""
     df = spark.sql("SELECT 1 AS id, INTERVAL '10 04:30:00' "
-                   "DAY TO SECOND AS d")
-    res = ps.validate(df, {"d": "duration"}, mode="permissive")
+                   "DAY TO SECOND AS d, INTERVAL '1-2' YEAR TO MONTH AS ym")
+    res = ps.validate(df, {"d": "duration", "ym": "duration"},
+                      mode="permissive")
     assert res.invalid.count() == 0
 
 
