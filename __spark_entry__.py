@@ -259,8 +259,10 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array(F.element_at("v", 1) * F.lit(1.05)),
                  F.slice("v", 2, 63)).alias("v"))
     allv = emb.unionByName(pert)
+    # max_bucket_size explicit so the oracle mirrors the SAME cap
+    # semantics (buckets above the cap excluded from the self-join)
     p = embedding_duplicate_pairs(allv, "v", "vec_id", threshold=0.99,
-                                  planes=8)
+                                  planes=8, max_bucket_size=1000)
     return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -511,7 +513,12 @@ def _embedding_dups_oracle_sql() -> str:
       UNION ALL
       SELECT vec_id + 10000, list_concat([v[1] * 1.05], v[2:64]) FROM base
       WHERE vec_id < 20),
-    b AS (SELECT vec_id AS id, v, {bucket} AS bucket FROM allv),
+    b0 AS (SELECT vec_id AS id, v, {bucket} AS bucket FROM allv),
+    -- mirror the engine's max_bucket_size=1000 hot-bucket exclusion so
+    -- the oracle checks the CAP semantics, not just the uncapped join
+    b AS (SELECT id, v, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+          WHERE bsz <= 1000),
     cand AS (
       SELECT l.id AS id_a, r.id AS id_b, {cos} AS cosine
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)

@@ -69,9 +69,17 @@ def _sf_name() -> str:
 
 
 def _code_fingerprint() -> str:
-    """sha256 over the engine sources (peri_spark/*.py). Best-observed
-    results are only reused across runs of IDENTICAL engine code."""
+    """sha256 over the engine sources (peri_spark/*.py) AND the
+    measured workload: the input scale/sf plus the source of the
+    suite-construction and input-preparation functions in this file.
+    Best-observed results are only reused across runs that measure the
+    IDENTICAL job on the IDENTICAL input — a different
+    SPARK_GRAFT_BENCH_SCALE or an edited run_suite must not inherit
+    minima measured under another workload. (BENCH_RUNS is deliberately
+    excluded: more warm repeats of the same job only tighten the same
+    minimum.)"""
     import hashlib
+    import inspect
     h = hashlib.sha256()
     pkg = os.path.join(REPO, "peri_spark")
     for root, _dirs, files in sorted(os.walk(pkg)):
@@ -80,6 +88,9 @@ def _code_fingerprint() -> str:
                 h.update(fn.encode())
                 with open(os.path.join(root, fn), "rb") as f:
                     h.update(f.read())
+    h.update(f"|scale={SCALE_BIG}|sf={SF_DIR}|".encode())
+    h.update(inspect.getsource(run_suite).encode())
+    h.update(inspect.getsource(prepare_input).encode())
     return h.hexdigest()[:16]
 
 

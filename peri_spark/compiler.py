@@ -295,10 +295,14 @@ def _c_prim(node, col, dtype, ctx, mode):
             # offset suffix: Z, ±hh, ±hhmm or ±hh:mm with hour<24 min<60
             # — EXCEPT the negative-zero offset (-00/-0000/-00:00), which
             # Calendar.ISO rejects explicitly)
+            # \z (not $): Java-regex $ matches BEFORE a final line
+            # terminator, so "23:50:07\n" would validate while Elixir
+            # Time.from_iso8601 and the RE2 oracle ($ = end-of-text in
+            # RE2) both reject it
             ok = col.rlike(
                 r"^T?([01]\d|2[0-3]):[0-5]\d:[0-5]\d([.,]\d+)?"
-                r"(Z|[+-]([01]\d|2[0-3])(:?[0-5]\d)?)?$") \
-                & ~col.rlike(r"-00(:?00)?$")
+                r"(Z|[+-]([01]\d|2[0-3])(:?[0-5]\d)?)?\z") \
+                & ~col.rlike(r"-00(:?00)?\z")
             bad = col.isNotNull() & ~ok
             extra = _collect((_type_error(col, dtype, ":time", ctx, bad), False))
         elif prim == "duration" and isinstance(dtype, T.StringType):
@@ -309,12 +313,14 @@ def _c_prim(node, col, dtype, ctx, mode):
             # components ("P3Y-2MT3H", "-PT10H-30M"), fractional seconds
             # ("PT4.650S"). Rejected: bare "P"/"-P", a trailing "T" with
             # no time component, out-of-order or unknown designators,
-            # fractions on non-second units. No lookaheads — the DuckDB
-            # oracle (RE2) runs the identical pattern.
+            # fractions on non-second units. No lookaheads, and \z not $
+            # (Java $ would accept a trailing newline) — the DuckDB
+            # oracle (RE2, where $ is already end-of-text) matches the
+            # same language.
             ok = (col.rlike(
                 r"^[+-]?P(-?\d+Y)?(-?\d+M)?(-?\d+W)?(-?\d+D)?"
-                r"(T(-?\d+H)?(-?\d+M)?(-?\d+([.,]\d+)?S)?)?$")
-                & ~col.rlike(r"^[+-]?P$") & ~col.rlike(r"T$"))
+                r"(T(-?\d+H)?(-?\d+M)?(-?\d+([.,]\d+)?S)?)?\z")
+                & ~col.rlike(r"^[+-]?P\z") & ~col.rlike(r"T\z"))
             bad = col.isNotNull() & ~ok
             extra = _collect((_type_error(col, dtype, ":duration", ctx, bad),
                               False))

@@ -47,11 +47,22 @@ _MERSENNE = (1 << 31) - 1
 
 def _release_or_hand_off(result: DataFrame, cached: list[DataFrame],
                          release: bool) -> DataFrame:
-    """Persist discipline for the LSH pipelines: with ``release=True``
-    the (small) pair result is eagerly materialized (localCheckpoint —
-    bounded: pairs above threshold only) and every intermediate cache is
-    unpersisted immediately; otherwise the caller receives the lazy plan
-    plus a ``_peri_persisted`` handle listing the frames it now owns."""
+    """Persist discipline for the LSH pipelines.
+
+    ``release=True``: the pair result is eagerly materialized
+    (localCheckpoint) and every intermediate signature/shingle cache is
+    unpersisted immediately. The checkpoint itself occupies executor
+    storage while the caller holds the returned DataFrame; it is
+    reclaimed by the ContextCleaner once the reference is dropped, so
+    passes do not accumulate across a long-lived session. Note the pair
+    set is only *usually* small — on a high-duplication corpus it is
+    O(corpus)·k rows, and eager materialization pays that cost up
+    front; a caller that wants to stream pairs straight to a sink
+    without materializing should pass ``release=False``.
+
+    ``release=False``: the caller receives the lazy plan plus a
+    ``_peri_persisted`` handle listing the cached frames it now owns
+    (unpersist them once the result is consumed)."""
     if release:
         out = result.localCheckpoint(eager=True)
         for c in cached:
@@ -69,17 +80,21 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
     (deterministic). ``df.join(result, dup_id).where(...)`` filters a corpus.
 
     Scale note (hot digests — empty files, license boilerplate, one
-    digest with millions of members): the per-digest group is reduced by
-    ``groupBy(digest).agg(min, count)`` — which gets MAP-SIDE partial
-    aggregation, so a hot digest arrives at its reducer as one partial
-    row per map task, not as the full member list — and the (digest, id)
-    pairs then stream-join against that one aggregate row per digest.
-    The earlier window formulation (round 2) still routed every member
-    of a hot digest through a single buffering window task; a join
-    streams them. No collect_list anywhere (round-1 OOM).
+    digest with millions of members): the (digest, id) projection is
+    hash-repartitioned on the digest ONCE, and both consumers — the
+    ``groupBy(digest).agg(min, count)`` and the join probe — hang off
+    that same exchange, which Spark's ReuseExchange deduplicates: one
+    corpus scan, one sha256 pass, one shuffle. The aggregate reduces a
+    hot digest with a streaming hash-agg (constant state per group) and
+    the join then streams the members against that single aggregate row
+    — no task ever buffers a digest group. The earlier window
+    formulation (round 2) routed every member of a hot digest through a
+    single buffering window task; no collect_list anywhere (round-1
+    OOM).
     """
-    h = df.select(F.sha2(F.col(text_col), 256).alias("__h"),
-                  F.col(id_col).alias("dup_id"))
+    h = (df.select(F.sha2(F.col(text_col), 256).alias("__h"),
+                   F.col(id_col).alias("dup_id"))
+         .repartition("__h"))
     agg = (h.groupBy("__h")
            .agg(F.min("dup_id").alias("canonical_id"),
                 F.count(F.lit(1)).alias("n"))

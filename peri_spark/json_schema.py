@@ -24,10 +24,14 @@ class UnsupportedTypeError(TypeError):
     Peri.JSONSchema.Encoder.UnsupportedTypeError, encoder.ex:31-45)."""
 
     def __init__(self, tag: str, reason: str):
+        # pass BOTH args to BaseException so pickle's cls(*args) replay
+        # works (Spark tasks / multiprocessing ship exceptions by pickle)
+        super().__init__(tag, reason)
         self.tag = tag
         self.reason = reason
-        super().__init__(
-            f"cannot encode {tag!r} to JSON Schema: {reason}")
+
+    def __str__(self) -> str:
+        return f"cannot encode {self.tag!r} to JSON Schema: {self.reason}"
 
 _FORMAT_REGEX = {
     # reference decoder.ex:182-191

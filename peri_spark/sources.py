@@ -24,7 +24,6 @@ import guesses.
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,22 +35,24 @@ __all__ = ["load_table", "current_snapshot_id", "is_table_identifier"]
 # neither resolves as a catalog table nor reaches interpolated SQL.
 _IDENT_RE = re.compile(r"^\w+(\.\w+)*$")
 
-# a slash-free ref whose last dotted part is a known data-file extension
+# a slash-free DOTTED ref whose last part is a known data-file extension
 # is a relative file path, not a `db.table` identifier (`--input
-# documents.parquet` must read the file, as it did pre-round-2)
+# documents.parquet` must read the file, as it did pre-round-2). A
+# dotless ref is always an identifier — a table legitimately named
+# `csv` or `json` must not be rerouted to the filesystem, and the
+# classification must never depend on what happens to exist in the
+# driver's cwd (no os.path probing).
 _FILE_EXTS = {"parquet", "csv", "json", "orc", "avro", "txt", "tsv"}
 
 
 def is_table_identifier(ref: str) -> bool:
     """A table identifier (``db.table``, ``catalog.db.table``) rather than
     a filesystem path: dotted word-char parts only — no slashes, no URI
-    scheme, no data-file extension, and nothing that exists on the local
-    filesystem."""
+    scheme, and no data-file extension as the final dotted part."""
     if not _IDENT_RE.match(ref):
         return False
-    if ref.rsplit(".", 1)[-1].lower() in _FILE_EXTS:
-        return False
-    return not os.path.exists(ref)
+    parts = ref.rsplit(".", 1)
+    return not (len(parts) == 2 and parts[1].lower() in _FILE_EXTS)
 
 
 def _quoted(ref: str) -> str:

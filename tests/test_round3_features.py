@@ -39,6 +39,18 @@ def test_duration_accepts_iso8601_forms(spark):
     assert invalid == {i for i, _s, okk in rows if not okk}
 
 
+def test_time_and_duration_reject_trailing_newline(spark):
+    """Java-regex `$` matches before a final line terminator, so `$`-
+    anchored patterns accept \"P1D\\n\" — Elixir's parsers and the RE2
+    oracle both reject it. The runtime checks anchor with \\z."""
+    df = spark.createDataFrame(
+        [(1, "P1D\n", "23:50:07\n"), (2, "P1D", "23:50:07")],
+        "id long, d string, t string")
+    res = ps.validate(df, {"d": "duration", "t": "time"}, mode="permissive")
+    invalid = {r["id"] for r in res.invalid.select("id").collect()}
+    assert invalid == {1}
+
+
 def test_duration_violation_message_shape(spark):
     df = spark.createDataFrame([(1, "banana")], "id long, d string")
     res = ps.validate(df, {"d": "duration"}, mode="permissive")
@@ -88,6 +100,18 @@ def test_json_schema_on_unsupported_raise():
     with pytest.raises(UnsupportedTypeError) as ei:
         to_json_schema(schema, on_unsupported="raise")
     assert "cond" in str(ei.value)
+
+
+def test_unsupported_type_error_pickles():
+    """Spark tasks / multiprocessing ship exceptions by pickle — the
+    cls(*args) replay must reconstruct the error."""
+    import pickle
+    from peri_spark.json_schema import UnsupportedTypeError
+    e = UnsupportedTypeError("cond", "dynamic schema")
+    e2 = pickle.loads(pickle.dumps(e))
+    assert e2.tag == "cond" and e2.reason == "dynamic schema"
+    assert str(e2) == str(e) == \
+        "cannot encode 'cond' to JSON Schema: dynamic schema"
 
 
 def test_json_schema_on_unsupported_invalid_mode():
@@ -197,6 +221,12 @@ def test_table_identifier_validation():
     assert is_table_identifier("db.table")
     assert is_table_identifier("catalog.db.table")
     assert is_table_identifier("plain_table")
+    # a DOTLESS ref is always an identifier — a table legitimately named
+    # `csv`/`json` must not be rerouted to the filesystem, and the
+    # decision never depends on what exists in the driver's cwd
+    assert is_table_identifier("csv")
+    assert is_table_identifier("json")
+    assert is_table_identifier("tests")      # exists as a dir; still a table
     assert not is_table_identifier("a/b.parquet")
     assert not is_table_identifier("x.csv")
     assert not is_table_identifier("x.json")
