@@ -143,3 +143,60 @@ def test_spark_matches_duckdb_oracle(spark, duck, case):
     sql = violations_sql(schema, "fuzz_t", ["row_id"])
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall()) if sql else []
     assert got == want, f"schema={schema!r}\nrows={rows!r}"
+
+
+# --- :duration / :time grammar differential fuzz ---------------------------
+# The runtime checks anchor with \z (Java) and claim the RE2/DuckDB `$`
+# matches the same language. Fuzz adversarial near-miss strings through
+# BOTH engines and require identical accept/reject verdicts — this is
+# exactly the class of bug the round-3 review found ($ vs trailing \n).
+
+_DUR_GRAMMAR = (r"^[+-]?P(-?\d+Y)?(-?\d+M)?(-?\d+W)?(-?\d+D)?"
+                r"(T(-?\d+H)?(-?\d+M)?(-?\d+([.,]\d+)?S)?)?$")
+_TIME_GRAMMAR = (r"^T?([01]\d|2[0-3]):[0-5]\d:[0-5]\d([.,]\d+)?"
+                 r"(Z|[+-]([01]\d|2[0-3])(:?[0-5]\d)?)?$")
+
+_dur_frag = st.sampled_from(
+    ["P", "T", "-", "+", "1", "23", "0", "Y", "M", "W", "D", "H", "S",
+     ".5", ",25", "\n", " ", "Z", "PT1H", "P1Y", "-P2M", "T4S"])
+_dur_strings = st.lists(_dur_frag, min_size=0, max_size=6).map("".join)
+
+_time_frag = st.sampled_from(
+    ["23", "07", "99", ":", "50", "61", "00", "T", "Z", "+", "-", ".", ",",
+     "1", "\n", " ", "23:50:07", "-00", "+0230", ":30"])
+_time_strings = st.lists(_time_frag, min_size=0, max_size=5).map("".join)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_dur_strings, min_size=1, max_size=8))
+def test_duration_matches_duckdb_verdicts(spark, duck, vals):
+    df = spark.createDataFrame(list(enumerate(vals)), "row_id long, d string")
+    res = ps.validate(df, {"d": "duration"}, mode="permissive")
+    got = {r["row_id"] for r in res.invalid.select("row_id").collect()}
+    pdf = pd.DataFrame({"row_id": range(len(vals)), "d": vals})
+    duck.register("dur_t", pdf)
+    want = {r[0] for r in duck.execute(
+        "SELECT row_id FROM dur_t WHERE d IS NOT NULL AND NOT ("
+        f"regexp_matches(d, '{_DUR_GRAMMAR}') "
+        "AND NOT regexp_matches(d, '^[+-]?P$') "
+        "AND NOT regexp_matches(d, 'T$'))").fetchall()}
+    assert got == want, f"vals={vals!r}"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_time_strings, min_size=1, max_size=8))
+def test_time_matches_duckdb_verdicts(spark, duck, vals):
+    df = spark.createDataFrame(list(enumerate(vals)), "row_id long, t string")
+    res = ps.validate(df, {"t": "time"}, mode="permissive")
+    got = {r["row_id"] for r in res.invalid.select("row_id").collect()}
+    pdf = pd.DataFrame({"row_id": range(len(vals)), "t": vals})
+    duck.register("time_t", pdf)
+    want = {r[0] for r in duck.execute(
+        "SELECT row_id FROM time_t WHERE t IS NOT NULL AND NOT ("
+        f"regexp_matches(t, '{_TIME_GRAMMAR}') "
+        "AND NOT regexp_matches(t, '-00(:?00)?$'))").fetchall()}
+    assert got == want, f"vals={vals!r}"
