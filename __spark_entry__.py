@@ -215,6 +215,38 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank")
 
 
+def _ivf_centroids_from_parquet(path: str, n_train: int = 512,
+                                n_centroids: int = 16) -> list[list[float]]:
+    """Train the IVF cells OUTSIDE Spark (pyarrow + the deterministic
+    numpy k-means) on the n_train lowest-id vectors, so queries() and
+    oracle_sql() derive byte-identical centroid literals from the same
+    parquet bytes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from peri_spark.functions.similarity import deterministic_kmeans
+    t = (pq.read_table(path, columns=["vec_id", "embedding"])
+         .to_pandas().sort_values("vec_id").head(n_train))
+    vecs = np.array([[float(x) for x in v] for v in t["embedding"]])
+    return deterministic_kmeans(vecs, n_centroids, iters=5, seed=42)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file k-means cells) ANN — the trained-index scale
+    path next to the training-free hyperplane LSH. The deterministic
+    centroids embed into the oracle SQL as literals, the squared-
+    distance argmin folds element-sequentially in both engines
+    (bit-identical doubles), so assignment, probing, and the cosine
+    re-rank are all fully hash-checked."""
+    from peri_spark.functions import ivf_topk
+    cent = _ivf_centroids_from_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    r = ivf_topk(emb, queries_df, "embedding", "vec_id", cent,
+                 k=5, nprobe=3)
+    return r.select("query_id", "id", F.round("cosine", 4).alias("cosine"),
+                    "rank")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups over the inverted-index candidate
     generator (hot-token cap 200). Jaccard over distinct word-3-gram sets
@@ -335,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow_fp": q_winnow,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "validate_events": q_validate_events,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
@@ -524,6 +557,53 @@ def _embedding_dups_oracle_sql() -> str:
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
     SELECT id_a, id_b, round(cosine, 6) AS cosine
     FROM cand WHERE cosine >= 0.99
+    """
+
+
+def _knn_ivf_oracle_sql() -> str:
+    """DuckDB reproduction of q_knn_ivf: identical centroid literals
+    (same pyarrow+numpy training), assignment by sequential-fold squared
+    distance with (distance, cid) tiebreak, LATERAL top-nprobe probing,
+    exact double cosine re-rank."""
+    cent = _ivf_centroids_from_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")  # driver compares at sf0.01
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ",".join(repr(x) for x in c))
+        for i, c in enumerate(cent))
+
+    sqd = ("list_sum(list_transform(range(0, 64), "
+           "d -> (b.v[d+1] - c.c[d+1]) * (b.v[d+1] - c.c[d+1])))")
+    cos = ("list_sum(list_transform(range(0, 64), d -> q.qv[d+1] * a.v[d+1]))"
+           " / (sqrt(list_sum(list_transform(q.qv, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(a.v, x -> x * x))))")
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES
+    {values}) t(cid, c)),
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    ad0 AS (
+      SELECT b.vec_id, b.v, c.cid, {sqd} AS dist
+      FROM base b CROSS JOIN cent c),
+    ad AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+      FROM ad0),
+    assign AS (SELECT vec_id, v, cid AS cell FROM ad WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, v AS qv, cid AS cell
+      FROM ad WHERE vec_id < 10 AND rn <= 3),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS id, round({cos}, 6) AS cosine
+      FROM qprobe q JOIN assign a USING (cell)),
+    ranked AS (
+      SELECT query_id, id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, id) AS rank
+      FROM cand)
+    SELECT query_id, id, round(cosine, 4) AS cosine, rank
+    FROM ranked WHERE rank <= 5
     """
 
 
@@ -771,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "winnow_fp": _WINNOW_SQL,
         "knn_lsh": _knn_oracle_sql(),
+        "knn_ivf": _knn_ivf_oracle_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "embedding_dups": _embedding_dups_oracle_sql(),

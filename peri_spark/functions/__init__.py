@@ -12,7 +12,9 @@ from .dedup import (exact_duplicates, minhash_signatures,
                     near_dup_clusters, deduplicate_by_clusters,
                     portable_hash64)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
-                         hyperplane_lsh_topk, normalize_embeddings)
+                         deterministic_kmeans, hyperplane_lsh_topk,
+                         ivf_topk, normalize_embeddings,
+                         train_ivf_centroids)
 from .textstats import (language_id, quality_scores, token_counts,
                         winnow_fingerprints)
 
@@ -21,7 +23,8 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",
-    "normalize_embeddings",
+    "normalize_embeddings", "deterministic_kmeans", "train_ivf_centroids",
+    "ivf_topk",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
     "portable_hash64",
 ]

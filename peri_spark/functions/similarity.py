@@ -7,11 +7,17 @@
 - ``brute_force_topk``: k-NN for every row of a (small, broadcast) query
   set against the corpus — one broadcast nested-loop + per-query window
   top-k. Exact; O(n·q).
-- ``hyperplane_lsh_topk``: the scale path — random-hyperplane sign-bit
+- ``hyperplane_lsh_topk``: a scale path — random-hyperplane sign-bit
   buckets (map-side), candidates from bucket collisions only, exact cosine
   re-rank. Recall tunable by ``planes`` (fewer planes → bigger buckets).
-  An IVF variant would k-means the corpus; hyperplane LSH needs no
-  training pass, which suits an append-only 100 TB corpus better.
+  Training-free, which suits an append-only 100 TB corpus.
+- ``ivf_topk`` (+``train_ivf_centroids``): the other scale path — an
+  IVF index: k-means cells trained on a bounded driver-side sample,
+  map-side cell assignment, per-query ``nprobe`` nearest cells probed,
+  exact cosine re-rank. Cells adapt to the data distribution (better
+  recall on clustered corpora); the training pass must be re-run as the
+  corpus drifts, so prefer LSH when the corpus is append-heavy and
+  IVF when it is read-heavy and clustered.
 """
 
 from __future__ import annotations
@@ -22,7 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["normalize_embeddings", "cosine_topk_for_query",
-           "brute_force_topk", "hyperplane_lsh_topk"]
+           "brute_force_topk", "hyperplane_lsh_topk",
+           "deterministic_kmeans", "train_ivf_centroids", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -94,6 +101,102 @@ def _bucket_col(vec: Column, n_planes: int, seed: int, dim: int = 64) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def deterministic_kmeans(vecs: np.ndarray, n_centroids: int = 16,
+                         iters: int = 5, seed: int = 42) -> list[list[float]]:
+    """Plain Lloyd iterations, fully deterministic (seeded init, fixed
+    iteration count, first-min argmin tiebreak) — the same centroids
+    reproduce in any engine, which is what lets the DuckDB oracle check
+    ``ivf_topk`` end-to-end. Centroids round to 6dp so they embed as
+    exact literals on both sides."""
+    vecs = np.asarray(vecs, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(vecs), size=min(n_centroids, len(vecs)),
+                     replace=False)
+    cent = vecs[idx].copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for ci in range(len(cent)):
+            members = vecs[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+    return cent.round(6).tolist()
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                        n_centroids: int = 16, train_limit: int = 2048,
+                        iters: int = 5, seed: int = 42) -> list[list[float]]:
+    """Driver-side IVF training on a bounded deterministic sample: the
+    ``train_limit`` lowest-id vectors (TakeOrderedAndProject — a heap,
+    never a full sort) collect to the driver and k-means there. At
+    corpus scale the training set stays O(train_limit); the expensive
+    parts (assignment, probing) remain distributed in ``ivf_topk``."""
+    rows = (df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i").limit(train_limit).collect())
+    vecs = np.array([[float(x) for x in r["v"]] for r in rows])
+    return deterministic_kmeans(vecs, n_centroids, iters, seed)
+
+
+def _sqdist(vec: Column, c: list[float]) -> Column:
+    # sequential left-fold of (x-y)² in element order: bit-identical to
+    # DuckDB's list_sum over the same doubles, so argmin assignment
+    # cannot diverge between engine and oracle
+    return F.aggregate(
+        F.zip_with(vec, F.lit([float(x) for x in c]),
+                   lambda x, y: (x.cast("double") - y) *
+                                (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (0-based), first-min tiebreak — JVM only."""
+    d = F.array(*[_sqdist(vec, c) for c in centroids])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def _ivf_probes(vec: Column, centroids: list[list[float]],
+                nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids, by (distance, cid)."""
+    s = F.array(*[F.struct(_sqdist(vec, c).alias("d"),
+                           F.lit(i).alias("c"))
+                  for i, c in enumerate(centroids)])
+    return F.transform(F.slice(F.array_sort(s), 1, nprobe),
+                       lambda x: x["c"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+             id_col: str, centroids: list[list[float]], k: int = 10,
+             nprobe: int = 3) -> DataFrame:
+    """Approximate k-NN via an IVF (inverted-file) index: corpus vectors
+    partition into nearest-centroid cells, each query probes its
+    ``nprobe`` nearest cells, exact cosine re-ranks the candidates.
+
+    The scale shape mirrors ``hyperplane_lsh_topk``: cell assignment is
+    one map-side pass over the corpus (no shuffle), the query side —
+    exploded to (query, cell) probes — broadcasts, and the candidate
+    join carries only probed cells' rows into the re-rank. Unlike
+    hyperplane buckets, cells adapt to the data distribution (training
+    via ``train_ivf_centroids``), trading a bounded driver-side training
+    pass for better recall on clustered corpora; see the module
+    docstring for when the training-free LSH variant is preferable.
+    Returns (query_id, id, cosine, rank).
+    """
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("__cv"),
+                      _ivf_assign(F.col(vec_col), centroids).alias("cell"))
+    qb = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"),
+                        F.explode(_ivf_probes(F.col(vec_col), centroids,
+                                              nprobe)).alias("cell"))
+    cand = c.join(F.broadcast(qb), "cell").select(
+        "query_id", "id",
+        F.round(_cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (cand.dropDuplicates(["query_id", "id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
 
 
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,

@@ -105,6 +105,38 @@ def test_hyperplane_lsh_recall(spark, emb):
     assert sum(a.get(q) == e[q] for q in e) >= 9
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    from peri_spark.functions import (brute_force_topk, ivf_topk,
+                                      train_ivf_centroids)
+    cent = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
+                               train_limit=200)
+    cent2 = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
+                                train_limit=200)
+    assert cent == cent2                      # fully deterministic training
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, "embedding", "vec_id", k=1)
+    approx = ivf_topk(emb, q, "embedding", "vec_id", cent, k=1, nprobe=3)
+    e = {r.query_id: r.id for r in exact.collect()}
+    a = {r.query_id: r.id for r in approx.collect()}
+    # self is always retrieved: a query's own cell is its nearest cell
+    assert sum(a.get(i) == e[i] for i in e) == 10
+
+
+def test_ivf_training_paths_agree(spark, emb):
+    """The Spark training sample (lowest train_limit ids via TakeOrdered)
+    and the pyarrow path the oracle uses must produce identical
+    centroids — otherwise queries() and oracle_sql() could drift."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _ivf_centroids_from_parquet
+    from peri_spark.functions import train_ivf_centroids
+    a = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=16,
+                            train_limit=512)
+    b = _ivf_centroids_from_parquet(f"{SF}/embeddings.parquet",
+                                    n_train=512, n_centroids=16)
+    assert a == b
+
+
 def test_embedding_duplicate_pairs_selfdup(spark, emb):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 1000).alias("vec_id"),

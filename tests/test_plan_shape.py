@@ -187,6 +187,24 @@ def test_ngram_jaccard_plan_hot_token_filter_broadcasts(spark, docs):
         c.unpersist()
 
 
+def test_ivf_topk_plan_broadcast_probe_no_python(spark):
+    """IVF: cell assignment is a map-side JVM projection (no Python, no
+    shuffle of the corpus), the probe side broadcasts, candidates come
+    from an equi-join on the cell id — never a cartesian pairing."""
+    from peri_spark.functions import ivf_topk, train_ivf_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
+                               train_limit=200)
+    q = emb.limit(5)
+    top = ivf_topk(emb, q, "embedding", "vec_id", cent, k=3, nprobe=2)
+    p = plan_of(top)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "cell" in p                        # cell-keyed equi-join
+
+
 def test_brute_force_topk_uses_take_ordered(spark):
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
