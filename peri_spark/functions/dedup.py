@@ -219,6 +219,7 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                               hash_fn)
     sigs = sigs.persist()
     bands_df = _band_explode(sigs, bands, hash_fn)
+    sigs_v = sigs  # signature frame feeding the verify joins (see below)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_hash")
         sized = bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -230,6 +231,17 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
             dropped_counter["n_dropped_rows"] = hot["r"]
         bands_df = (sized.where(F.col("__bsz") <= max_bucket_size)
                     .drop("__bsz"))
+        # semi-filter the signatures to candidate ids BEFORE the verify
+        # joins: an id can pair only if some surviving bucket of its has
+        # ≥2 members, and that set falls out of the ALREADY-computed
+        # bucket-size window for free. The (small — near-dup suspects)
+        # id set broadcasts, so the corpus-wide signature arrays
+        # (n_hashes longs per doc) are filtered map-side rather than
+        # shuffled whole through each verify join.
+        cand_ids = (sized.where((F.col("__bsz") >= 2)
+                                & (F.col("__bsz") <= max_bucket_size))
+                    .select("id").distinct())
+        sigs_v = sigs.join(F.broadcast(cand_ids), "id", "leftsemi")
     cand = (bands_df.alias("l")
             .join(bands_df.alias("r"),
                   (F.col("l.band") == F.col("r.band"))
@@ -238,10 +250,10 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .dropDuplicates())
     verified = (cand
-                .join(sigs.select(F.col("id").alias("id_a"),
-                                  F.col("sig").alias("sig_a")), "id_a")
-                .join(sigs.select(F.col("id").alias("id_b"),
-                                  F.col("sig").alias("sig_b")), "id_b")
+                .join(sigs_v.select(F.col("id").alias("id_a"),
+                                    F.col("sig").alias("sig_a")), "id_a")
+                .join(sigs_v.select(F.col("id").alias("id_b"),
+                                    F.col("sig").alias("sig_b")), "id_b")
                 .select(
                     "id_a", "id_b",
                     (F.size(F.filter(
@@ -275,14 +287,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     inv = (inv.join(F.broadcast(
         tok_counts.where(F.col("df_") <= max_candidates_per_token)
         .select("tok")), "tok"))
+    # semi-filter the shingle-SET frame (unbounded arrays) to candidate
+    # ids before the verify joins: an id can pair only if it carries a
+    # SHARED surviving token (2 ≤ document frequency ≤ cap) — derived
+    # from the already-aggregated token counts, no extra shuffle. In a
+    # mostly-unique corpus this is a small fraction, so the arrays never
+    # shuffle corpus-wide.
+    shared_toks = (tok_counts.where(
+        (F.col("df_") >= 2) & (F.col("df_") <= max_candidates_per_token))
+        .select("tok"))
+    cand_ids = (inv.join(F.broadcast(shared_toks), "tok")
+                .select("id").distinct())
+    sh_v = sh.join(F.broadcast(cand_ids), "id", "leftsemi")
     cand = (inv.alias("l").join(inv.alias("r"),
                                 (F.col("l.tok") == F.col("r.tok"))
                                 & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .dropDuplicates())
     pairs = (cand
-             .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-             .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+             .join(sh_v.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+             .join(sh_v.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
              .select("id_a", "id_b",
                      (F.size(F.array_intersect("sh_a", "sh_b"))
                       / F.size(F.array_union("sh_a", "sh_b")))
