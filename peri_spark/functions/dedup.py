@@ -229,19 +229,23 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                         F.count(F.lit(1)).alias("r")).collect()[0])
             dropped_counter["n_hot_buckets"] = hot["b"]
             dropped_counter["n_dropped_rows"] = hot["r"]
-        bands_df = (sized.where(F.col("__bsz") <= max_bucket_size)
+        # singleton buckets cannot produce a pair — dropping them here
+        # shrinks the candidate self-join and makes the surviving rows
+        # exactly the candidate id universe
+        bands_df = (sized.where((F.col("__bsz") >= 2)
+                                & (F.col("__bsz") <= max_bucket_size))
                     .drop("__bsz"))
         # semi-filter the signatures to candidate ids BEFORE the verify
-        # joins: an id can pair only if some surviving bucket of its has
-        # ≥2 members, and that set falls out of the ALREADY-computed
-        # bucket-size window for free. The (small — near-dup suspects)
-        # id set broadcasts, so the corpus-wide signature arrays
-        # (n_hashes longs per doc) are filtered map-side rather than
-        # shuffled whole through each verify join.
-        cand_ids = (sized.where((F.col("__bsz") >= 2)
-                                & (F.col("__bsz") <= max_bucket_size))
-                    .select("id").distinct())
-        sigs_v = sigs.join(F.broadcast(cand_ids), "id", "leftsemi")
+        # joins so the corpus-wide signature arrays (n_hashes longs per
+        # doc) only shuffle for near-dup suspects. Costs one distinct
+        # shuffle of bare ids (plus re-executing the window subtree
+        # unless exchange reuse fires). Deliberately NO broadcast hint:
+        # on a high-duplication corpus the candidate set is O(corpus)
+        # and a forced broadcast would OOM the driver — AQE converts the
+        # semi-join to broadcast at runtime when the set is actually
+        # small, which is the only time broadcasting is safe.
+        cand_ids = bands_df.select("id").distinct()
+        sigs_v = sigs.join(cand_ids, "id", "leftsemi")
     cand = (bands_df.alias("l")
             .join(bands_df.alias("r"),
                   (F.col("l.band") == F.col("r.band"))
@@ -284,21 +288,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
           .persist())
     inv = sh.select("id", F.explode("sh").alias("tok"))
     tok_counts = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    # keep only SHARED survivable tokens (2 ≤ document frequency ≤ cap):
+    # df=1 tokens can never produce a pair in the self-join, so dropping
+    # them up front shrinks the index, and the surviving index rows are
+    # exactly the candidate id universe
     inv = (inv.join(F.broadcast(
-        tok_counts.where(F.col("df_") <= max_candidates_per_token)
+        tok_counts.where((F.col("df_") >= 2)
+                         & (F.col("df_") <= max_candidates_per_token))
         .select("tok")), "tok"))
     # semi-filter the shingle-SET frame (unbounded arrays) to candidate
-    # ids before the verify joins: an id can pair only if it carries a
-    # SHARED surviving token (2 ≤ document frequency ≤ cap) — derived
-    # from the already-aggregated token counts, no extra shuffle. In a
-    # mostly-unique corpus this is a small fraction, so the arrays never
-    # shuffle corpus-wide.
-    shared_toks = (tok_counts.where(
-        (F.col("df_") >= 2) & (F.col("df_") <= max_candidates_per_token))
-        .select("tok"))
-    cand_ids = (inv.join(F.broadcast(shared_toks), "tok")
-                .select("id").distinct())
-    sh_v = sh.join(F.broadcast(cand_ids), "id", "leftsemi")
+    # ids before the verify joins — arrays only shuffle for suspects.
+    # Costs one distinct shuffle of bare ids; NO broadcast hint (the
+    # candidate set is near-corpus-sized for natural-language n-grams —
+    # AQE broadcasts at runtime only when it measures small).
+    cand_ids = inv.select("id").distinct()
+    sh_v = sh.join(cand_ids, "id", "leftsemi")
     cand = (inv.alias("l").join(inv.alias("r"),
                                 (F.col("l.tok") == F.col("r.tok"))
                                 & (F.col("l.id") < F.col("r.id")))
