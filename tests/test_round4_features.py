@@ -1,0 +1,244 @@
+"""Round-4 features: adaptive candidate semi-filter, composite fused
+partition keys, hoisted-norm embeddings + dot-only re-rank, KS-drift
+oracle query, extension-dispatched path reader."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# adaptive candidate-id semi-filter (VERDICT r03 what's-wrong #2)
+# ---------------------------------------------------------------------------
+
+def _sparse_corpus(spark):
+    """60 docs: 50 unique + 5 near-dup pairs — candidates are sparse."""
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(f"uniq{i}tok{j}" for j in range(12))))
+    for p in range(5):
+        base = " ".join(f"dup{p}tok{j}" for j in range(12))
+        rows.append((100 + 2 * p, base))
+        rows.append((101 + 2 * p, base + " tail"))
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _dense_corpus(spark):
+    """40 docs, all shifted windows of one token stream — nearly every
+    doc is a near-dup candidate (the bench-smoke shape)."""
+    toks = [f"w{j}" for j in range(60)]
+    rows = [(i, " ".join(toks[(i % 4):(i % 4) + 20])) for i in range(40)]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_lsh_semi_filter_engages_on_sparse_corpus(spark):
+    from peri_spark.functions import lsh_duplicate_pairs
+    ctr = {}
+    pairs = lsh_duplicate_pairs(_sparse_corpus(spark), "text", "id",
+                                threshold=0.7, words=True,
+                                dropped_counter=ctr)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ctr["semi_filter"] is True
+    assert ctr["candidate_fraction"] <= 0.5
+    # every planted near-dup pair survives the filtered verify join
+    assert {(100 + 2 * p, 101 + 2 * p) for p in range(5)} <= got
+
+
+def test_lsh_semi_filter_skipped_on_dense_corpus(spark):
+    from peri_spark.functions import lsh_duplicate_pairs
+    ctr = {}
+    pairs = lsh_duplicate_pairs(_dense_corpus(spark), "text", "id",
+                                threshold=0.7, words=True,
+                                dropped_counter=ctr)
+    n = pairs.count()
+    assert ctr["semi_filter"] is False
+    assert ctr["candidate_fraction"] > 0.5
+    assert n > 0  # same-shift copies are near-identical
+
+
+def test_lsh_semi_filter_pinned_decisions_match(spark):
+    """Forcing (1.0) and disabling (0.0) the filter changes the plan,
+    never the pairs."""
+    from peri_spark.functions import lsh_duplicate_pairs
+    df = _sparse_corpus(spark)
+    ref = {(r.id_a, r.id_b) for r in lsh_duplicate_pairs(
+        df, "text", "id", threshold=0.7, words=True,
+        semi_filter_max_fraction=1.0).collect()}
+    off = {(r.id_a, r.id_b) for r in lsh_duplicate_pairs(
+        df, "text", "id", threshold=0.7, words=True,
+        semi_filter_max_fraction=0.0).collect()}
+    assert ref == off and ref
+
+
+def test_ngram_semi_filter_adaptive_both_ways(spark):
+    from peri_spark.functions import ngram_jaccard_pairs
+    sparse, dense = {}, {}
+    p1 = ngram_jaccard_pairs(_sparse_corpus(spark), "text", "id",
+                             threshold=0.5, k=3, words=True,
+                             dropped_counter=sparse)
+    got = {(r.id_a, r.id_b) for r in p1.collect()}
+    assert sparse["semi_filter"] is True
+    assert {(100 + 2 * p, 101 + 2 * p) for p in range(5)} <= got
+    p2 = ngram_jaccard_pairs(_dense_corpus(spark), "text", "id",
+                             threshold=0.5, k=3, words=True,
+                             dropped_counter=dense)
+    assert p2.count() > 0
+    assert dense["semi_filter"] is False
+
+
+def test_near_dup_clusters_chain_single_action_rounds(spark):
+    """A diameter-5 chain needs several propagation rounds; labels must
+    still converge to the component minimum with the fused
+    changed-count (one expensive action per round)."""
+    from peri_spark.functions import near_dup_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)],
+        "id_a long, id_b long")
+    lab = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert all(lab[i] == 1 for i in range(1, 7))
+    assert lab[10] == lab[11] == 10
+
+
+# ---------------------------------------------------------------------------
+# composite partition keys in run_fused (VERDICT r03 next #3)
+# ---------------------------------------------------------------------------
+
+def test_run_fused_composite_partition_matches_sequential(spark):
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dim = docs.select("lang").dropDuplicates()
+    schema = {"doc_id": ("required", "integer"),
+              "lang": ("enum", ["en", "es", "de", "fr"]),
+              "text": ("string", ("min", 1))}
+
+    def build():
+        return (ValidationSuite(schema, mode="permissive")
+                .with_uniqueness(["doc_id"])
+                .with_referential("lang", dim, "lang", broadcast=True)
+                .with_drift("n_chars", "source", lo=0.0, hi=2048.0,
+                            buckets=8)
+                .with_stats(["doc_id", "lang"], fused=True,
+                            exact_distinct=True)
+                .with_partitioning("source", "lang"))
+
+    fused = build().run_fused(docs)
+    seq = build().run(docs, concurrent=False)
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    vcols = ["source", "lang", "n_rows", "n_bad_rows", "n_violations",
+             "passed"]
+    assert rows(fused.verdicts, vcols) == rows(seq.verdicts, vcols)
+    dcols = ["group", "n", "chi2", "drifted"]
+    assert rows(fused.drift, dcols) == rows(seq.drift, dcols)
+    for k in ("n_rows", "n_bad_rows", "n_duplicate_keys",
+              "n_ref_violations:lang"):
+        assert fused.counters[k] == seq.counters[k], k
+    # fused exact stats == a direct exact-distinct stats pass
+    from peri_spark.constraints import column_stats
+    ref_stats = rows(column_stats(docs, ["doc_id", "lang"],
+                                  exact_distinct=True),
+                     ["column", "n_rows", "n_null", "n_distinct"])
+    assert rows(fused.stats,
+                ["column", "n_rows", "n_null", "n_distinct"]) == ref_stats
+
+
+def test_run_fused_single_partition_unchanged(spark):
+    """The single-key fused path (the bench headline) still works and
+    still derives drift per the partition column."""
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (ValidationSuite({"doc_id": ("required", "integer")},
+                           mode="permissive")
+           .with_drift("n_chars", "source", lo=0.0, hi=2048.0, buckets=8)
+           .with_partitioning("source")
+           .run_fused(docs))
+    assert out.verdicts.columns[0] == "source"
+    assert out.drift.count() == out.verdicts.count()
+
+
+def test_run_fused_drift_group_must_be_partition_key(spark):
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suite = (ValidationSuite({"doc_id": ("required", "integer")},
+                             mode="permissive")
+             .with_drift("n_chars", "lang", lo=0.0, hi=2048.0, buckets=8)
+             .with_partitioning("source"))
+    with pytest.raises(AssertionError, match="drift"):
+        suite.run_fused(docs)
+
+
+# ---------------------------------------------------------------------------
+# hoisted-norm normalize + dot-only re-rank (VERDICT r03 next #4)
+# ---------------------------------------------------------------------------
+
+def test_normalize_embeddings_unit_norm_and_hoisted(spark):
+    from peri_spark.functions import normalize_embeddings
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    norm = normalize_embeddings(emb, "embedding")
+    norms = norm.select(
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda a, v: a + v * v)).alias("n")).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+    # the per-element lambda must divide by a hoisted column, not re-run
+    # the O(d) norm aggregate per element: exactly ONE aggregate over the
+    # vector column in the optimized plan (the hoisted norm itself)
+    plan = norm._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate(") <= 2  # norm (+sqrt wrapper)
+
+
+def test_dot_rerank_on_normalized_matches_cosine(spark):
+    from peri_spark.functions import (brute_force_topk, hyperplane_lsh_topk,
+                                      ivf_topk, normalize_embeddings,
+                                      train_ivf_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    norm = normalize_embeddings(emb, "embedding")
+    nq = normalize_embeddings(queries, "embedding")
+
+    def keyset(df):
+        return {(r.query_id, r.id, r.rank) for r in df.collect()}
+
+    assert keyset(brute_force_topk(emb, queries, "embedding", "vec_id",
+                                   k=5)) == \
+        keyset(brute_force_topk(norm, nq, "embedding", "vec_id", k=5,
+                                assume_normalized=True))
+    assert keyset(hyperplane_lsh_topk(emb, queries, "embedding", "vec_id",
+                                      k=5, planes=6)) == \
+        keyset(hyperplane_lsh_topk(norm, nq, "embedding", "vec_id", k=5,
+                                   planes=6, assume_normalized=True))
+    cent = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
+                               train_limit=200)
+    ncent = train_ivf_centroids(norm, "embedding", "vec_id", n_centroids=8,
+                                train_limit=200)
+    a = keyset(ivf_topk(emb, queries, "embedding", "vec_id", cent, k=5,
+                        nprobe=8))  # all cells probed → exact
+    b = keyset(ivf_topk(norm, nq, "embedding", "vec_id", ncent, k=5,
+                        nprobe=8, assume_normalized=True))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# extension-dispatched path reader (ADVICE r03 #1)
+# ---------------------------------------------------------------------------
+
+def test_load_table_reads_csv_and_json_paths(spark, tmp_path):
+    from peri_spark.sources import load_table
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = load_table(spark, str(csv))
+    assert sorted(df.columns) == ["a", "b"] and df.count() == 2
+    js = tmp_path / "t.json"
+    js.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    dj = load_table(spark, str(js))
+    assert sorted(dj.columns) == ["a", "b"] and dj.count() == 2
+
+
+def test_load_table_extension_named_table_is_not_a_path(spark):
+    """`db.csv` stays a path per the carve-out, but a dotless ref named
+    like an extension is a catalog identifier (regression guard for the
+    classification rules)."""
+    from peri_spark.sources import is_table_identifier
+    assert not is_table_identifier("logs.csv")
+    assert is_table_identifier("csv")
+    assert is_table_identifier("db.table")
