@@ -280,7 +280,7 @@ def run_lsh(workers: int, input_path: str, runs: int) -> dict:
                   win.alias("text"))
           .where(F.length("text") > 0))
     n_rows = df.count()
-    best, n_pairs = None, None
+    best, n_pairs, pairs = None, None, None
     for _ in range(max(runs, 1)):
         t0 = time.perf_counter()
         pairs = lsh_duplicate_pairs(df, "text", "fid",
@@ -292,8 +292,140 @@ def run_lsh(workers: int, input_path: str, runs: int) -> dict:
     out = {"workers": workers, "n_rows": n_rows, "n_pairs": n_pairs,
            "wall_sec": round(best, 3),
            "rows_per_sec": round(n_rows / best, 1)}
+    # the one ITERATIVE op gets its at-scale datapoint here (VERDICT r03
+    # next #6): connected components over the just-computed pair set,
+    # recording rounds-to-convergence and wall
+    from peri_spark.functions.dedup import near_dup_clusters
+    cst = {}
+    t0 = time.perf_counter()
+    labels = near_dup_clusters(pairs, stats=cst)
+    n_ids = labels.count()
+    out["clusters"] = {"n_ids": n_ids,
+                       "n_clusters": labels.select("cluster_id")
+                                           .distinct().count(),
+                       "rounds": cst.get("rounds"),
+                       "converged": cst.get("converged"),
+                       "wall_sec": round(time.perf_counter() - t0, 3)}
     spark.stop()
     return out
+
+
+def run_violations_write(workers: int, input_path: str, runs: int) -> dict:
+    """Scale-smoke child: carry violations END-TO-END — explode the
+    per-row violation arrays into operational rows and write them to
+    parquet (the output a 100 TB validation run actually ships; VERDICT
+    r03 next #8 — proves the explode path holds at sf1 row counts)."""
+    from pyspark.sql import SparkSession
+    sys.path.insert(0, REPO)
+    from peri_spark import validate
+    from peri_spark.generator import FLAGSHIP_SCHEMA
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-viol-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    df = spark.read.parquet(input_path)
+    n_rows = df.count()  # warm cache, like run_suite
+    out_path = os.path.join(CACHE, "violations_out.parquet")
+    t0 = time.perf_counter()
+    v = validate(df, FLAGSHIP_SCHEMA, mode="permissive") \
+        .violations("repo", "path", "commit")
+    v.write.mode("overwrite").parquet(out_path)
+    wall = time.perf_counter() - t0
+    n_viol = spark.read.parquet(out_path).count()
+    spark.stop()
+    return {"workers": workers, "n_rows": n_rows,
+            "n_violation_rows": n_viol, "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1)}
+
+
+def run_ann_recall(workers: int, input_path: str, runs: int) -> dict:
+    """ANN recall child (VERDICT r03 next #7): recall@10 of the two
+    approximate paths vs brute-force ground truth on a fanned-out corpus.
+
+    The sf embeddings table is tiny (2 K vectors), so the corpus fans it
+    out ×SPARK_GRAFT_ANN_FAN with small deterministic per-copy/per-dim
+    perturbations (×(1+0.01·sin((copy+1)(d+1)))) — every base vector
+    grows a planted family of near neighbors, the realistic ANN load.
+    All paths run dot-only re-rank on normalized vectors
+    (assume_normalized), so this also exercises the round-4 fast path.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    sys.path.insert(0, REPO)
+    from peri_spark.functions.similarity import (
+        brute_force_topk, hyperplane_lsh_topk, ivf_topk,
+        normalize_embeddings, train_ivf_centroids)
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-ann-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    fan = int(os.environ.get("SPARK_GRAFT_ANN_FAN", "50"))
+    n_queries = 20
+    k = 10
+    base = spark.read.parquet(input_path).select("vec_id", "embedding")
+    n_base = base.count()
+    copies = spark.range(fan).select(F.col("id").cast("int").alias("copy"))
+    corpus = (base.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy").cast("long") * n_base)
+        .alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.01)
+               * F.sin((F.col("copy") + 1).cast("double") * (i + 1))))
+        .alias("embedding")))
+    corpus = normalize_embeddings(corpus, "embedding") \
+        .persist()
+    n_corpus = corpus.count()
+    queries = corpus.where(F.col("vec_id") < n_queries)
+
+    t0 = time.perf_counter()
+    truth = brute_force_topk(corpus, queries, "embedding", "vec_id", k=k,
+                             assume_normalized=True).collect()
+    bf_wall = time.perf_counter() - t0
+
+    def recall(rows) -> float:
+        want, got = {}, {}
+        for r in truth:
+            want.setdefault(r["query_id"], set()).add(r["id"])
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["id"])
+        return round(sum(len(want[q] & got.get(q, set())) / len(want[q])
+                         for q in want) / len(want), 4)
+
+    t0 = time.perf_counter()
+    lsh = hyperplane_lsh_topk(corpus, queries, "embedding", "vec_id",
+                              k=k, planes=6, multiprobe=2,
+                              assume_normalized=True).collect()
+    lsh_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cent = train_ivf_centroids(corpus, "embedding", "vec_id",
+                               n_centroids=16, train_limit=2048)
+    ivf = ivf_topk(corpus, queries, "embedding", "vec_id", cent,
+                   k=k, nprobe=3, assume_normalized=True).collect()
+    ivf_wall = time.perf_counter() - t0
+    corpus.unpersist()
+    spark.stop()
+    return {"workers": workers, "n_corpus": n_corpus,
+            "n_queries": n_queries, "k": k,
+            "wall_sec": round(bf_wall + lsh_wall + ivf_wall, 3),
+            "brute_force_wall_sec": round(bf_wall, 3),
+            "lsh_multiprobe2": {"recall_at_10": recall(lsh),
+                                "wall_sec": round(lsh_wall, 3)},
+            "ivf_nprobe3": {"recall_at_10": recall(ivf),
+                            "wall_sec": round(ivf_wall, 3)}}
+
+
+_CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
+                 "viol": run_violations_write, "ann": run_ann_recall}
 
 
 def child_main() -> None:
@@ -301,17 +433,17 @@ def child_main() -> None:
     input_path = sys.argv[sys.argv.index("--input") + 1]
     runs = int(sys.argv[sys.argv.index("--runs") + 1]) \
         if "--runs" in sys.argv else RUNS
-    body = run_lsh if "--lsh" in sys.argv else run_suite
-    print("CHILD_JSON:" + json.dumps(body(workers, input_path, runs)))
+    mode = sys.argv[sys.argv.index("--mode") + 1] \
+        if "--mode" in sys.argv else "suite"
+    print("CHILD_JSON:" + json.dumps(_CHILD_BODIES[mode](
+        workers, input_path, runs)))
 
 
 def spawn(workers: int, input_path: str, runs: int = RUNS,
-          lsh: bool = False, _retry: bool = True) -> dict:
+          mode: str = "suite", _retry: bool = True) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--workers", str(workers), "--input", input_path,
-           "--runs", str(runs)]
-    if lsh:
-        cmd.append("--lsh")
+           "--runs", str(runs), "--mode", mode]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
                           timeout=2400)
     for line in proc.stdout.splitlines():
@@ -319,7 +451,7 @@ def spawn(workers: int, input_path: str, runs: int = RUNS,
             return json.loads(line[len("CHILD_JSON:"):])
     sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
     if _retry:  # one retry: a lost child must not kill the whole artifact
-        return spawn(workers, input_path, runs, lsh, _retry=False)
+        return spawn(workers, input_path, runs, mode, _retry=False)
     raise RuntimeError(f"bench child (workers={workers}) failed")
 
 
@@ -334,9 +466,12 @@ def _best_two_spread(xs: list[float]) -> float:
 
 
 def scale_smoke(rate_sf01: float) -> dict | None:
-    """sf1 section: fused suite at 10× the headline input (~60 M rows)
-    plus one LSH dedup pass — catches plans whose constants only show
-    past sf0.1. Skipped when disk is low or SPARK_GRAFT_BENCH_SF1=0."""
+    """sf1 section: fused suite at 10× the headline input (~60 M rows),
+    one LSH dedup pass + connected components over its pairs, and an
+    end-to-end violations parquet write — catches plans whose constants
+    only show past sf0.1. This section is deliberately RETRY-FREE and
+    never merged with history (VERDICT r03 what's-wrong #5: it is the
+    honest canary). Skipped when disk is low or SPARK_GRAFT_BENCH_SF1=0."""
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "1":
         return None
     st = os.statvfs(REPO)
@@ -347,7 +482,8 @@ def scale_smoke(rate_sf01: float) -> dict | None:
     suite_in = prepare_input(suite_scale)
     lsh_in = prepare_input(lsh_scale)
     s = spawn(HEADLINE_WORKERS, suite_in, runs=1)
-    l = spawn(HEADLINE_WORKERS, lsh_in, runs=1, lsh=True)
+    l = spawn(HEADLINE_WORKERS, lsh_in, runs=1, mode="lsh")
+    v = spawn(HEADLINE_WORKERS, suite_in, runs=1, mode="viol")
     return {
         "suite": {"n_rows": s["n_rows"], "wall_sec": s["wall_sec"],
                   "rows_per_sec": s["rows_per_sec"],
@@ -356,6 +492,11 @@ def scale_smoke(rate_sf01: float) -> dict | None:
         "lsh_near_dup": {"n_rows": l["n_rows"], "n_pairs": l["n_pairs"],
                          "wall_sec": l["wall_sec"],
                          "docs_per_sec": l["rows_per_sec"]},
+        "near_dup_clusters": l.get("clusters"),
+        "violations_write": {"n_rows": v["n_rows"],
+                             "n_violation_rows": v["n_violation_rows"],
+                             "wall_sec": v["wall_sec"],
+                             "rows_per_sec": v["rows_per_sec"]},
     }
 
 
@@ -448,6 +589,11 @@ def main() -> None:
         "queries": headline["stages"],
         "headline_workers": headline["workers"],
         "merged_from_history": any(hist),
+        # dispersion disclosure (ADVICE r03 #4): every raw headline
+        # sample from THIS run plus the retry count, so readers can
+        # judge the spread behind the merged minimum
+        "headline_samples_this_run": [r["wall_sec"] for r in h8s],
+        "headline_retries": len(h8s) - 1,
         "code_fingerprint": fp,
         "scaling": {
             "input_rows": s1["n_rows"],
@@ -470,6 +616,13 @@ def main() -> None:
                      "history — see BASELINE.md"),
         },
     }
+    try:
+        # ANN recall (VERDICT r03 next #7): fresh every run, no history
+        out["ann_recall"] = spawn(HEADLINE_WORKERS,
+                                  f"{SF_DIR}/embeddings.parquet",
+                                  runs=1, mode="ann")
+    except Exception as e:
+        out["ann_recall"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact

@@ -262,9 +262,13 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
             sigs_v = sigs.join(bands_df.select("id").distinct(),
                                "id", "leftsemi")
         elif semi_filter_max_fraction > 0.0:
-            n_docs = sigs.count()  # materializes the signature cache anyway
+            # ONE pass decides: the distinct-count job fills the sigs AND
+            # bands caches on its way; the doc count after it is a pure
+            # cache scan (order matters — counting sigs first would run
+            # the signature UDF as its own serialized job)
             cand_ids = bands_df.select("id").distinct().persist()
             n_cand = cand_ids.count()
+            n_docs = sigs.count()
             frac = n_cand / n_docs if n_docs else 0.0
             engage = frac <= semi_filter_max_fraction
             if dropped_counter is not None:
@@ -347,9 +351,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if semi_filter_max_fraction >= 1.0:  # pinned: no decision counts
         sh_v = sh.join(inv.select("id").distinct(), "id", "leftsemi")
     elif semi_filter_max_fraction > 0.0:
-        n_docs = sh.count()
+        # one pass: the distinct-count fills the sh and inv caches; the
+        # doc count after it is a cache scan (see lsh_duplicate_pairs)
         cand_ids = inv.select("id").distinct().persist()
         n_cand = cand_ids.count()
+        n_docs = sh.count()
         frac = n_cand / n_docs if n_docs else 0.0
         engage = frac <= semi_filter_max_fraction
         if dropped_counter is not None:
@@ -473,7 +479,8 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                      id_b: str = "id_b", max_iter: int = 20,
+                      stats: dict | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, cluster_id).
 
     Turns the pairwise output of ``lsh_duplicate_pairs`` /
@@ -500,6 +507,10 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels and rides through the checkpoint, so the convergence count is
     a trivial aggregate over the already-materialized partitions instead
     of a second execution of the join subtree.
+
+    Pass a dict as ``stats`` to read back ``rounds`` (propagation rounds
+    executed) and ``converged`` — the scale-observability hook the sf1
+    bench smoke records.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
@@ -510,7 +521,9 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("id")))
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min over self + neighborhood; neighbors' labels arrive via the
         # edge join keyed on the neighbor side
         neigh = (edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -527,6 +540,9 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
         labels = new.drop("__chg")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     if changed:
         import warnings
         warnings.warn(
