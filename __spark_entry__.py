@@ -134,6 +134,22 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
+def q_verdicts_composite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """run_fused with a COMPOSITE partition key (source, lang) — the
+    round-4 generalization (VERDICT r03 next #3): one scan + one
+    grouped aggregate; verdicts re-derive per (source, lang) cell."""
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (ValidationSuite({"doc_id": ("required", "integer"),
+                            "n_chars": ("integer", ("lt", 1500))},
+                           mode="permissive")
+           .without_stats()
+           .with_partitioning("source", "lang")
+           .run_fused(docs))
+    return out.verdicts.select("source", "lang", "n_rows", "n_bad_rows",
+                               "n_violations", "passed")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _code_files(spark, sf_dir)
     return (df.where(F.col("content").isNotNull())
@@ -377,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_lineitem_orders": q_referential_lineitem_orders,
         "drift_documents": q_drift_documents,
         "ks_drift_documents": q_ks_drift_documents,
+        "verdicts_composite_documents": q_verdicts_composite_documents,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -804,6 +821,24 @@ def oracle_sql() -> dict[str, str]:
              AS drifted
     FROM d
     """
+    # composite-key fused verdicts: per-(source, lang) violation counters.
+    # Peri semantics mirrored: required null = 1 violation; non-required
+    # constraint applies only to non-null values.
+    verdicts_composite = """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_rows,
+           CAST(sum(bad) AS BIGINT) AS n_violations,
+           sum(CASE WHEN bad > 0 THEN 1 ELSE 0 END) = 0 AS passed
+    FROM (
+      SELECT source, lang,
+             (CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars < 1500)
+                   THEN 1 ELSE 0 END) AS bad
+      FROM documents)
+    GROUP BY 1, 2
+    """
     dedup = f"""
     SELECT md5(content) AS content_hash, count(*) AS n_copies
     FROM {_CF} AS code_files WHERE content IS NOT NULL
@@ -903,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "referential_lineitem_orders": ref_li,
         "drift_documents": drift,
         "ks_drift_documents": ks_drift_sql,
+        "verdicts_composite_documents": verdicts_composite,
         "dedup_exact": dedup,
         "token_count": tokens,
         "text_quality": quality,

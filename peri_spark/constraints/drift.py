@@ -17,7 +17,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["histogram", "chi_square_drift", "ks_drift", "chi2_critical"]
+__all__ = ["histogram", "chi_square_drift", "ks_drift", "ks_stat_from_obs",
+           "chi2_critical"]
 
 
 def _bucket(col, lo: float, hi: float, nb: int):
@@ -117,21 +118,14 @@ def chi_square_drift(df: DataFrame, value_col: str, group_col: str,
         (F.col("chi2") > crit).alias("drifted"))
 
 
-def ks_drift(df: DataFrame, value_col: str, group_col: str,
-             lo: float, hi: float, buckets: int = 64,
-             baseline: DataFrame | None = None,
-             threshold: float | None = None) -> DataFrame:
-    """Per-group two-sample KS statistic on bucketed CDFs.
-
-    D = max_b |CDF_group(b) - CDF_baseline(b)|; with ``threshold=None`` the
-    asymptotic 1% critical value c(α)·sqrt((n+m)/(n·m)) is used per group.
-    """
+def ks_stat_from_obs(obs: DataFrame, baseline: DataFrame, m_total: int,
+                     threshold: float | None = None) -> DataFrame:
+    """KS statistic from pre-bucketed (group, bucket, obs) counts — the
+    shared tail of ``ks_drift`` and the fused-suite derivation (which
+    already holds the histogram as its grouped counter frame and must
+    not rescan the corpus)."""
     from pyspark.sql import Window
 
-    if baseline is None:
-        baseline = histogram(df, value_col, lo, hi, buckets)
-    m_total = baseline.agg(F.sum("n")).collect()[0][0]
-    obs = _grouped_counts(df, value_col, group_col, lo, hi, buckets)
     grid = _grid(obs, baseline)
     w = Window.partitionBy("group").orderBy("bucket")
     cdf = grid.select(
@@ -151,3 +145,19 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str,
     return d.select("group", "n", F.round("ks", 6).alias("ks"),
                     F.round(crit, 6).alias("critical"),
                     (F.col("ks") > crit).alias("drifted"))
+
+
+def ks_drift(df: DataFrame, value_col: str, group_col: str,
+             lo: float, hi: float, buckets: int = 64,
+             baseline: DataFrame | None = None,
+             threshold: float | None = None) -> DataFrame:
+    """Per-group two-sample KS statistic on bucketed CDFs.
+
+    D = max_b |CDF_group(b) - CDF_baseline(b)|; with ``threshold=None`` the
+    asymptotic 1% critical value c(α)·sqrt((n+m)/(n·m)) is used per group.
+    """
+    if baseline is None:
+        baseline = histogram(df, value_col, lo, hi, buckets)
+    m_total = baseline.agg(F.sum("n")).collect()[0][0]
+    obs = _grouped_counts(df, value_col, group_col, lo, hi, buckets)
+    return ks_stat_from_obs(obs, baseline, m_total, threshold)

@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .engine import VIOLATIONS_COLUMN, ValidationResult, validate
-from .constraints import (chi_square_drift, column_stats, partition_verdicts,
-                          referential_violations, uniqueness_violations)
+from .constraints import (chi_square_drift, column_stats, ks_drift,
+                          partition_verdicts, referential_violations,
+                          uniqueness_violations)
 
 __all__ = ["ValidationSuite", "SuiteResult"]
 
@@ -146,8 +147,16 @@ class ValidationSuite:
         return self
 
     def with_drift(self, value_expr: str, group_col: str, lo: float, hi: float,
-                   buckets: int = 10, baseline: DataFrame | None = None):
-        self._drift = (value_expr, group_col, lo, hi, buckets, baseline)
+                   buckets: int = 10, baseline: DataFrame | None = None,
+                   method: str = "chi2"):
+        """``method="chi2"`` (Pearson vs the baseline histogram) or
+        ``"ks"`` (two-sample KS on bucketed CDFs). Both derive from the
+        SAME (partition, bucket) counter frame in ``run_fused`` — the
+        histogram is the sufficient statistic either way, so switching
+        the test never adds a corpus scan."""
+        assert method in ("chi2", "ks"), method
+        self._drift = (value_expr, group_col, lo, hi, buckets, baseline,
+                       method)
         return self
 
     def with_partitioning(self, *cols: str, max_bad_ratio: float = 0.0):
@@ -273,11 +282,11 @@ class ValidationSuite:
 
         if self._drift:
             def dr():
-                vexpr, group, lo, hi, buckets, baseline = self._drift
+                vexpr, group, lo, hi, buckets, baseline, method = self._drift
                 dff = df.select(F.expr(vexpr).alias("__v"),
                                 F.col(group).alias("__g"))
-                out.drift = chi_square_drift(dff, "__v", "__g", lo, hi,
-                                             buckets, baseline)
+                fn = chi_square_drift if method == "chi2" else ks_drift
+                out.drift = fn(dff, "__v", "__g", lo, hi, buckets, baseline)
                 counters["n_drift_groups"] = out.drift.count()
             thunks.append(("drift", dr))
         return thunks
@@ -338,7 +347,7 @@ class ValidationSuite:
         sel = [F.col(c).alias(a) for c, a in zip(pcols, part_aliases)]
         sel.append(nviol.alias("__nv"))
         if self._drift:
-            vexpr, _group, lo, hi, buckets, _baseline = self._drift
+            vexpr, _group, lo, hi, buckets, _baseline, _method = self._drift
             from .constraints.drift import _bucket
             # -1 sentinel for null drift values: they count for verdicts
             # but are excluded from the drift histogram (the sequential
@@ -628,10 +637,12 @@ class ValidationSuite:
             out.referential[name] = referential_violations(df, fk, dim, pk,
                                                            broadcast=bc)
 
-        # drift ← chi-square over the tiny (partition × bucket) frame
+        # drift ← chi-square / KS over the tiny (partition × bucket)
+        # frame; the bucketed histogram is the sufficient statistic for
+        # both tests, so switching method never touches the corpus again
         if self._drift:
-            vexpr, _gr, lo, hi, buckets, _bl = self._drift
-            from .constraints.drift import chi2_critical
+            vexpr, _gr, lo, hi, buckets, _bl, method = self._drift
+            from .constraints.drift import chi2_critical, ks_stat_from_obs
             # the drift group is one of the partition keys; with a
             # composite partitioning the (group, bucket) histogram sums
             # over the other key dimensions — still the tiny frame
@@ -643,27 +654,36 @@ class ValidationSuite:
             if _bl is not None:
                 # configured baseline histogram (bucket, n, p) — same
                 # semantics as chi_square_drift(..., baseline=_bl)
-                base = _bl.select("bucket", "p")
+                base = _bl.select("bucket", "n", "p")
             else:
                 base = (obs.groupBy("bucket").agg(F.sum("obs").alias("n")))
                 from pyspark.sql import Window
-                base = base.select("bucket", (F.col("n") / F.sum("n")
-                                              .over(Window.partitionBy()))
-                                   .alias("p"))
-            totals = obs.groupBy("group").agg(F.sum("obs").alias("total"))
-            grid = (totals.crossJoin(F.broadcast(base))
-                    .join(obs, ["group", "bucket"], "left")
-                    .select("group", "total", "p",
-                            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
-                            (F.col("total") * F.col("p")).alias("exp")))
-            crit = chi2_critical(buckets - 1)
-            out.drift = (grid.where(F.col("exp") > 0).groupBy("group")
-                         .agg(F.max("total").alias("n"),
-                              F.sum((F.col("obs") - F.col("exp")) ** 2
-                                    / F.col("exp")).alias("chi2"))
-                         .select("group", "n", F.round("chi2", 6).alias("chi2"),
-                                 F.lit(round(crit, 6)).alias("critical"),
-                                 (F.col("chi2") > crit).alias("drifted")))
+                base = base.select("bucket", "n",
+                                   (F.col("n") / F.sum("n")
+                                    .over(Window.partitionBy())).alias("p"))
+            if method == "ks":
+                # one trivial action over the tiny histogram for the
+                # baseline size (mirrors ks_drift's m_total)
+                m_total = base.agg(F.sum("n")).collect()[0][0]
+                out.drift = ks_stat_from_obs(obs, base, m_total)
+            else:
+                totals = obs.groupBy("group").agg(F.sum("obs").alias("total"))
+                grid = (totals.crossJoin(F.broadcast(base.select("bucket",
+                                                                 "p")))
+                        .join(obs, ["group", "bucket"], "left")
+                        .select("group", "total", "p",
+                                F.coalesce(F.col("obs"), F.lit(0))
+                                .alias("obs"),
+                                (F.col("total") * F.col("p")).alias("exp")))
+                crit = chi2_critical(buckets - 1)
+                out.drift = (grid.where(F.col("exp") > 0).groupBy("group")
+                             .agg(F.max("total").alias("n"),
+                                  F.sum((F.col("obs") - F.col("exp")) ** 2
+                                        / F.col("exp")).alias("chi2"))
+                             .select("group", "n",
+                                     F.round("chi2", 6).alias("chi2"),
+                                     F.lit(round(crit, 6)).alias("critical"),
+                                     (F.col("chi2") > crit).alias("drifted")))
             out.counters["n_drift_groups"] = out.drift.count()
         out_timings["derive_stages"] = time.perf_counter() - t
 
@@ -762,11 +782,11 @@ class ValidationSuite:
 
         if self._drift:
             t = time.perf_counter()
-            vexpr, group, lo, hi, buckets, baseline = self._drift
+            vexpr, group, lo, hi, buckets, baseline, method = self._drift
             dff = df.select(F.expr(vexpr).alias("__v"),
                             F.col(group).alias("__g"))
-            out.drift = chi_square_drift(dff, "__v", "__g", lo, hi,
-                                         buckets, baseline)
+            fn = chi_square_drift if method == "chi2" else ks_drift
+            out.drift = fn(dff, "__v", "__g", lo, hi, buckets, baseline)
             if eager:
                 counters["n_drift_groups"] = out.drift.count()
             timings["drift"] = time.perf_counter() - t

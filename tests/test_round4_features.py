@@ -168,6 +168,32 @@ def test_run_fused_drift_group_must_be_partition_key(spark):
         suite.run_fused(docs)
 
 
+def test_suite_ks_drift_fused_matches_standalone(spark):
+    """with_drift(method='ks'): the fused derivation (from the grouped
+    counter frame, no second corpus scan) must equal ks_drift run
+    directly, and the sequential path must too."""
+    from peri_spark.constraints import ks_drift
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def build():
+        return (ValidationSuite({"doc_id": ("required", "integer")},
+                                mode="permissive")
+                .without_stats()
+                .with_drift("n_chars", "source", lo=0.0, hi=2048.0,
+                            buckets=16, method="ks")
+                .with_partitioning("source"))
+
+    def rows(df):
+        return sorted((r["group"], r["n"], r["ks"], r["critical"],
+                       r["drifted"]) for r in df.collect())
+
+    direct = ks_drift(docs, "n_chars", "source", lo=0.0, hi=2048.0,
+                      buckets=16)
+    assert rows(build().run_fused(docs).drift) == rows(direct)
+    assert rows(build().run(docs, concurrent=False).drift) == rows(direct)
+
+
 # ---------------------------------------------------------------------------
 # hoisted-norm normalize + dot-only re-rank (VERDICT r03 next #4)
 # ---------------------------------------------------------------------------
