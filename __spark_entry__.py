@@ -304,6 +304,24 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(p).orderBy("id")
 
 
+def q_dedup_by_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based corpus dedup end-to-end: near-dup pairs → connected
+    components → drop every non-canonical member (keep the component
+    minimum + all singletons). Returns surviving ids; the DuckDB oracle
+    anti-joins the recursive-CTE clusters the same way."""
+    from peri_spark.functions import (deduplicate_by_clusters,
+                                      near_dup_clusters,
+                                      ngram_jaccard_pairs, portable_hash64)
+    df = _code_files(spark, sf_dir)
+    keyed = df.select(
+        portable_hash64(F.concat_ws("|", "repo", "path", "commit"))
+        .alias("id"), "content").where(F.col("content").isNotNull())
+    p = ngram_jaccard_pairs(keyed, "content", "id", threshold=0.5, k=3,
+                            words=True, max_candidates_per_token=200)
+    clusters = near_dup_clusters(p)
+    return deduplicate_by_clusters(keyed, "id", clusters).select("id")
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (hyperplane-LSH buckets → exact
     cosine). The corpus has no natural near-dups, so 20 perturbed copies
@@ -409,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_by_clusters": q_dedup_by_clusters,
     })
     return out
 
@@ -551,6 +570,25 @@ def _near_dup_clusters_oracle_sql() -> str:
       UNION
       SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r)
     SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+    """
+
+
+def _dedup_by_clusters_oracle_sql() -> str:
+    """DuckDB reproduction of q_dedup_by_clusters: the recursive-CTE
+    clusters as a subquery, anti-joined against the keyed corpus (rows
+    whose id is a non-canonical cluster member are dropped; duplicate
+    ids from the injected key dups survive or die together, matching
+    the engine's left_anti join)."""
+    key_expr = _ph('repo || \'|\' || path || \'|\' || "commit"')
+    cluster_sql = _near_dup_clusters_oracle_sql()
+    return f"""
+    WITH keyed AS (
+      SELECT {key_expr} AS id
+      FROM {_CF} AS code_files WHERE content IS NOT NULL),
+    cl AS MATERIALIZED ({cluster_sql})
+    SELECT k.id FROM keyed k
+    WHERE NOT EXISTS (SELECT 1 FROM cl
+                      WHERE cl.id = k.id AND cl.id <> cl.cluster_id)
     """
 
 
@@ -955,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _knn_ivf_oracle_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "dedup_by_clusters": _dedup_by_clusters_oracle_sql(),
         "embedding_dups": _embedding_dups_oracle_sql(),
     })
     return out
