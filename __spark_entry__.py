@@ -358,6 +358,63 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _violations_flat(ev, EVENTS_SCHEMA, ["event_id"])
 
 
+def q_streaming_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming validation end-to-end: the SAME compiled
+    projection as q_validate_events applied via ``readStream`` →
+    ``availableNow`` memory sink. The compile is a stateless projection
+    (peri_spark.streaming), so the streaming output must be batch-identical
+    — which lets the batch DuckDB oracle check the streaming engine.
+    Parity target: reference lib/peri.ex validation semantics under
+    continuous ingestion (SURVEY.md §2.7 streaming)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a DIRECTORY: stream the sf dir with a
+    # glob filter (testdata tables are single files, not dirs)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .option("maxFilesPerTrigger", 1).parquet(sf_dir))
+    out = _violations_flat(stream, EVENTS_SCHEMA, ["event_id"])
+    sink = "stream_validate_events_sink"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("event_id", "err_path", "key")
+
+
+def q_streaming_violation_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) in the
+    driver artifact: per-user consecutive-invalid streaks over the events
+    stream, drained via foreachBatch under an ``availableNow`` trigger.
+    Rows-only by design (NO_ORACLE): update-mode emissions depend on state
+    batch boundaries, which ANSI SQL cannot express."""
+    from peri_spark.streaming import violation_streaks
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .option("maxFilesPerTrigger", 1).parquet(sf_dir)
+              # watermarks require TIMESTAMP; the table stores NTZ
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = violation_streaks(stream, EVENTS_SCHEMA, key_col="user_id",
+                            ts_col="ts")
+    batches: list[list] = []
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda bdf, _bid: batches.append(bdf.collect()))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    rows = [r for b in batches for r in b]
+    if not rows:
+        return spark.createDataFrame([], out.schema)
+    return (spark.createDataFrame(rows, out.schema)
+            .orderBy("key", "total_bad", "streak"))
+
+
 def q_defaults_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default + transform value rewrites (#28-32): null priority defaults,
     then upper-cases; validated rows only."""
@@ -386,8 +443,10 @@ def q_either_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 2: every query is oracle-checked — the former no-oracle set
 # (minhash/simhash/winnow/knn) now runs in portable-hash mode with full
 # DuckDB reproductions (md5-prefix 60-bit hashes, embedded plane/perm
-# constants)
-NO_ORACLE: set[str] = set()
+# constants). round 4 adds exactly one deliberate rows-only entry: the
+# stateful-streaming streak operator, whose update-mode emissions depend
+# on state batch boundaries that ANSI SQL cannot express.
+NO_ORACLE: set[str] = {"streaming_violation_streaks"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -424,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "validate_events": q_validate_events,
+        "streaming_validate_events": q_streaming_validate_events,
+        "streaming_violation_streaks": q_streaming_violation_streaks,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
         "ngram_jaccard": q_ngram_jaccard,
@@ -984,6 +1045,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": quality_scores_sql,
         "embedding_topk": embedding_topk,
         "validate_events": validate_events,
+        # the streaming run is batch-identical by design (stateless
+        # projection), so the same generated oracle checks it
+        "streaming_validate_events": validate_events,
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
