@@ -262,12 +262,16 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
             sigs_v = sigs.join(bands_df.select("id").distinct(),
                                "id", "leftsemi")
         elif semi_filter_max_fraction > 0.0:
-            # ONE pass decides: the distinct-count job fills the sigs AND
-            # bands caches on its way; the doc count after it is a pure
-            # cache scan (order matters — counting sigs first would run
-            # the signature UDF as its own serialized job)
-            cand_ids = bands_df.select("id").distinct().persist()
-            n_cand = cand_ids.count()
+            # ONE cheap pass decides: approx_count_distinct is a map-side
+            # HLL partial (no corpus-wide id shuffle — the whole point on
+            # DENSE corpora, where this job is all overhead), and it
+            # fills the sigs AND bands caches on its way; the doc count
+            # after it is a pure cache scan (order matters — counting
+            # sigs first would run the signature UDF as its own job).
+            # ±2% sketch error is irrelevant to a 0.5-fraction gate; the
+            # EXACT candidate set is only built when the filter engages.
+            n_cand = bands_df.agg(
+                F.approx_count_distinct("id").alias("c")).collect()[0]["c"]
             n_docs = sigs.count()
             frac = n_cand / n_docs if n_docs else 0.0
             engage = frac <= semi_filter_max_fraction
@@ -275,10 +279,11 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                 dropped_counter["candidate_fraction"] = round(frac, 4)
                 dropped_counter["semi_filter"] = engage
             if engage:
+                # exact id universe, distinct'd over the (small, cached)
+                # band frame; persisted because both verify joins use it
+                cand_ids = bands_df.select("id").distinct().persist()
                 sigs_v = sigs.join(cand_ids, "id", "leftsemi")
                 cached.append(cand_ids)
-            else:
-                cand_ids.unpersist()
     cand = (bands_df.alias("l")
             .join(bands_df.alias("r"),
                   (F.col("l.band") == F.col("r.band"))
@@ -351,10 +356,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if semi_filter_max_fraction >= 1.0:  # pinned: no decision counts
         sh_v = sh.join(inv.select("id").distinct(), "id", "leftsemi")
     elif semi_filter_max_fraction > 0.0:
-        # one pass: the distinct-count fills the sh and inv caches; the
+        # one cheap pass decides: map-side HLL partial, no id shuffle on
+        # the dense path; fills the sh and inv caches on its way; the
         # doc count after it is a cache scan (see lsh_duplicate_pairs)
-        cand_ids = inv.select("id").distinct().persist()
-        n_cand = cand_ids.count()
+        n_cand = inv.agg(
+            F.approx_count_distinct("id").alias("c")).collect()[0]["c"]
         n_docs = sh.count()
         frac = n_cand / n_docs if n_docs else 0.0
         engage = frac <= semi_filter_max_fraction
@@ -362,10 +368,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             dropped_counter["candidate_fraction"] = round(frac, 4)
             dropped_counter["semi_filter"] = engage
         if engage:
+            cand_ids = inv.select("id").distinct().persist()
             sh_v = sh.join(cand_ids, "id", "leftsemi")
             cached.append(cand_ids)
-        else:
-            cand_ids.unpersist()
     cand = (inv.alias("l").join(inv.alias("r"),
                                 (F.col("l.tok") == F.col("r.tok"))
                                 & (F.col("l.id") < F.col("r.id")))
