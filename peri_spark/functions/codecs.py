@@ -1,0 +1,276 @@
+"""Real pure-stdlib/numpy media codecs for the multimodal operators.
+
+The container has no PIL/ffmpeg, but PNG, BMP, PPM/PGM and WAV need
+nothing beyond ``zlib``/``struct`` (stdlib) and numpy — so the formats a
+deterministic data pipeline actually controls get REAL decode/encode/
+resize here, and the multimodal mapInPandas operators
+(functions/multimodal.py) dispatch on magic bytes: real codec when the
+payload is one of these formats, the documented deterministic fallback
+for everything else (JPEG/MP4 stay stubbed — lossy codecs genuinely
+need the external libraries).
+
+All functions are plain bytes/ndarray transforms — no Spark imports —
+so they run inside Arrow batches on executors with zero driver state.
+
+Parity note: the reference (zoedsoupe/peri) has no media layer; this
+module backs the SURVEY.md LLM-pipeline multimodal directive.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "sniff_format", "decode_image", "encode_png", "resize_nearest",
+    "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
+    "encode_wav_pcm16",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'png' | 'bmp' | 'ppm' | 'wav' | None."""
+    if not payload:
+        return None
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode PNG → uint8 array (H, W, C). Supports bit depth 8, color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace —
+    i.e. everything ``encode_png`` and common tool exports produce."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, channels = 8, None, None, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("short PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    bpp = channels
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:        # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:      # Up
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + prev)
+                .astype(np.uint8).tobytes())
+        elif ftype == 3:      # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:      # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x]
+                           + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        prev = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[y] = prev
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode uint8 (H, W) or (H, W, C∈{1,2,3,4}) → PNG bytes (filter 0,
+    one zlib stream). Deterministic: fixed compression level 6."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    comp = zlib.compress(raw, 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed BI_RGB) and PPM/PGM (binary)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode 24-bit uncompressed BMP → uint8 (H, W, 3) RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, depth = struct.unpack("<HH", payload[26:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if depth != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP depth={depth} comp={comp}")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=stride * h, offset=data_off)
+    rows = px.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if flipped:                      # BMP stores bottom-up
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()   # BGR → RGB
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) / PGM (P5), maxval ≤255."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM")
+    # header: magic, whitespace-separated w h maxval (comments allowed)
+    vals, pos = [], 2
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals[0], vals[1], vals[2]
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    c = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=pos)
+    return px.reshape(h, w, c).copy()
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 → (samples int16 (n, channels), rate_hz)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV fmt={fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("truncated WAV")
+    n = len(data) // (2 * channels)
+    samples = np.frombuffer(data, dtype="<i2", count=n * channels)
+    return samples.reshape(n, channels).copy(), rate
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate_hz: int) -> bytes:
+    """Encode int16 (n,) or (n, channels) → RIFF/WAVE PCM16 bytes."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate_hz, rate_hz * ch * 2, ch * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# Decode dispatch + resize
+# ---------------------------------------------------------------------------
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → uint8 (H, W, C). Raises ValueError for
+    formats without a pure-stdlib codec (JPEG, …)."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    raise ValueError(f"no stdlib codec for format {fmt or 'unknown'}")
+
+
+def resize_nearest(arr: np.ndarray, target_w: int, target_h: int,
+                   fit: bool = True) -> np.ndarray:
+    """Nearest-neighbor resize (deterministic, pure numpy indexing).
+
+    ``fit=True`` preserves aspect ratio inside the target box and never
+    upscales (the multimodal resize contract); ``fit=False`` maps to the
+    exact target dims."""
+    h, w = arr.shape[:2]
+    if fit:
+        scale = min(target_w / w, target_h / h, 1.0)
+        tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
+    else:
+        tw, th = max(target_w, 1), max(target_h, 1)
+    ys = np.minimum((np.arange(th) * (h / th)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(tw) * (w / tw)).astype(np.int64), w - 1)
+    return arr[ys][:, xs]
