@@ -1,11 +1,19 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL stdlib codecs where the format allows.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.
 The Spark-side plumbing — schemas, batch iteration via ``mapInPandas``,
-partition sizing — is real and tested; the actual codec work is STUBBED
-(``decode_stub``) because no image/audio libraries exist in this
-container. Swap ``_decode_image_bytes`` for a PIL/ffmpeg call and nothing
-else changes.
+partition sizing, per-row error capture — is real and tested. Codec
+work dispatches on magic bytes (``codecs.sniff_format``):
+
+- PNG / BMP / PPM-PGM images: REAL decode, true nearest-neighbor
+  resize, PNG re-encode (pure stdlib ``zlib``/``struct`` + numpy —
+  ``functions/codecs.py``).
+- WAV audio: REAL PCM16 decode → duration/rms/zero-crossing features.
+- JPEG / MP4 / everything else: the documented deterministic fallback
+  (byte-histogram features, byte-budget "resize") — lossy codecs
+  genuinely need PIL/ffmpeg, absent in this container. Swap the
+  fallback branch for a PIL/ffmpeg call and nothing else changes.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary corpus
 never materializes per-executor beyond one batch
@@ -21,8 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features_stub",
-           "resize_stub", "frame_sample_stub"]
+__all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features",
+           "decode_features_stub", "resize_images", "resize_stub",
+           "audio_features", "frame_sample_stub"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -44,14 +53,28 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 
 def _decode_image_bytes(payload: bytes, meta) -> list[float]:
-    """STUB — deterministic fake 'decode' so the pipeline shape is testable.
+    """8-dim image feature vector.
 
-    Real implementation: PIL.Image.open(io.BytesIO(payload)) → resize →
-    np.asarray → feature extraction. Not available in this container.
+    REAL decode for PNG/BMP/PPM (codecs.decode_image): [w, h, channels,
+    mean/255, std/255, p25/255, p75/255, nonzero_fraction]. Formats with
+    no stdlib codec (JPEG, …) fall back to the deterministic 8-bucket
+    byte histogram — same arity, so downstream schemas never fork.
     """
     if payload is None:
         raise ValueError("null payload")
-    # deterministic 8-dim byte-histogram "feature" (stands in for a model)
+    from .codecs import decode_image, sniff_format
+    if sniff_format(payload) in ("png", "bmp", "ppm"):
+        import numpy as np
+        a = decode_image(payload)
+        h, w, c = a.shape
+        f = a.astype(np.float64)
+        return [float(w), float(h), float(c),
+                round(float(f.mean()) / 255.0, 6),
+                round(float(f.std()) / 255.0, 6),
+                round(float(np.percentile(f, 25)) / 255.0, 6),
+                round(float(np.percentile(f, 75)) / 255.0, 6),
+                round(float((a > 0).mean()), 6)]
+    # fallback: deterministic byte-histogram "feature" (no stdlib codec)
     buckets = [0.0] * 8
     for b in payload[:4096]:
         buckets[b % 8] += 1.0
@@ -59,13 +82,15 @@ def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     return [round(x / total, 6) for x in buckets]
 
 
-def decode_features_stub(df: DataFrame, payload_col: str = "payload",
-                         id_col: str = "media_id",
-                         batch_size_hint: int = 256) -> DataFrame:
+def decode_features(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id",
+                    batch_size_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction: (id, features array<double>, error).
 
-    Errors are captured per row (never fail the batch) — a corrupt blob in
-    a 100 TB corpus must not kill a 6-hour job.
+    Real pixel statistics for PNG/BMP/PPM payloads, byte-histogram
+    fallback otherwise (see ``_decode_image_bytes``). Errors are captured
+    per row (never fail the batch) — a corrupt blob in a 100 TB corpus
+    must not kill a 6-hour job.
     """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -93,20 +118,25 @@ def decode_features_stub(df: DataFrame, payload_col: str = "payload",
             .mapInPandas(run, schema=out_schema))
 
 
-def resize_stub(df: DataFrame, target_w: int, target_h: int,
-                payload_col: str = "payload",
-                id_col: str = "media_id") -> DataFrame:
-    """Image-resize plumbing: (id, payload, meta', error) with meta
-    width/height rewritten to the target box (aspect preserved —
-    fit-inside), payload re-emitted at the proportional byte budget.
+# API continuity: the round-2/3 name keeps working (the decode became
+# real for stdlib-codec formats; the JPEG-et-al fallback is unchanged)
+decode_features_stub = decode_features
 
-    STUB codec: the "resampled" payload is the original byte stream
-    truncated to ``ceil(len · target_area / source_area)`` bytes —
-    deterministic, size-plausible, and exercising the real contract
-    (binary in → smaller binary out + corrected metadata) so batch
-    sizing, schema, and error capture are all testable. A real build
-    replaces ``_resize_bytes`` with PIL ``Image.resize`` and nothing
-    else changes.
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Image resize: (id, payload, width, height, error), aspect
+    preserved (fit-inside, never upscaled).
+
+    REAL path for PNG/BMP/PPM payloads: decode → nearest-neighbor
+    resample (deterministic numpy indexing) → PNG re-encode. Formats
+    with no stdlib codec keep the documented byte-budget fallback
+    (payload truncated to ``len · target_area / source_area`` using the
+    caller-provided meta dims) so the contract — binary in → smaller
+    binary out + corrected metadata — holds corpus-wide. A real build
+    swaps the fallback branch for PIL ``Image.resize``; nothing else
+    changes.
     """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -119,6 +149,13 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int,
     def _resize_bytes(payload: bytes, w, h):
         if payload is None:
             raise ValueError("null payload")
+        from .codecs import (decode_image, encode_png, resize_nearest,
+                             sniff_format)
+        if sniff_format(payload) in ("png", "bmp", "ppm"):
+            # REAL path: true dims come from the pixels, not the meta
+            out = resize_nearest(decode_image(payload), target_w, target_h)
+            nh, nw = out.shape[:2]
+            return encode_png(out), nw, nh
         if not w or not h or w <= 0 or h <= 0:
             raise ValueError(f"bad source dims {w}x{h}")
         scale = min(target_w / w, target_h / h, 1.0)  # never upscale
@@ -150,9 +187,77 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int,
             yield pd.DataFrame({"media_id": ids, "payload": outs,
                                 "width": ws, "height": hs, "error": errs})
 
-    return (df.select(F.col(id_col), F.col(payload_col),
-                      F.col("meta.width").alias("__w"),
-                      F.col("meta.height").alias("__h"))
+    # meta is OPTIONAL: the real codec path reads dims from the pixels;
+    # only the no-codec fallback needs meta.width/height (absent meta →
+    # those rows get a per-row "bad source dims" error, not a crash)
+    if "meta" in df.columns:
+        w_col = F.col("meta.width").alias("__w")
+        h_col = F.col("meta.height").alias("__h")
+    else:
+        w_col = F.lit(None).cast("int").alias("__w")
+        h_col = F.lit(None).cast("int").alias("__h")
+    return (df.select(F.col(id_col), F.col(payload_col), w_col, h_col)
+            .mapInPandas(run, schema=out_schema))
+
+
+# API continuity alias (see decode_features_stub)
+resize_stub = resize_images
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """REAL WAV audio features via mapInPandas: (id, duration_ms,
+    rate_hz, n_channels, rms, zero_crossing_rate, error).
+
+    PCM16 RIFF/WAVE decoded with the stdlib codec
+    (``codecs.decode_wav``); non-WAV payloads produce a per-row error
+    (no fake numbers for audio — compressed formats need ffmpeg).
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rate_hz", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_wav
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "duration_ms", "rate_hz",
+                                    "n_channels", "rms",
+                                    "zero_crossing_rate", "error")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["media_id"].append(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    s, rate = decode_wav(bytes(payload))
+                    mono = s.astype(np.float64).mean(axis=1)
+                    zc = (float(np.count_nonzero(
+                        np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / max(len(mono) - 1, 1))
+                    rows["duration_ms"].append(
+                        int(round(len(s) * 1000.0 / rate)))
+                    rows["rate_hz"].append(rate)
+                    rows["n_channels"].append(int(s.shape[1]))
+                    rows["rms"].append(
+                        float(np.sqrt((s.astype(np.float64) ** 2).mean())))
+                    rows["zero_crossing_rate"].append(zc)
+                    rows["error"].append(None)
+                except Exception as e:  # capture, don't fail the batch
+                    for k in ("duration_ms", "rate_hz", "n_channels",
+                              "rms", "zero_crossing_rate"):
+                        rows[k].append(None)
+                    rows["error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return (df.select(id_col, payload_col)
             .mapInPandas(run, schema=out_schema))
 
 
