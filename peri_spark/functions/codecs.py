@@ -26,18 +26,21 @@ import numpy as np
 __all__ = [
     "sniff_format", "decode_image", "encode_png", "resize_nearest",
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
-    "encode_wav_pcm16",
+    "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'png' | 'bmp' | 'ppm' | 'wav' | None."""
+    """Magic-byte format sniff:
+    'png' | 'bmp' | 'ppm' | 'wav' | 'gif' | None."""
     if not payload:
         return None
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] in (b"P5", b"P6"):
@@ -255,6 +258,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "gif":  # still image = first composited frame
+        return decode_gif_frames(payload)[0][1]
     raise ValueError(f"no stdlib codec for format {fmt or 'unknown'}")
 
 
@@ -274,3 +279,220 @@ def resize_nearest(arr: np.ndarray, target_w: int, target_h: int,
     ys = np.minimum((np.arange(th) * (h / th)).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(tw) * (w / tw)).astype(np.int64), w - 1)
     return arr[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — animated frame decode + LZW encode
+# ---------------------------------------------------------------------------
+# The one multi-frame format a pure-stdlib codec can fully handle, which
+# makes video-style frame sampling REAL (multimodal.frame_sample):
+# variable-width LZW, local/global palettes, transparency, disposal
+# methods 0-3, interlacing. Python-loop LZW is fine here: work is
+# bounded per payload and runs inside executor Arrow batches.
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = [[i] for i in range(clear)] + [None, None]
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [None, None]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:  # KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    codes.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode an (animated) GIF into ``[(t_ms, frame)]`` where ``t_ms``
+    is the frame's display-start time (cumulative delays) and ``frame``
+    is the COMPOSITED uint8 (H, W, 3) canvas at that instant."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W, H, packed, bg_idx, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:, :] = gct[bg_idx]
+    frames: list[tuple[int, np.ndarray]] = []
+    t_ms = 0
+    delay_ms, transp, disposal = 0, None, 0
+
+    def _subblocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            chunks.append(payload[p:p + ln])
+            p += ln
+
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blk, pos = _subblocks(pos)
+                gc_packed, delay_cs, t_idx = struct.unpack("<BHB", blk[:4])
+                disposal = (gc_packed >> 2) & 0x07
+                transp = t_idx if gc_packed & 0x01 else None
+                delay_ms = delay_cs * 10
+            else:  # comment / app / plain-text: skip
+                _, pos = _subblocks(pos)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b0:02x} at {pos - 1}")
+        left, top, fw, fh, ipacked = struct.unpack("<HHHHB",
+                                                   payload[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _subblocks(pos)
+        idx = np.asarray(_gif_lzw_decode(data, min_code),
+                         dtype=np.int32)[:fw * fh].reshape(fh, fw)
+        if ipacked & 0x40:  # deinterlace
+            ordered = np.empty_like(idx)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, fh, step)
+                ordered[list(rows)] = idx[r:r + len(rows)]
+                r += len(rows)
+            idx = ordered
+        prev_region = canvas[top:top + fh, left:left + fw].copy()
+        region = pal[np.clip(idx, 0, len(pal) - 1)]
+        if transp is not None:
+            mask = (idx == transp)[:, :, None]
+            region = np.where(mask, canvas[top:top + fh, left:left + fw],
+                              region)
+        canvas[top:top + fh, left:left + fw] = region
+        frames.append((t_ms, canvas.copy()))
+        t_ms += delay_ms
+        if disposal == 2:  # restore to background
+            bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) \
+                else np.zeros(3, dtype=np.uint8)
+            canvas[top:top + fh, left:left + fw] = bg
+        elif disposal == 3:  # restore to previous
+            canvas[top:top + fh, left:left + fw] = prev_region
+        delay_ms, transp, disposal = 0, None, 0
+    return frames
+
+
+def encode_gif(frames: list[np.ndarray], delays_ms: list[int]) -> bytes:
+    """Encode uint8 (H, W, 3) frames as an animated GIF89a (real LZW,
+    one global palette built from the frames; ≤256 distinct colors)."""
+    if not frames or len(frames) != len(delays_ms):
+        raise ValueError("frames/delays mismatch")
+    H, W = frames[0].shape[:2]
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors > 256; quantize first")
+    depth = max(int(np.ceil(np.log2(max(len(colors), 2)))), 1)
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    per_frame = W * H
+    min_code = max(depth, 2)
+    for i, (frame, delay) in enumerate(zip(frames, delays_ms)):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay // 10, 0) \
+            + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, W, H, 0)
+        out.append(min_code)
+        idx = inverse[i * per_frame:(i + 1) * per_frame].tolist()
+        lzw = _gif_lzw_encode(idx, min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

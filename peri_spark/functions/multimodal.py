@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features",
            "decode_features_stub", "resize_images", "resize_stub",
-           "audio_features", "frame_sample_stub"]
+           "audio_features", "frame_sample", "frame_sample_stub"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -63,7 +63,7 @@ def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     if payload is None:
         raise ValueError("null payload")
     from .codecs import decode_image, sniff_format
-    if sniff_format(payload) in ("png", "bmp", "ppm"):
+    if sniff_format(payload) in ("png", "bmp", "ppm", "gif"):
         import numpy as np
         a = decode_image(payload)
         h, w, c = a.shape
@@ -151,7 +151,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
             raise ValueError("null payload")
         from .codecs import (decode_image, encode_png, resize_nearest,
                              sniff_format)
-        if sniff_format(payload) in ("png", "bmp", "ppm"):
+        if sniff_format(payload) in ("png", "bmp", "ppm", "gif"):
             # REAL path: true dims come from the pixels, not the meta
             out = resize_nearest(decode_image(payload), target_w, target_h)
             nh, nw = out.shape[:2]
@@ -263,10 +263,9 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
 
 def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "media_id", every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame.
-
-    STUB: emits deterministic frame offsets from meta.duration_ms; a real
-    build would seek/decode via ffmpeg inside the same mapInPandas shape.
+    """Frame-sampling *offset plumbing* (kept for API continuity): one
+    row per sampled offset from meta.duration_ms, no pixel decode. For
+    real per-frame pixels over animated GIF see ``frame_sample``.
     """
     frames = F.sequence(
         F.lit(0), F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0))
@@ -275,3 +274,75 @@ def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
             .withColumn("frame_key",
                         F.concat_ws(":", F.col(id_col).cast("string"),
                                     F.col("frame_ms").cast("string"))))
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """REAL frame sampling via mapInPandas: one row per sampled frame —
+    (id, frame_ms, payload PNG, width, height, error).
+
+    Animated GIF payloads (the one multi-frame format with a pure-stdlib
+    codec — ``codecs.decode_gif_frames``: variable-width LZW, disposal,
+    transparency, interlace) are decoded and composited; the frame
+    on-screen at each multiple of ``every_ms`` within the animation's
+    duration is re-encoded as PNG. A zero-duration (static) GIF yields
+    its single frame at t=0. Formats that genuinely need ffmpeg (MP4…)
+    produce a per-row error — no fake frames. Output fan-out is bounded
+    by duration/every_ms per payload, streamed per Arrow batch.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .codecs import decode_gif_frames, encode_png, sniff_format
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_ms", "payload",
+                                    "width", "height", "error")}
+
+            def emit(mid, t, payload, w, h, err):
+                rows["media_id"].append(mid)
+                rows["frame_ms"].append(t)
+                rows["payload"].append(payload)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["error"].append(err)
+
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    payload = bytes(payload)
+                    if sniff_format(payload) != "gif":
+                        raise ValueError(
+                            f"no stdlib frame codec for format "
+                            f"{sniff_format(payload) or 'unknown'}")
+                    frames = decode_gif_frames(payload)
+                    if not frames:
+                        raise ValueError("GIF with no frames")
+                    # frame i is on screen over [t_i, t_{i+1});
+                    # the animation ends when the last frame appears
+                    starts = [t for t, _ in frames]
+                    ts = (range(0, starts[-1] + 1, every_ms)
+                          if starts[-1] else [0])
+                    fi = 0
+                    for t in ts:
+                        while fi + 1 < len(frames) and starts[fi + 1] <= t:
+                            fi += 1
+                        img = frames[fi][1]
+                        emit(mid, t, encode_png(img),
+                             int(img.shape[1]), int(img.shape[0]), None)
+                except Exception as e:  # capture, don't fail the batch
+                    emit(mid, None, None, None, None, str(e))
+            yield pd.DataFrame(rows)
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(run, schema=out_schema))

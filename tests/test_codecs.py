@@ -133,3 +133,114 @@ def test_resize_nearest_fit_and_exact():
     # downscale by exact 2x == strided sampling
     half = resize_nearest(a, 30, 20, fit=False)
     assert (half == a[::2, ::2]).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+def _pal_frames(n_frames, h, w, n_colors=12, seed=7):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return [pal[rng.integers(0, n_colors, size=(h, w))]
+            for _ in range(n_frames)]
+
+
+def test_gif_animated_roundtrip_and_times():
+    from peri_spark.functions.codecs import decode_gif_frames, encode_gif
+    frames = _pal_frames(5, 17, 23)
+    g = encode_gif(frames, [100, 200, 0, 50, 300])
+    from peri_spark.functions.codecs import sniff_format
+    assert sniff_format(g) == "gif"
+    dec = decode_gif_frames(g)
+    # display-start times are the cumulative delays of PRIOR frames
+    assert [t for t, _ in dec] == [0, 100, 300, 300, 350]
+    for (_, got), want in zip(dec, frames):
+        assert (got == want).all()
+
+
+def test_gif_lzw_4096_table_clear_roundtrip():
+    from peri_spark.functions.codecs import (_gif_lzw_decode,
+                                             _gif_lzw_encode,
+                                             decode_gif_frames, encode_gif)
+    rng = np.random.default_rng(1)
+    # 256-color noise forces the code table to 4096 → mid-stream clear
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    big = pal[rng.integers(0, 256, size=(120, 130))]
+    assert (decode_gif_frames(encode_gif([big], [100]))[0][1] == big).all()
+    idx = rng.integers(0, 4, size=20000).tolist()
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2) == idx
+
+
+def test_gif_transparency_and_disposal_composite():
+    """Hand-built 2-frame GIF: frame 2 is a 2x2 overlay at (1,1) whose
+    transparent pixels must show frame 1 underneath; disposal=2 after
+    frame 2 is irrelevant to the captured composites."""
+    import struct as st
+
+    from peri_spark.functions.codecs import (_gif_lzw_encode,
+                                             decode_gif_frames)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)   # 4x4, GCT of 4
+    out += bytes(c for rgb in pal for c in rgb)
+    def img_block(left, top, w, h, indices, gce=None):
+        blk = bytearray()
+        if gce is not None:
+            blk += b"\x21\xf9\x04" + gce + b"\x00"
+        blk += b"\x2c" + st.pack("<HHHHB", left, top, w, h, 0)
+        blk.append(2)                                 # min code size
+        lzw = _gif_lzw_encode(indices, 2)
+        blk.append(len(lzw)); blk += lzw; blk += b"\x00"
+        return blk
+    # frame 1: full 4x4 of color 1, delay 100ms
+    out += img_block(0, 0, 4, 4, [1] * 16,
+                     gce=st.pack("<BHB", 0 << 2, 10, 0))
+    # frame 2: 2x2 at (1,1) = [2, transparent(idx 3), 3-as-transparent?]
+    # transparent idx=3, disposal=2, delay 100ms
+    out += img_block(1, 1, 2, 2, [2, 3, 3, 2],
+                     gce=st.pack("<BHB", (2 << 2) | 1, 10, 3))
+    out += b"\x3b"
+    dec = decode_gif_frames(bytes(out))
+    assert len(dec) == 2 and [t for t, _ in dec] == [0, 100]
+    f1, f2 = dec[0][1], dec[1][1]
+    assert (f1 == (0, 255, 0)).all()
+    assert tuple(f2[1, 1]) == (0, 0, 255)             # color 2 painted
+    assert tuple(f2[1, 2]) == (0, 255, 0)             # transparent → f1
+    assert tuple(f2[2, 1]) == (0, 255, 0)
+    assert tuple(f2[2, 2]) == (0, 0, 255)
+    assert tuple(f2[0, 0]) == (0, 255, 0)             # outside overlay
+
+
+def test_gif_interlaced_frame_decodes():
+    """Interlaced flag: rows arrive in 4-pass order and must be
+    rearranged back."""
+    import struct as st
+
+    from peri_spark.functions.codecs import (_gif_lzw_encode,
+                                             decode_gif_frames)
+    h, w = 11, 3
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4, size=(h, w))
+    pal = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    # emit rows in interlace pass order
+    order = ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)]
+             + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
+    seq = [int(v) for r in order for v in img[r]]
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    out += bytes(c for rgb in pal for c in rgb)
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(2)
+    lzw = _gif_lzw_encode(seq, 2)
+    out.append(len(lzw)); out += lzw; out += b"\x00\x3b"
+    got = decode_gif_frames(bytes(out))[0][1]
+    expect = np.array(pal, dtype=np.uint8)[img]
+    assert (got == expect).all()
+
+
+def test_decode_image_gif_first_frame():
+    from peri_spark.functions.codecs import decode_gif_frames, decode_image, encode_gif
+    frames = _pal_frames(2, 6, 5, seed=9)
+    g = encode_gif(frames, [50, 50])
+    assert (decode_image(g) == frames[0]).all()

@@ -110,3 +110,49 @@ def test_stub_aliases_still_importable(spark):
                             ("image/png", 6, 6, None))])
     assert decode_features_stub(df).count() == 1
     assert resize_stub(df, 3, 3).count() == 1
+
+
+def test_frame_sample_animated_gif(spark):
+    from peri_spark.functions.codecs import decode_gif_frames, encode_gif
+    from peri_spark.functions.multimodal import frame_sample
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 8, size=(9, 12))] for _ in range(4)]
+    g = encode_gif(frames, [100, 100, 100, 100])   # starts 0,100,200,300
+    static = encode_gif([frames[0]], [0])
+    df = _media_df(spark, [
+        (1, bytearray(g), ("image/gif", 12, 9, 400)),
+        (2, bytearray(static), ("image/gif", 12, 9, None)),
+        (3, bytearray(b"\x00\x00\x00\x18ftypmp42"), ("video/mp4", None, None, 5000)),
+        (4, None, (None, None, None, None)),
+    ])
+    out = frame_sample(df, every_ms=150).collect()
+    anim = sorted([r for r in out if r.media_id == 1],
+                  key=lambda r: r.frame_ms)
+    # ts = 0,150,300 → on-screen frames 0, 1, 3
+    assert [r.frame_ms for r in anim] == [0, 150, 300]
+    for r, fidx in zip(anim, (0, 1, 3)):
+        assert r.error is None and (r.width, r.height) == (12, 9)
+        assert (decode_png(bytes(r.payload)) == frames[fidx]).all()
+    stat = [r for r in out if r.media_id == 2]
+    assert len(stat) == 1 and stat[0].frame_ms == 0
+    assert (decode_png(bytes(stat[0].payload)) == frames[0]).all()
+    mp4 = [r for r in out if r.media_id == 3]
+    assert len(mp4) == 1 and "no stdlib frame codec" in mp4[0].error
+    nul = [r for r in out if r.media_id == 4]
+    assert len(nul) == 1 and "null payload" in nul[0].error
+
+
+def test_decode_and_resize_accept_gif(spark):
+    from peri_spark.functions.codecs import encode_gif
+    from peri_spark.functions.multimodal import decode_features, resize_images
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(6, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 6, size=(20, 30))]
+    g = encode_gif([img], [0])
+    df = _media_df(spark, [(1, bytearray(g), ("image/gif", 30, 20, None))])
+    f = decode_features(df).collect()[0]
+    assert f.error is None and f.features[:3] == [30.0, 20.0, 3.0]
+    r = resize_images(df, 15, 15).collect()[0]
+    assert r.error is None and (r.width, r.height) == (15, 10)
+    assert decode_png(bytes(r.payload)).shape == (10, 15, 3)
