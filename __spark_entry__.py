@@ -415,6 +415,23 @@ def q_streaming_violation_streaks(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("key", "total_bad", "streak"))
 
 
+def q_frame_offsets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-offset plumbing (SURVEY.md multimodal directive):
+    a media frame derived deterministically from events (media_id =
+    event_id, meta.duration_ms = event_id % 5000) exploded to one row
+    per sampling instant via ``frame_sample_stub`` — the JVM-side
+    sequence/explode half of frame sampling, which ANSI SQL can mirror
+    exactly. The pixel half (``frame_sample`` over animated GIF) is
+    pytest-verified instead: DuckDB cannot decode GIF."""
+    from peri_spark.functions.multimodal import frame_sample_stub
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    media = (ev.filter(F.col("event_id").isNotNull())
+             .select(F.col("event_id").alias("media_id"),
+                     F.struct((F.col("event_id") % 5000).cast("long")
+                              .alias("duration_ms")).alias("meta")))
+    return frame_sample_stub(media, every_ms=700)
+
+
 def q_defaults_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default + transform value rewrites (#28-32): null priority defaults,
     then upper-cases; validated rows only."""
@@ -485,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_violation_streaks": q_streaming_violation_streaks,
+        "frame_offsets_events": q_frame_offsets_events,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1008,6 +1026,17 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY c6 DESC, id ASC LIMIT 10
     """
     validate_events = po.violations_sql(EVENTS_SCHEMA, "events", ["event_id"])
+    # mirrors q_frame_offsets_events: Spark sequence(0, d-1 clamped, step)
+    # is INCLUSIVE of the stop like DuckDB generate_series
+    frame_offsets = """
+    SELECT e.event_id AS media_id, t.f AS frame_ms,
+           CAST(e.event_id AS VARCHAR) || ':' || CAST(t.f AS VARCHAR)
+             AS frame_key
+    FROM events e
+    CROSS JOIN UNNEST(generate_series(
+        0, greatest((e.event_id % 5000) - 1, 0), 700)) AS t(f)
+    WHERE e.event_id IS NOT NULL
+    """
     defaults_transform_orders = """
     SELECT o_orderkey,
            upper(COALESCE(o_orderpriority, '9-none')) AS o_orderpriority,
@@ -1048,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming run is batch-identical by design (stateless
         # projection), so the same generated oracle checks it
         "streaming_validate_events": validate_events,
+        "frame_offsets_events": frame_offsets,
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
