@@ -27,7 +27,12 @@ __all__ = [
     "sniff_format", "decode_image", "encode_png", "resize_nearest",
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
     "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
+    "DECODABLE_IMAGE_FORMATS",
 ]
+
+# the formats decode_image can really decode — the multimodal operators
+# dispatch on this ONE set (adding a codec here enables it everywhere)
+DECODABLE_IMAGE_FORMATS = frozenset({"png", "bmp", "ppm", "gif"})
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -223,10 +228,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV fmt={fmt} bits={bits}")
         elif cid == b"data":
+            if len(body) < size:
+                raise ValueError(
+                    f"truncated WAV data chunk: {len(body)} of {size} bytes")
             data = body
     if rate is None or data is None:
         raise ValueError("truncated WAV")
     n = len(data) // (2 * channels)
+    if n == 0:
+        raise ValueError("WAV with no samples")
     samples = np.frombuffer(data, dtype="<i2", count=n * channels)
     return samples.reshape(n, channels).copy(), rate
 
@@ -312,13 +322,18 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             if code == eoi:
                 return out
             if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError(f"corrupt LZW stream: code {code}")
                 entry = table[code]
             elif code < len(table) and table[code] is not None:
                 entry = table[code]
                 table.append(prev + [entry[0]])
-            else:  # KwKwK case
+            elif code == len(table):  # the only valid KwKwK code
                 entry = prev + [prev[0]]
                 table.append(entry)
+            else:  # out-of-range ≠ KwKwK: garbage, not pixels
+                raise ValueError(f"corrupt LZW stream: code {code} "
+                                 f"with table size {len(table)}")
             out.extend(entry)
             prev = entry
             if len(table) == (1 << width) and width < 12:
@@ -434,8 +449,11 @@ def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
         min_code = payload[pos]
         pos += 1
         data, pos = _subblocks(pos)
-        idx = np.asarray(_gif_lzw_decode(data, min_code),
-                         dtype=np.int32)[:fw * fh].reshape(fh, fw)
+        decoded = _gif_lzw_decode(data, min_code)
+        if len(decoded) < fw * fh:
+            raise ValueError(f"truncated GIF image data: "
+                             f"{len(decoded)} of {fw * fh} pixels")
+        idx = np.asarray(decoded, dtype=np.int32)[:fw * fh].reshape(fh, fw)
         if ipacked & 0x40:  # deinterlace
             ordered = np.empty_like(idx)
             r = 0
@@ -444,21 +462,25 @@ def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
                 ordered[list(rows)] = idx[r:r + len(rows)]
                 r += len(rows)
             idx = ordered
-        prev_region = canvas[top:top + fh, left:left + fw].copy()
+        # clip frames that overhang the logical screen (renderers clip;
+        # such slightly out-of-spec GIFs are common in scraped corpora)
+        ch, cw = max(min(fh, H - top), 0), max(min(fw, W - left), 0)
+        idx = idx[:ch, :cw]
+        prev_region = canvas[top:top + ch, left:left + cw].copy()
         region = pal[np.clip(idx, 0, len(pal) - 1)]
         if transp is not None:
             mask = (idx == transp)[:, :, None]
-            region = np.where(mask, canvas[top:top + fh, left:left + fw],
+            region = np.where(mask, canvas[top:top + ch, left:left + cw],
                               region)
-        canvas[top:top + fh, left:left + fw] = region
+        canvas[top:top + ch, left:left + cw] = region
         frames.append((t_ms, canvas.copy()))
         t_ms += delay_ms
         if disposal == 2:  # restore to background
             bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) \
                 else np.zeros(3, dtype=np.uint8)
-            canvas[top:top + fh, left:left + fw] = bg
+            canvas[top:top + ch, left:left + cw] = bg
         elif disposal == 3:  # restore to previous
-            canvas[top:top + fh, left:left + fw] = prev_region
+            canvas[top:top + ch, left:left + cw] = prev_region
         delay_ms, transp, disposal = 0, None, 0
     return frames
 
@@ -469,6 +491,8 @@ def encode_gif(frames: list[np.ndarray], delays_ms: list[int]) -> bytes:
     if not frames or len(frames) != len(delays_ms):
         raise ValueError("frames/delays mismatch")
     H, W = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one (H, W, 3) shape")
     flat = np.concatenate([f.reshape(-1, 3) for f in frames])
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:

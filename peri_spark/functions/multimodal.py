@@ -62,18 +62,24 @@ def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     """
     if payload is None:
         raise ValueError("null payload")
-    from .codecs import decode_image, sniff_format
-    if sniff_format(payload) in ("png", "bmp", "ppm", "gif"):
-        import numpy as np
-        a = decode_image(payload)
-        h, w, c = a.shape
-        f = a.astype(np.float64)
-        return [float(w), float(h), float(c),
-                round(float(f.mean()) / 255.0, 6),
-                round(float(f.std()) / 255.0, 6),
-                round(float(np.percentile(f, 25)) / 255.0, 6),
-                round(float(np.percentile(f, 75)) / 255.0, 6),
-                round(float((a > 0).mean()), 6)]
+    from .codecs import DECODABLE_IMAGE_FORMATS, decode_image, sniff_format
+    if sniff_format(payload) in DECODABLE_IMAGE_FORMATS:
+        try:
+            import numpy as np
+            a = decode_image(payload)
+            h, w, c = a.shape
+            f = a.astype(np.float64)
+            return [float(w), float(h), float(c),
+                    round(float(f.mean()) / 255.0, 6),
+                    round(float(f.std()) / 255.0, 6),
+                    round(float(np.percentile(f, 25)) / 255.0, 6),
+                    round(float(np.percentile(f, 75)) / 255.0, 6),
+                    round(float((a > 0).mean()), 6)]
+        except Exception:
+            # unsupported variant (paletted/interlaced PNG, 32-bit
+            # BMP, …) or corrupt stream: fall back exactly as the
+            # pre-codec contract did — same arity, schema never forks
+            pass
     # fallback: deterministic byte-histogram "feature" (no stdlib codec)
     buckets = [0.0] * 8
     for b in payload[:4096]:
@@ -149,13 +155,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
     def _resize_bytes(payload: bytes, w, h):
         if payload is None:
             raise ValueError("null payload")
-        from .codecs import (decode_image, encode_png, resize_nearest,
-                             sniff_format)
-        if sniff_format(payload) in ("png", "bmp", "ppm", "gif"):
-            # REAL path: true dims come from the pixels, not the meta
-            out = resize_nearest(decode_image(payload), target_w, target_h)
-            nh, nw = out.shape[:2]
-            return encode_png(out), nw, nh
+        from .codecs import (DECODABLE_IMAGE_FORMATS, decode_image,
+                             encode_png, resize_nearest, sniff_format)
+        if sniff_format(payload) in DECODABLE_IMAGE_FORMATS:
+            try:
+                # REAL path: true dims come from the pixels, not the meta
+                out = resize_nearest(decode_image(payload),
+                                     target_w, target_h)
+                nh, nw = out.shape[:2]
+                return encode_png(out), nw, nh
+            except Exception:
+                pass  # unsupported variant/corrupt → byte-budget fallback
         if not w or not h or w <= 0 or h <= 0:
             raise ValueError(f"bad source dims {w}x{h}")
         scale = min(target_w / w, target_h / h, 1.0)  # never upscale
@@ -334,11 +344,15 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                     ts = (range(0, starts[-1] + 1, every_ms)
                           if starts[-1] else [0])
                     fi = 0
+                    png_cache: dict[int, bytes] = {}  # frame idx → PNG:
+                    # many sampling instants can land on one long frame
                     for t in ts:
                         while fi + 1 < len(frames) and starts[fi + 1] <= t:
                             fi += 1
                         img = frames[fi][1]
-                        emit(mid, t, encode_png(img),
+                        if fi not in png_cache:
+                            png_cache[fi] = encode_png(img)
+                        emit(mid, t, png_cache[fi],
                              int(img.shape[1]), int(img.shape[0]), None)
                 except Exception as e:  # capture, don't fail the batch
                     emit(mid, None, None, None, None, str(e))

@@ -244,3 +244,48 @@ def test_decode_image_gif_first_frame():
     frames = _pal_frames(2, 6, 5, seed=9)
     g = encode_gif(frames, [50, 50])
     assert (decode_image(g) == frames[0]).all()
+
+
+def test_wav_truncated_data_chunk_and_empty_raise():
+    from peri_spark.functions.codecs import decode_wav, encode_wav_pcm16
+    wav = encode_wav_pcm16(np.arange(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav(wav[:-50])      # declared data size > available bytes
+    with pytest.raises(ValueError, match="no samples"):
+        decode_wav(encode_wav_pcm16(np.zeros(0, dtype=np.int16), 8000))
+
+
+def test_gif_lzw_rejects_out_of_range_code():
+    from peri_spark.functions.codecs import _gif_lzw_decode
+    # min_code=2, width=3: clear(4)=0b100 then 7=0b111 → byte 0x3C;
+    # code 7 exceeds the 6-entry table and is not the KwKwK code
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        _gif_lzw_decode(b"\x3c", 2)
+
+
+def test_gif_frame_overhanging_screen_is_clipped():
+    """A 3x3 frame at (2,2) on a 4x4 screen: renderers clip; so do we."""
+    import struct as st
+
+    from peri_spark.functions.codecs import (_gif_lzw_encode,
+                                             decode_gif_frames)
+    pal = [(0, 0, 0), (255, 255, 255), (7, 7, 7), (8, 8, 8)]
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+    out += bytes(c for rgb in pal for c in rgb)
+    out += b"\x2c" + st.pack("<HHHHB", 2, 2, 3, 3, 0)
+    out.append(2)
+    lzw = _gif_lzw_encode([1] * 9, 2)
+    out.append(len(lzw)); out += lzw; out += b"\x00\x3b"
+    frame = decode_gif_frames(bytes(out))[0][1]
+    assert frame.shape == (4, 4, 3)
+    assert (frame[2:, 2:] == 255).all()       # visible 2x2 painted
+    assert (frame[:2, :] == 0).all()          # rest untouched
+
+
+def test_encode_gif_rejects_mismatched_frame_shapes():
+    from peri_spark.functions.codecs import encode_gif
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="share one"):
+        encode_gif([a, b], [10, 10])

@@ -156,3 +156,32 @@ def test_decode_and_resize_accept_gif(spark):
     r = resize_images(df, 15, 15).collect()[0]
     assert r.error is None and (r.width, r.height) == (15, 10)
     assert decode_png(bytes(r.payload)).shape == (10, 15, 3)
+
+
+def test_unsupported_variant_falls_back_not_errors(spark):
+    """Sniffed-but-undecodable payloads (32-bit BMP, corrupt PNG) keep
+    the pre-codec fallback contract: histogram features / byte-budget
+    resize with error=None — the schema never forks mid-corpus."""
+    from peri_spark.functions.multimodal import decode_features, resize_images
+    bmp32 = b"BM" + bytes(100)                   # undecodable BMP-sniffed
+    bad_png = b"\x89PNG\r\n\x1a\n" + bytes(30)   # corrupt PNG-sniffed
+    df = _media_df(spark, [
+        (1, bytearray(bmp32), ("image/bmp", 10, 10, None)),
+        (2, bytearray(bad_png), ("image/png", 8, 4, None)),
+    ])
+    feats = {r.media_id: r for r in decode_features(df).collect()}
+    for mid in (1, 2):
+        assert feats[mid].error is None
+        assert len(feats[mid].features) == 8     # histogram arity
+    rs = {r.media_id: r for r in resize_images(df, 5, 5).collect()}
+    assert rs[1].error is None and (rs[1].width, rs[1].height) == (5, 5)
+    assert rs[2].error is None and (rs[2].width, rs[2].height) == (5, 2)
+
+
+def test_audio_features_empty_wav_is_error_row(spark):
+    from peri_spark.functions.multimodal import audio_features
+    empty = encode_wav_pcm16(np.zeros(0, dtype=np.int16), 8000)
+    df = _media_df(spark, [(1, bytearray(empty), ("audio/wav", None, None, None))])
+    r = audio_features(df).collect()[0]
+    assert r.error is not None and "no samples" in r.error
+    assert r.rms is None                          # never NaN
