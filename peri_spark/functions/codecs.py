@@ -67,42 +67,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode PNG → uint8 array (H, W, C). Supports bit depth 8, color
-    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace —
-    i.e. everything ``encode_png`` and common tool exports produce."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, width, height, channels = 8, None, None, None
-    idat = b""
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise ValueError(f"unsupported PNG color type {color}")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("truncated PNG")
-    raw = zlib.decompress(idat)
+def _png_unfilter(raw: bytes, pos: int, height: int, width: int,
+                  channels: int) -> tuple[np.ndarray, int]:
+    """Reverse PNG scanline filters over one (sub)image starting at
+    ``raw[pos]``; returns ((H, W, C) uint8, next pos)."""
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) - pos < height * (stride + 1):
         raise ValueError("short PNG pixel data")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     bpp = channels
     for y in range(height):
         ftype = raw[pos]
@@ -129,7 +102,73 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         prev = np.frombuffer(bytes(line), dtype=np.uint8)
         out[y] = prev
-    return out.reshape(height, width, channels)
+    return out.reshape(height, width, channels), pos
+
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode PNG → uint8 array (H, W, C). Supports bit depth 8, color
+    types 0 (gray), 2 (RGB), 3 (palette, + tRNS alpha → RGBA),
+    4 (gray+alpha), 6 (RGBA), and Adam7 interlacing — i.e. everything
+    ``encode_png`` and common tool exports produce except 1/2/4/16-bit
+    depths."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, channels, color = 8, None, None, None, None
+    interlace = 0
+    plte, trns = None, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    if interlace:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _png_unfilter(raw, at, ph, pw, channels)
+            img[y0::dy, x0::dx] = sub
+    else:
+        img, _ = _png_unfilter(raw, 0, height, width, channels)
+    if color == 3:  # palette indices → RGB(A)
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        idx = np.clip(img[:, :, 0], 0, len(plte) - 1)
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -168,14 +207,20 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", payload[18:26])
     planes, depth = struct.unpack("<HH", payload[26:30])
     comp = struct.unpack("<I", payload[30:34])[0]
-    if depth != 24 or comp != 0:
+    # 24-bit BI_RGB, or 32-bit BI_RGB / BI_BITFIELDS with the standard
+    # BGRA layout (the overwhelmingly common 32-bit export)
+    if not ((depth == 24 and comp == 0)
+            or (depth == 32 and comp in (0, 3))):
         raise ValueError(f"unsupported BMP depth={depth} comp={comp}")
+    bypp = depth // 8
     flipped = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
+    stride = (w * bypp + 3) & ~3
     px = np.frombuffer(payload, dtype=np.uint8,
                        count=stride * h, offset=data_off)
-    rows = px.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    rows = px.reshape(h, stride)[:, :w * bypp].reshape(h, w, bypp)
+    if bypp == 4:                    # BGRA → RGB (alpha dropped)
+        rows = rows[:, :, :3]
     if flipped:                      # BMP stores bottom-up
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()   # BGR → RGB

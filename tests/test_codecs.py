@@ -289,3 +289,73 @@ def test_encode_gif_rejects_mismatched_frame_shapes():
     b = np.zeros((2, 2, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="share one"):
         encode_gif([a, b], [10, 10])
+
+
+def _png_chunk(ctype, data):
+    import struct as st
+    import zlib as zl
+    body = ctype + data
+    return (st.pack(">I", len(data)) + body
+            + st.pack(">I", zl.crc32(body) & 0xFFFFFFFF))
+
+
+def test_png_paletted_with_and_without_trns():
+    import struct as st
+    import zlib as zl
+
+    from peri_spark.functions.codecs import decode_png
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, size=(7, 9)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(7))
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = st.pack(">IIBBBBB", 9, 7, 8, 3, 0, 0, 0)
+    base = (sig + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal.tobytes()))
+    tail = _png_chunk(b"IDAT", zl.compress(raw)) + _png_chunk(b"IEND", b"")
+    out = decode_png(base + tail)
+    assert out.shape == (7, 9, 3) and (out == pal[idx]).all()
+    trns = bytes([0, 128, 255])  # alpha for palette entries 0-2
+    out_a = decode_png(base + _png_chunk(b"tRNS", trns) + tail)
+    assert out_a.shape == (7, 9, 4)
+    assert (out_a[:, :, :3] == pal[idx]).all()
+    expect_a = np.array([0, 128, 255, 255, 255], dtype=np.uint8)[idx]
+    assert (out_a[:, :, 3] == expect_a).all()
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import struct as st
+    import zlib as zl
+
+    from peri_spark.functions.codecs import _ADAM7, decode_png
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    # serialize the 7 passes with filter-0 scanlines
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = st.pack(">IIBBBBB", 13, 10, 8, 2, 0, 0, 1)  # interlace=1
+    png = (sig + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zl.compress(bytes(raw)))
+           + _png_chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+
+def test_bmp_32bit_bgra():
+    import struct as st
+
+    from peri_spark.functions.codecs import decode_bmp
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    h, w = 3, 5
+    bgra = np.dstack([rgb[:, :, ::-1],
+                      np.full((h, w, 1), 200, dtype=np.uint8)])
+    data = bgra[::-1].tobytes()                  # bottom-up, stride = w*4
+    hdr = (b"BM" + st.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + st.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0,
+                     len(data), 0, 0, 0, 0))
+    out = decode_bmp(hdr + data)
+    assert out.shape == (3, 5, 3) and (out == rgb).all()
