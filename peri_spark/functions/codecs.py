@@ -314,7 +314,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "gif":  # still image = first composited frame
-        return decode_gif_frames(payload)[0][1]
+        frames = decode_gif_frames(payload)
+        if not frames:
+            raise ValueError("GIF with no frames")
+        return frames[0][1]
     raise ValueError(f"no stdlib codec for format {fmt or 'unknown'}")
 
 
