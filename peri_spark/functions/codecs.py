@@ -1,13 +1,13 @@
 """Real pure-stdlib/numpy media codecs for the multimodal operators.
 
-The container has no PIL/ffmpeg, but PNG, BMP, PPM/PGM and WAV need
-nothing beyond ``zlib``/``struct`` (stdlib) and numpy — so the formats a
-deterministic data pipeline actually controls get REAL decode/encode/
-resize here, and the multimodal mapInPandas operators
+The container has no PIL/ffmpeg, but PNG, BMP, PPM/PGM, WAV, GIF and
+baseline JPEG need nothing beyond ``zlib``/``struct`` (stdlib) and
+numpy — so the formats a scraped corpus actually contains get REAL
+decode/encode/resize here, and the multimodal mapInPandas operators
 (functions/multimodal.py) dispatch on magic bytes: real codec when the
 payload is one of these formats, the documented deterministic fallback
-for everything else (JPEG/MP4 stay stubbed — lossy codecs genuinely
-need the external libraries).
+for everything else (progressive JPEG / MP4 stay fallbacks — those
+variants genuinely need the external libraries).
 
 All functions are plain bytes/ndarray transforms — no Spark imports —
 so they run inside Arrow batches on executors with zero driver state.
@@ -23,29 +23,34 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
+
 __all__ = [
     "sniff_format", "decode_image", "encode_png", "resize_nearest",
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
     "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
+    "decode_jpeg", "encode_jpeg",
     "DECODABLE_IMAGE_FORMATS",
 ]
 
 # the formats decode_image can really decode — the multimodal operators
 # dispatch on this ONE set (adding a codec here enables it everywhere)
-DECODABLE_IMAGE_FORMATS = frozenset({"png", "bmp", "ppm", "gif"})
+DECODABLE_IMAGE_FORMATS = frozenset({"png", "bmp", "ppm", "gif", "jpeg"})
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte format sniff:
-    'png' | 'bmp' | 'ppm' | 'wav' | 'gif' | None."""
+    'png' | 'bmp' | 'ppm' | 'wav' | 'gif' | 'jpeg' | None."""
     if not payload:
         return None
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] in (b"P5", b"P6"):
@@ -305,7 +310,8 @@ def encode_wav_pcm16(samples: np.ndarray, rate_hz: int) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → uint8 (H, W, C). Raises ValueError for
-    formats without a pure-stdlib codec (JPEG, …)."""
+    formats without a pure-stdlib codec (MP4, …) and for the JPEG
+    variants outside baseline sequential (progressive, arithmetic)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -313,6 +319,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     if fmt == "gif":  # still image = first composited frame
         frames = decode_gif_frames(payload)
         if not frames:

@@ -55,10 +55,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     """8-dim image feature vector.
 
-    REAL decode for PNG/BMP/PPM (codecs.decode_image): [w, h, channels,
-    mean/255, std/255, p25/255, p75/255, nonzero_fraction]. Formats with
-    no stdlib codec (JPEG, …) fall back to the deterministic 8-bucket
-    byte histogram — same arity, so downstream schemas never fork.
+    REAL decode for PNG/BMP/PPM/GIF/baseline-JPEG (codecs.decode_image):
+    [w, h, channels, mean/255, std/255, p25/255, p75/255,
+    nonzero_fraction]. Formats with no stdlib codec (MP4, progressive
+    JPEG, …) fall back to the deterministic 8-bucket byte histogram —
+    same arity, so downstream schemas never fork.
     """
     if payload is None:
         raise ValueError("null payload")
@@ -135,9 +136,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
     """Image resize: (id, payload, width, height, error), aspect
     preserved (fit-inside, never upscaled).
 
-    REAL path for PNG/BMP/PPM payloads: decode → nearest-neighbor
-    resample (deterministic numpy indexing) → PNG re-encode. Formats
-    with no stdlib codec keep the documented byte-budget fallback
+    REAL path for PNG/BMP/PPM/GIF/baseline-JPEG payloads: decode →
+    nearest-neighbor resample (deterministic numpy indexing) → re-encode
+    (JPEG in → JPEG out, everything else → PNG, so the payload's mime
+    stays truthful). Formats with no stdlib codec keep the documented
+    byte-budget fallback
     (payload truncated to ``len · target_area / source_area`` using the
     caller-provided meta dims) so the contract — binary in → smaller
     binary out + corrected metadata — holds corpus-wide. A real build
@@ -156,13 +159,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int,
         if payload is None:
             raise ValueError("null payload")
         from .codecs import (DECODABLE_IMAGE_FORMATS, decode_image,
-                             encode_png, resize_nearest, sniff_format)
-        if sniff_format(payload) in DECODABLE_IMAGE_FORMATS:
+                             encode_jpeg, encode_png, resize_nearest,
+                             sniff_format)
+        fmt = sniff_format(payload)
+        if fmt in DECODABLE_IMAGE_FORMATS:
             try:
                 # REAL path: true dims come from the pixels, not the meta
                 out = resize_nearest(decode_image(payload),
                                      target_w, target_h)
                 nh, nw = out.shape[:2]
+                if fmt == "jpeg":
+                    return encode_jpeg(out), nw, nh
                 return encode_png(out), nw, nh
             except Exception:
                 pass  # unsupported variant/corrupt → byte-budget fallback

@@ -116,10 +116,13 @@ def test_sniff_and_dispatch():
     png = encode_png(a)
     assert sniff_format(png) == "png"
     assert sniff_format(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
-    assert sniff_format(b"\xff\xd8\xff\xe0jfif") is None  # JPEG: no codec
+    assert sniff_format(b"\xff\xd8\xff\xe0jfif") == "jpeg"
     assert (decode_image(png) == a).all()
-    with pytest.raises(ValueError, match="no stdlib codec"):
+    # corrupt JPEG stream: real codec rejects it (→ operator fallback)
+    with pytest.raises(ValueError, match="truncated JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError, match="no stdlib codec"):
+        decode_image(b"\x00\x01\x02\x03 unknown bytes")
 
 
 def test_resize_nearest_fit_and_exact():

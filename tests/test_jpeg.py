@@ -1,0 +1,83 @@
+"""Baseline JPEG codec tests (pure stdlib+numpy, no Spark session).
+
+The codec backs `codecs.decode_image` for the most common scraped-corpus
+image format; these tests pin the roundtrip error bounds, the sampling /
+restart-marker variants, and the strict rejection of non-baseline
+streams (progressive → ValueError → multimodal operators fall back).
+"""
+
+import numpy as np
+import pytest
+
+from peri_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from peri_spark.functions.codecs import decode_image, sniff_format
+
+
+def _rgb(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 9), (16, 16), (45, 62)])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_roundtrip_rgb(h, w, subsample):
+    img = _rgb(h, w)
+    enc = encode_jpeg(img, quality=85, subsample=subsample)
+    assert sniff_format(enc) == "jpeg"
+    dec = decode_jpeg(enc)
+    assert dec.shape == (h, w, 3) and dec.dtype == np.uint8
+    # smooth-gradient content: lossy error stays small
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_quality_monotone():
+    img = _rgb(45, 62)
+    errs, sizes = [], []
+    for q in (30, 60, 90):
+        enc = encode_jpeg(img, quality=q)
+        sizes.append(len(enc))
+        errs.append(np.abs(decode_jpeg(enc).astype(int)
+                           - img.astype(int)).mean())
+    assert sizes[0] < sizes[2]          # higher quality → bigger stream
+    assert errs[0] > errs[2]            # …and lower error
+
+
+def test_grayscale_roundtrip():
+    y, x = np.mgrid[0:33, 0:41]
+    g = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (33, 41, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).mean() < 3
+
+
+def test_restart_intervals():
+    img = _rgb(50, 70)
+    plain = decode_jpeg(encode_jpeg(img, 85, subsample=True))
+    rst = decode_jpeg(encode_jpeg(img, 85, subsample=True,
+                                  restart_interval=3))
+    # restart markers change the stream, not the decoded pixels
+    assert (plain == rst).all()
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _rgb(12, 10)
+    dec = decode_image(encode_jpeg(img, quality=95))
+    assert dec.shape == (12, 10, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_progressive_rejected():
+    enc = bytearray(encode_jpeg(_rgb(16, 16), 85))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_truncated_rejected():
+    enc = encode_jpeg(_rgb(16, 16), 85)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:40])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 jpeg bytes")

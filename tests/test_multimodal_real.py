@@ -185,3 +185,35 @@ def test_audio_features_empty_wav_is_error_row(spark):
     r = audio_features(df).collect()[0]
     assert r.error is not None and "no samples" in r.error
     assert r.rms is None                          # never NaN
+
+
+def test_decode_features_real_jpeg(spark):
+    from peri_spark.functions.multimodal import decode_features
+    from peri_spark.functions.codecs import decode_jpeg, encode_jpeg
+    a = _img(24, 18, seed=5)
+    enc = encode_jpeg(a, quality=90)
+    df = _media_df(spark, [(1, bytearray(enc),
+                            ("image/jpeg", 18, 24, None))])
+    r = decode_features(df).collect()[0]
+    assert r.error is None
+    f = r.features
+    # real pixel stats over the LOSSY decode (not the source array)
+    dec = decode_jpeg(enc).astype(np.float64)
+    assert (f[0], f[1], f[2]) == (18.0, 24.0, 3.0)
+    assert f[3] == pytest.approx(float(dec.mean()) / 255.0, abs=1e-6)
+    assert f[4] == pytest.approx(float(dec.std()) / 255.0, abs=1e-6)
+
+
+def test_resize_images_jpeg_stays_jpeg(spark):
+    from peri_spark.functions.multimodal import resize_images
+    from peri_spark.functions.codecs import (decode_jpeg, encode_jpeg,
+                                             sniff_format)
+    a = _img(40, 60, seed=6)
+    df = _media_df(spark, [(1, bytearray(encode_jpeg(a, quality=90)),
+                            ("image/jpeg", 60, 40, None))])
+    r = resize_images(df, 30, 30).collect()[0]
+    assert r.error is None
+    assert (r.width, r.height) == (30, 20)        # aspect-fit
+    assert sniff_format(bytes(r.payload)) == "jpeg"
+    back = decode_jpeg(bytes(r.payload))
+    assert back.shape == (20, 30, 3)
