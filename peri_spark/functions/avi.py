@@ -1,0 +1,166 @@
+"""Motion-JPEG AVI container decode + encode in pure stdlib + numpy.
+
+AVI is a plain RIFF container; an MJPEG stream is just one baseline
+JPEG per frame (decoded by ``functions/jpeg.py``) — so the simplest
+real video format needs no ffmpeg. This backs ``frame_sample`` for
+``video/x-msvideo`` payloads: the container is parsed for the video
+stream's frame rate and the ``movi`` chunks yield (timestamp_ms,
+pixels) frames exactly like the animated-GIF path.
+
+Container support: 'hdrl' main + stream headers (the first 'vids'
+stream wins), word-aligned '##dc'/'##db' movi chunks, optional idx1
+(ignored — chunks are scanned sequentially, which also tolerates
+truncated indexes). Non-MJPEG codecs (DIB, H.264, …) raise ValueError
+→ the multimodal operators surface a per-row error, no fake frames.
+
+Like the sibling codecs this is executor-side work over Arrow batches;
+per-payload cost is bounded by total pixel count.
+
+Parity note: the reference (zoedsoupe/peri) has no media layer; this
+backs the SURVEY.md multimodal directive.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg
+
+__all__ = ["decode_avi_frames", "encode_avi_mjpeg"]
+
+
+def _chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run;
+    chunks are word-aligned (odd sizes padded with one byte)."""
+    while pos + 8 <= end:
+        fcc = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated AVI chunk")
+        yield fcc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Parse an MJPEG AVI → [(timestamp_ms, uint8 (H, W, C)), …].
+
+    Frame i is on screen over [i·dt, (i+1)·dt) where dt comes from the
+    video stream header (dwScale/dwRate), falling back to the main
+    header's microseconds-per-frame. Raises ValueError for non-AVI
+    payloads, non-MJPEG video streams, and corrupt frame chunks.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+
+    usec_per_frame = 0
+    stream_no = None
+    scale = rate = 0
+    next_stream = 0
+    movi = None
+
+    for fcc, body, size in _chunks(payload, 12, end):
+        if fcc != b"LIST":
+            continue
+        kind = payload[body:body + 4]
+        if kind == b"hdrl":
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 4:
+                    (usec_per_frame,) = struct.unpack_from(
+                        "<I", payload, b2)
+                elif f2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
+                    sidx = next_stream
+                    next_stream += 1
+                    for f3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
+                        if f3 != b"strh" or s3 < 32:
+                            continue
+                        if payload[b3:b3 + 4] == b"vids" \
+                                and stream_no is None:
+                            stream_no = sidx
+                            handler = payload[b3 + 4:b3 + 8]
+                            if handler.upper() not in (b"MJPG", b"JPEG",
+                                                       b"\x00\x00\x00\x00"):
+                                raise ValueError(
+                                    "no stdlib codec for AVI video "
+                                    f"handler {handler!r}")
+                            scale, rate = struct.unpack_from(
+                                "<II", payload, b3 + 20)
+        elif kind == b"movi":
+            movi = (body + 4, body + size)
+
+    if stream_no is None:
+        raise ValueError("AVI with no video stream")
+    if movi is None:
+        raise ValueError("AVI with no movi data")
+    if rate > 0 and scale > 0:
+        dt_ms = 1000.0 * scale / rate
+    elif usec_per_frame > 0:
+        dt_ms = usec_per_frame / 1000.0
+    else:
+        raise ValueError("AVI with no frame timing")
+
+    want = b"%02d" % stream_no
+    frames: list[tuple[int, np.ndarray]] = []
+    for fcc, body, size in _chunks(payload, movi[0], movi[1]):
+        if fcc == b"LIST":  # 'rec ' grouping — recurse one level
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2[:2] == want and f2[2:4] in (b"dc", b"db"):
+                    frames.append((int(round(len(frames) * dt_ms)),
+                                   decode_jpeg(payload[b2:b2 + s2])))
+        elif fcc[:2] == want and fcc[2:4] in (b"dc", b"db") and size:
+            frames.append((int(round(len(frames) * dt_ms)),
+                           decode_jpeg(payload[body:body + size])))
+    if not frames:
+        raise ValueError("AVI with no video frames")
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
+                     quality: int = 85) -> bytes:
+    """Encode uint8 (H, W, 3) frames → a minimal MJPEG AVI (fixture /
+    sink use). All frames must share one shape; ``fps`` sets the stream
+    dwRate/dwScale timing the decoder reads back."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg wants at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all AVI frames must share one shape")
+    jpegs = [encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality)
+             for f in frames]
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    rate = max(int(round(fps * 1000)), 1)
+    scale = 1000
+    avih = struct.pack("<14I", int(1_000_000 / fps), 0, 0, 0x10,
+                       len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h", 0, 0, 0, 0, scale, rate, 0, len(frames),
+        max(len(j) for j in jpegs), 0xFFFFFFFF & -1, 0,
+        0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih)
+                      + list_chunk(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = list_chunk(b"movi", movi_body)
+    # idx1: offsets are relative to the start of 'movi' kind fourcc
+    idx = b""
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -23,13 +23,15 @@ import zlib
 
 import numpy as np
 
+from .avi import decode_avi_frames, encode_avi_mjpeg  # noqa: F401
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
 
 __all__ = [
     "sniff_format", "decode_image", "encode_png", "resize_nearest",
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
     "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
-    "decode_jpeg", "encode_jpeg",
+    "decode_jpeg", "encode_jpeg", "decode_avi_frames",
+    "encode_avi_mjpeg",
     "DECODABLE_IMAGE_FORMATS",
 ]
 
@@ -42,7 +44,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff_format(payload: bytes) -> str | None:
     """Magic-byte format sniff:
-    'png' | 'bmp' | 'ppm' | 'wav' | 'gif' | 'jpeg' | None."""
+    'png' | 'bmp' | 'ppm' | 'wav' | 'gif' | 'jpeg' | 'avi' | None."""
     if not payload:
         return None
     if payload[:8] == _PNG_SIG:
@@ -57,6 +59,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

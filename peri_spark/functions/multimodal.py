@@ -6,14 +6,15 @@ The Spark-side plumbing — schemas, batch iteration via ``mapInPandas``,
 partition sizing, per-row error capture — is real and tested. Codec
 work dispatches on magic bytes (``codecs.sniff_format``):
 
-- PNG / BMP / PPM-PGM images: REAL decode, true nearest-neighbor
-  resize, PNG re-encode (pure stdlib ``zlib``/``struct`` + numpy —
-  ``functions/codecs.py``).
+- PNG / BMP / PPM-PGM / GIF / baseline-JPEG images: REAL decode, true
+  nearest-neighbor resize, re-encode (pure stdlib ``zlib``/``struct``
+  + numpy — ``functions/codecs.py``, ``functions/jpeg.py``).
 - WAV audio: REAL PCM16 decode → duration/rms/zero-crossing features.
-- JPEG / MP4 / everything else: the documented deterministic fallback
-  (byte-histogram features, byte-budget "resize") — lossy codecs
-  genuinely need PIL/ffmpeg, absent in this container. Swap the
-  fallback branch for a PIL/ffmpeg call and nothing else changes.
+- Progressive JPEG / MP4 / everything else: the documented
+  deterministic fallback (byte-histogram features, byte-budget
+  "resize") — those variants genuinely need PIL/ffmpeg, absent in this
+  container. Swap the fallback branch for a PIL/ffmpeg call and
+  nothing else changes.
 
 Scale notes: mapInPandas streams Arrow batches, so a 100 TB binary corpus
 never materializes per-executor beyond one batch
@@ -58,7 +59,7 @@ def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     REAL decode for PNG/BMP/PPM/GIF/baseline-JPEG (codecs.decode_image):
     [w, h, channels, mean/255, std/255, p25/255, p75/255,
     nonzero_fraction]. Formats with no stdlib codec (MP4, progressive
-    JPEG, …) fall back to the deterministic 8-bucket byte histogram —
+    JPEG) fall back to the deterministic 8-bucket byte histogram —
     same arity, so downstream schemas never fork.
     """
     if payload is None:
@@ -299,14 +300,16 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     """REAL frame sampling via mapInPandas: one row per sampled frame —
     (id, frame_ms, payload PNG, width, height, error).
 
-    Animated GIF payloads (the one multi-frame format with a pure-stdlib
-    codec — ``codecs.decode_gif_frames``: variable-width LZW, disposal,
-    transparency, interlace) are decoded and composited; the frame
-    on-screen at each multiple of ``every_ms`` within the animation's
-    duration is re-encoded as PNG. A zero-duration (static) GIF yields
-    its single frame at t=0. Formats that genuinely need ffmpeg (MP4…)
-    produce a per-row error — no fake frames. Output fan-out is bounded
-    by duration/every_ms per payload, streamed per Arrow batch.
+    Two multi-frame formats have pure-stdlib codecs and take the real
+    path: animated GIF (``codecs.decode_gif_frames``: variable-width
+    LZW, disposal, transparency, interlace) and MJPEG AVI
+    (``codecs.decode_avi_frames``: RIFF container + per-frame baseline
+    JPEG). The frame on-screen at each multiple of ``every_ms`` within
+    the clip's duration is re-encoded as PNG. A zero-duration (static)
+    GIF yields its single frame at t=0. Formats that genuinely need
+    ffmpeg (MP4…) produce a per-row error — no fake frames. Output
+    fan-out is bounded by duration/every_ms per payload, streamed per
+    Arrow batch.
     """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -320,7 +323,8 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .codecs import decode_gif_frames, encode_png, sniff_format
+        from .codecs import (decode_avi_frames, decode_gif_frames,
+                             encode_png, sniff_format)
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "frame_ms", "payload",
                                     "width", "height", "error")}
@@ -338,15 +342,19 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                     if payload is None:
                         raise ValueError("null payload")
                     payload = bytes(payload)
-                    if sniff_format(payload) != "gif":
+                    fmt = sniff_format(payload)
+                    if fmt == "gif":
+                        frames = decode_gif_frames(payload)
+                        if not frames:
+                            raise ValueError("GIF with no frames")
+                    elif fmt == "avi":
+                        frames = decode_avi_frames(payload)
+                    else:
                         raise ValueError(
                             f"no stdlib frame codec for format "
-                            f"{sniff_format(payload) or 'unknown'}")
-                    frames = decode_gif_frames(payload)
-                    if not frames:
-                        raise ValueError("GIF with no frames")
+                            f"{fmt or 'unknown'}")
                     # frame i is on screen over [t_i, t_{i+1});
-                    # the animation ends when the last frame appears
+                    # the clip ends when the last frame appears
                     starts = [t for t, _ in frames]
                     ts = (range(0, starts[-1] + 1, every_ms)
                           if starts[-1] else [0])

@@ -1,0 +1,65 @@
+"""MJPEG AVI container codec tests (pure stdlib+numpy, no Spark)."""
+
+import numpy as np
+import pytest
+
+from peri_spark.functions.codecs import (decode_avi_frames,
+                                         encode_avi_mjpeg, sniff_format)
+
+
+def _frame(i, h=24, w=32):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 3 + i * 20) % 256, (y * 5) % 256,
+                     ((x + y) * 2) % 256], axis=-1).astype(np.uint8)
+
+
+def test_roundtrip_timestamps_and_pixels():
+    frames = [_frame(i) for i in range(5)]
+    avi = encode_avi_mjpeg(frames, fps=4.0, quality=90)
+    assert sniff_format(avi) == "avi"
+    dec = decode_avi_frames(avi)
+    assert [t for t, _ in dec] == [0, 250, 500, 750, 1000]
+    for (_, d), orig in zip(dec, frames):
+        assert d.shape == (24, 32, 3)
+        assert np.abs(d.astype(int) - orig.astype(int)).mean() < 5
+
+
+def test_single_frame_and_odd_dims():
+    dec = decode_avi_frames(encode_avi_mjpeg([_frame(0, h=17, w=31)],
+                                             fps=10.0))
+    assert len(dec) == 1 and dec[0][0] == 0
+    assert dec[0][1].shape == (17, 31, 3)
+
+
+def test_rejects_non_avi_and_truncated():
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_frames(b"RIFF\x00\x00\x00\x00WAVE")
+    avi = encode_avi_mjpeg([_frame(0)], fps=10.0)
+    with pytest.raises(ValueError):
+        decode_avi_frames(avi[:60])
+
+
+def test_rejects_non_mjpeg_handler():
+    avi = bytearray(encode_avi_mjpeg([_frame(0)], fps=10.0))
+    i = avi.find(b"vidsMJPG")
+    assert i > 0
+    avi[i + 4:i + 8] = b"H264"
+    with pytest.raises(ValueError, match="handler"):
+        decode_avi_frames(bytes(avi))
+
+
+def test_empty_and_mismatched_encode_rejected():
+    with pytest.raises(ValueError, match="at least one"):
+        encode_avi_mjpeg([], fps=10.0)
+    with pytest.raises(ValueError, match="share one shape"):
+        encode_avi_mjpeg([_frame(0, h=8, w=8), _frame(1, h=9, w=8)],
+                         fps=10.0)
+
+
+def test_idx1_ignored_sequential_scan():
+    # corrupt the idx1 chunk body — frames must still decode
+    avi = bytearray(encode_avi_mjpeg([_frame(i) for i in range(3)],
+                                     fps=10.0))
+    i = avi.find(b"idx1")
+    avi[i + 8:i + 12] = b"\xff\xff\xff\xff"
+    assert len(decode_avi_frames(bytes(avi))) == 3

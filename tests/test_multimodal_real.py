@@ -217,3 +217,32 @@ def test_resize_images_jpeg_stays_jpeg(spark):
     assert sniff_format(bytes(r.payload)) == "jpeg"
     back = decode_jpeg(bytes(r.payload))
     assert back.shape == (20, 30, 3)
+
+
+def test_frame_sample_mjpeg_avi(spark):
+    from peri_spark.functions.multimodal import frame_sample
+    from peri_spark.functions.codecs import decode_png, encode_avi_mjpeg
+
+    def fr(i):
+        y, x = np.mgrid[0:16, 0:20]
+        return np.stack([(x * 2 + i * 30) % 256, (y * 4) % 256,
+                         ((x + y)) % 256], axis=-1).astype(np.uint8)
+
+    frames = [fr(i) for i in range(4)]          # 4 fps → 0,250,500,750ms
+    avi = encode_avi_mjpeg(frames, fps=4.0, quality=92)
+    df = _media_df(spark, [
+        (1, bytearray(avi), ("video/x-msvideo", 20, 16, 1000)),
+        (2, bytearray(b"\x00\x00\x00\x18ftypmp42"), ("video/mp4", None, None, None)),
+    ])
+    rows = frame_sample(df, every_ms=500).collect()
+    ok = sorted([r for r in rows if r.media_id == 1],
+                key=lambda r: r.frame_ms)
+    # clip spans [0, 750]: samples at 0 and 500 → frames 0 and 2
+    assert [r.frame_ms for r in ok] == [0, 500]
+    assert all(r.error is None for r in ok)
+    for r, want in zip(ok, (frames[0], frames[2])):
+        got = decode_png(bytes(r.payload))
+        assert got.shape == (16, 20, 3)
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 5
+    err = [r for r in rows if r.media_id == 2]
+    assert len(err) == 1 and "no stdlib frame codec" in err[0].error
