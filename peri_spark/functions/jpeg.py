@@ -23,6 +23,7 @@ backs the SURVEY.md multimodal directive.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -115,62 +116,72 @@ def _build_huff(bits: list[int], vals: list[int]):
 # Bit I/O
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    """Entropy-segment reader: un-stuffs 0xFF00, pads with 1-bits at a
-    marker boundary or end of data (T.81 F.2.2.5 allows it)."""
+# a marker is FF followed by anything but a stuffed 00 or a restart code
+_MARKER_RE = re.compile(b"\xff[^\x00\xd0-\xd7]")
+_RST_RE = re.compile(b"\xff[\xd0-\xd7]")
 
-    def __init__(self, data: bytes, pos: int):
-        self.d = data
-        self.pos = pos
-        self.cur = 0
-        self.nbits = 0
 
-    def _next_byte(self) -> int:
-        if self.pos >= len(self.d):
-            return 0xFF                               # pad past end
-        b = self.d[self.pos]
-        if b == 0xFF:
-            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) \
-                else 0xD9
-            if nxt == 0x00:                           # stuffed literal FF
-                self.pos += 2
-                return 0xFF
-            return -1                                 # marker: don't consume
-        self.pos += 1
-        return b
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Slice the scan's entropy data out of ``data`` starting at ``pos``,
+    split it on restart markers, and un-stuff 0xFF00 → 0xFF once up
+    front — the per-bit reader then never inspects markers."""
+    m = _MARKER_RE.search(data, pos)
+    end = m.start() if m else len(data)
+    return [s.replace(b"\xff\x00", b"\xff")
+            for s in _RST_RE.split(data[pos:end])]
+
+
+class _FastBits:
+    """MSB-first bit reader over one un-stuffed entropy segment with a
+    bulk-refill accumulator; reads past the end yield 1-bits (T.81
+    F.2.2.5 allows padding at a marker boundary / end of data)."""
+
+    __slots__ = ("d", "pos", "acc", "n")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        d, p, acc, n = self.d, self.pos, self.acc, self.n
+        ln = len(d)
+        while n < need:
+            acc = (acc << 8) | (d[p] if p < ln else 0xFF)
+            p += 1
+            n += 8
+        self.pos, self.acc, self.n = p, acc, n
 
     def read(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            if self.nbits == 0:
-                b = self._next_byte()
-                self.cur = 0xFF if b < 0 else b       # pad at marker
-                self.nbits = 8
-            v = (v << 1) | ((self.cur >> (self.nbits - 1)) & 1)
-            self.nbits -= 1
+        if self.n < k:
+            self._fill(k)
+        n = self.n - k
+        v = (self.acc >> n) & ((1 << k) - 1)
+        self.n = n
+        self.acc &= (1 << n) - 1
         return v
 
-    def huff(self, table) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("corrupt JPEG: bad Huffman code")
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
 
-    def align_restart(self):
-        """Drop partial-byte bits and scan to the next RSTn marker
-        (skipping flush padding / stuffed bytes in between)."""
-        self.cur = 0
-        self.nbits = 0
-        while self.pos + 1 < len(self.d):
-            if self.d[self.pos] == 0xFF \
-                    and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("corrupt JPEG: missing restart marker")
+    def skip(self, k: int) -> None:
+        n = self.n - k
+        self.n = n
+        self.acc &= (1 << n) - 1
+
+
+def _huff_lut(dec: dict) -> list[int]:
+    """16-bit peek lookup table from a canonical decode map: entry =
+    (code_len << 8) | symbol, 0 = invalid prefix. One table costs a few
+    hundred slice fills over a 65536 numpy array, built once per DHT."""
+    lut = np.zeros(65536, dtype=np.int32)
+    for (ln, code), sym in dec.items():
+        lo = code << (16 - ln)
+        lut[lo:lo + (1 << (16 - ln))] = (ln << 8) | sym
+    return lut.tolist()        # Python list indexing beats np scalar
 
 
 def _extend(v: int, s: int) -> int:
@@ -221,7 +232,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nv = sum(bits)
                 vals = list(seg[o + 17:o + 17 + nv])
                 dec, _ = _build_huff(bits, vals)
-                (dc_tabs if tc == 0 else ac_tabs)[th] = dec
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(dec)
                 o += 17 + nv
         elif m == 0xC0:                              # SOF0 baseline
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -254,6 +265,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart):
+    """Entropy-decode the interleaved scan.
+
+    The Python loop only walks Huffman symbols (LUT peek + magnitude
+    bits) and appends sparse (flat_index, value) coefficient triplets;
+    dequantization, the IDCT, and block placement all happen ONCE per
+    component as batched numpy ops over an (n_blocks, 8, 8) tensor."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2 or any(c["h"] not in (1, 2) or
@@ -264,68 +281,137 @@ def _decode_scan(data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart):
     for c in comps:
         c["bw"] = mcux * c["h"]
         c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
         c["pred"] = 0
+        c["nb"] = 0          # blocks decoded so far (MCU-interleaved)
+        c["idx"] = []        # flat coefficient index: block*64 + zigzag k
+        c["val"] = []
+        c["rows"] = []       # block grid position per decoded block
+        c["cols"] = []
         if c["tq"] not in qts:
             raise ValueError("missing quant table")
-    r = _BitReader(data, pos)
-    zz = _ZZ
+        dct = dc_tabs.get(c["td"])
+        act = ac_tabs.get(c["ta"])
+        if dct is None or act is None:
+            raise ValueError("missing Huffman table")
+        c["dct"], c["act"] = dct, act
+    segments = _entropy_segments(data, pos)
+    seg_i = 0
+    # inlined MSB-first bit reader (method calls cost more than the
+    # arithmetic at ~400 K symbols/megapixel): fill the accumulator to
+    # 32 bits once per symbol — a 16-bit LUT peek plus a ≤16-bit
+    # magnitude read then never needs a mid-symbol refill
+    dbuf = segments[0]
+    dlen = len(dbuf)
+    dpos = 0
+    acc = 0
+    nbits = 0
     n_mcu = mcux * mcuy
     for mi in range(n_mcu):
         if restart and mi and mi % restart == 0:
-            r.align_restart()
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("corrupt JPEG: missing restart marker")
+            dbuf = segments[seg_i]
+            dlen = len(dbuf)
+            dpos = 0
+            acc = 0
+            nbits = 0
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(mi, mcux)
         for c in comps:
-            dct = dc_tabs.get(c["td"])
-            act = ac_tabs.get(c["ta"])
-            if dct is None or act is None:
-                raise ValueError("missing Huffman table")
-            q = qts[c["tq"]]
+            dct, act = c["dct"], c["act"]
+            idx, val = c["idx"], c["val"]
+            pred = c["pred"]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.int32)
-                    s = r.huff(dct)
-                    diff = _extend(r.read(s), s) if s else 0
-                    c["pred"] += diff
-                    blk[0] = c["pred"]
+                    base = c["nb"] * 64
+                    c["nb"] += 1
+                    c["rows"].append(my * c["v"] + by)
+                    c["cols"].append(mx * c["h"] + bx)
+                    while nbits < 32:
+                        acc = (acc << 8) | (dbuf[dpos]
+                                            if dpos < dlen else 0xFF)
+                        dpos += 1
+                        nbits += 8
+                    e = dct[(acc >> (nbits - 16)) & 0xFFFF]
+                    if not e:
+                        raise ValueError("corrupt JPEG: bad Huffman code")
+                    nbits -= e >> 8
+                    s = e & 0xFF
+                    if s:
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        pred += v if v >= (1 << (s - 1)) \
+                            else v - (1 << s) + 1
+                    idx.append(base)
+                    val.append(pred)
                     k = 1
                     while k < 64:
-                        rs = r.huff(act)
-                        rr, ss = rs >> 4, rs & 0x0F
+                        while nbits < 32:
+                            acc = (acc << 8) | (dbuf[dpos]
+                                                if dpos < dlen else 0xFF)
+                            dpos += 1
+                            nbits += 8
+                        acc &= (1 << nbits) - 1
+                        e = act[(acc >> (nbits - 16)) & 0xFFFF]
+                        if not e:
+                            raise ValueError(
+                                "corrupt JPEG: bad Huffman code")
+                        nbits -= e >> 8
+                        rs = e & 0xFF
+                        ss = rs & 0x0F
                         if ss == 0:
-                            if rr == 15:
+                            if rs == 0xF0:
                                 k += 16        # ZRL
                                 continue
                             break              # EOB
-                        k += rr
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("corrupt JPEG: AC overrun")
-                        blk[k] = _extend(r.read(ss), ss)
+                        nbits -= ss
+                        v = (acc >> nbits) & ((1 << ss) - 1)
+                        idx.append(base + k)
+                        val.append(v if v >= (1 << (ss - 1))
+                                   else v - (1 << ss) + 1)
                         k += 1
-                    bq = np.zeros(64, dtype=np.float64)
-                    # q arrives zigzag-ordered (DQT wire order), blk is
-                    # zigzag too: multiply then scatter to natural order
-                    bq[zz] = blk * q
-                    f = _A.T @ bq.reshape(8, 8) @ _A
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    c["coef"][y0:y0 + 8, x0:x0 + 8] = f
+            c["pred"] = pred
+    zz = _ZZ
+    a32 = _A.astype(np.float32)
     planes = []
     for c in comps:
-        p = np.clip(np.round(c["coef"] + 128), 0, 255).astype(np.uint8)
+        nb = c["nb"]
+        coefs = np.zeros(nb * 64, dtype=np.int32)
+        coefs[np.asarray(c["idx"], dtype=np.int64)] = c["val"]
+        # q arrives zigzag-ordered (DQT wire order), coefs are zigzag
+        # too: dequantize then scatter every block to natural order
+        deq = (coefs.reshape(nb, 64)
+               * qts[c["tq"]][None, :]).astype(np.float32)
+        nat = np.zeros((nb, 64), dtype=np.float32)
+        nat[:, zz] = deq
+        f = a32.T @ nat.reshape(nb, 8, 8) @ a32   # batched IDCT
+        grid = np.empty((c["bh"], c["bw"], 8, 8), dtype=np.float32)
+        grid[c["rows"], c["cols"]] = f
+        p = grid.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        p += 128.5            # +0.5: clip-and-truncate rounds to nearest
         if c["h"] < hmax or c["v"] < vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                           hmax // c["h"], axis=1)
         planes.append(p[:h, :w])
     if len(planes) == 1:
-        return planes[0][:, :, None]
-    y, cb, cr = (pl.astype(np.float64) for pl in planes)
-    r_ = y + 1.402 * (cr - 128)
-    g_ = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b_ = y + 1.772 * (cb - 128)
-    return np.clip(np.round(np.dstack([r_, g_, b_])), 0, 255).astype(np.uint8)
+        return np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    cb -= 128.0               # the +128.5 bias leaves the rounding half
+    cr -= 128.0
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = np.clip(y + np.float32(1.402) * (cr - np.float32(0.5)),
+                           0, 255).astype(np.uint8)
+    out[:, :, 1] = np.clip(y - np.float32(0.344136) * (cb - np.float32(0.5))
+                           - np.float32(0.714136) * (cr - np.float32(0.5)),
+                           0, 255).astype(np.uint8)
+    out[:, :, 2] = np.clip(y + np.float32(1.772) * (cb - np.float32(0.5)),
+                           0, 255).astype(np.uint8)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -419,51 +505,104 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         ph0, pw0 = p.shape
         padded.append(np.pad(p, ((0, th - ph0), (0, tw - pw0)),
                              mode="edge"))
-    bw_ = _BitWriter()
+    # batched forward DCT + quantization per component: the Python MCU
+    # loop below only does Huffman emission over plain-int lists
+    a32 = _A.astype(np.float32)
+    comp_zs = []      # per component: zigzag int rows, raster block order
+    comp_bw = []      # blocks per grid row
+    for p, (sh, sv), qt in zip(padded, samps,
+                               [qt_l] + [qt_c] * (len(planes) - 1)):
+        th, tw = p.shape
+        gh, gw = th // 8, tw // 8
+        blocks = (p.astype(np.float32) - np.float32(128.0)) \
+            .reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3) \
+            .reshape(gh * gw, 8, 8)
+        F = a32 @ blocks @ a32.T
+        qc = np.round(F.reshape(-1, 64)
+                      / qt.astype(np.float32)[None, :]).astype(np.int32)
+        comp_zs.append(qc[:, zz].tolist())
+        comp_bw.append(gw)
+    out = bytearray()
+    acc = 0
+    nacc = 0
     pred = [0] * len(planes)
     for mi in range(mcux * mcuy):
         if restart_interval and mi and mi % restart_interval == 0:
-            bw_.flush()
-            bw_.out += bytes([0xFF,
-                              0xD0 + ((mi // restart_interval - 1) % 8)])
+            if nacc & 7:                       # pad to byte with 1-bits
+                padn = 8 - (nacc & 7)
+                acc = (acc << padn) | ((1 << padn) - 1)
+                nacc += padn
+            while nacc >= 8:
+                b = (acc >> (nacc - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                nacc -= 8
+            acc = 0
+            out += bytes([0xFF,
+                          0xD0 + ((mi // restart_interval - 1) % 8)])
             pred = [0] * len(planes)
         my, mx = divmod(mi, mcux)
-        for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
-            qt = qt_l if ci == 0 else qt_c
+        for ci, (sh, sv) in enumerate(samps):
+            zs = comp_zs[ci]
+            gw = comp_bw[ci]
             dct_, act_ = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             for by in range(sv):
                 for bx in range(sh):
-                    y0 = (my * sv + by) * 8
-                    x0 = (mx * sh + bx) * 8
-                    blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                    F = _A @ blk @ _A.T
-                    qc = np.round(F / qt.reshape(8, 8)).astype(np.int32)
-                    zseq = qc.reshape(64)[zz]
-                    diff = int(zseq[0]) - pred[ci]
-                    pred[ci] = int(zseq[0])
+                    row = zs[(my * sv + by) * gw + (mx * sh + bx)]
+                    v0 = row[0]
+                    diff = v0 - pred[ci]
+                    pred[ci] = v0
                     s, m = _mag(diff)
                     code, ln = dct_[s]
-                    bw_.write(code, ln)
+                    acc = (acc << ln) | code
+                    nacc += ln
                     if s:
-                        bw_.write(m, s)
-                    nz = np.nonzero(zseq[1:])[0]
-                    k = 1
-                    for idx in nz:
-                        pos_ = idx + 1
-                        run = pos_ - k
+                        acc = (acc << s) | m
+                        nacc += s
+                    run = 0
+                    for k in range(1, 64):
+                        v = row[k]
+                        if v == 0:
+                            run += 1
+                            continue
                         while run >= 16:
-                            code, ln = act_[0xF0]   # ZRL
-                            bw_.write(code, ln)
+                            code, ln = act_[0xF0]    # ZRL
+                            acc = (acc << ln) | code
+                            nacc += ln
                             run -= 16
-                        s, m = _mag(int(zseq[pos_]))
+                        a = v if v > 0 else -v
+                        s = a.bit_length()
+                        m = v if v > 0 else v + (1 << s) - 1
                         code, ln = act_[(run << 4) | s]
-                        bw_.write(code, ln)
-                        bw_.write(m, s)
-                        k = pos_ + 1
-                    if k < 64:
+                        acc = (acc << ln) | code
+                        nacc += ln
+                        acc = (acc << s) | m
+                        nacc += s
+                        run = 0
+                    if run:
                         code, ln = act_[0x00]        # EOB
-                        bw_.write(code, ln)
-    bw_.flush()
+                        acc = (acc << ln) | code
+                        nacc += ln
+                    while nacc >= 8:
+                        b = (acc >> (nacc - 8)) & 0xFF
+                        out.append(b)
+                        if b == 0xFF:
+                            out.append(0x00)
+                        nacc -= 8
+                    acc &= (1 << nacc) - 1
+    if nacc & 7:
+        padn = 8 - (nacc & 7)
+        acc = (acc << padn) | ((1 << padn) - 1)
+        nacc += padn
+    while nacc >= 8:
+        b = (acc >> (nacc - 8)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+        nacc -= 8
+    bw_ = _BitWriter()
+    bw_.out = out
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
