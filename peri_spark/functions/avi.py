@@ -28,7 +28,7 @@ import numpy as np
 
 from .jpeg import decode_jpeg, encode_jpeg
 
-__all__ = ["decode_avi_frames", "encode_avi_mjpeg"]
+__all__ = ["decode_avi_frames", "scan_avi_frames", "encode_avi_mjpeg"]
 
 
 def _chunks(buf: bytes, pos: int, end: int):
@@ -44,13 +44,18 @@ def _chunks(buf: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
-def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
-    """Parse an MJPEG AVI → [(timestamp_ms, uint8 (H, W, C)), …].
+def scan_avi_frames(payload: bytes) -> list[tuple[int, bytes]]:
+    """Parse an MJPEG AVI container → [(timestamp_ms, jpeg_bytes), …]
+    WITHOUT decoding pixels — MJPEG frames are independent, so callers
+    that sample (``frame_sample``) decode only the frames they keep,
+    bounding memory by sampled count instead of clip pixel count.
 
-    Frame i is on screen over [i·dt, (i+1)·dt) where dt comes from the
+    Slot i is on screen over [i·dt, (i+1)·dt) where dt comes from the
     video stream header (dwScale/dwRate), falling back to the main
-    header's microseconds-per-frame. Raises ValueError for non-AVI
-    payloads, non-MJPEG video streams, and corrupt frame chunks.
+    header's microseconds-per-frame. A zero-size chunk is a dropped
+    capture frame: the previous frame persists through that slot (its
+    slot still advances the clock). Raises ValueError for non-AVI
+    payloads and non-MJPEG video streams.
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"AVI ":
@@ -105,19 +110,32 @@ def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
         raise ValueError("AVI with no frame timing")
 
     want = b"%02d" % stream_no
-    frames: list[tuple[int, np.ndarray]] = []
+    frames: list[tuple[int, bytes]] = []
+    slot = 0   # advances on EVERY video chunk incl. zero-size dropped
+    # frames, so timestamps stay aligned to the stream clock
     for fcc, body, size in _chunks(payload, movi[0], movi[1]):
         if fcc == b"LIST":  # 'rec ' grouping — recurse one level
             for f2, b2, s2 in _chunks(payload, body + 4, body + size):
                 if f2[:2] == want and f2[2:4] in (b"dc", b"db"):
-                    frames.append((int(round(len(frames) * dt_ms)),
-                                   decode_jpeg(payload[b2:b2 + s2])))
-        elif fcc[:2] == want and fcc[2:4] in (b"dc", b"db") and size:
-            frames.append((int(round(len(frames) * dt_ms)),
-                           decode_jpeg(payload[body:body + size])))
+                    if s2:
+                        frames.append((int(round(slot * dt_ms)),
+                                       payload[b2:b2 + s2]))
+                    slot += 1
+        elif fcc[:2] == want and fcc[2:4] in (b"dc", b"db"):
+            if size:
+                frames.append((int(round(slot * dt_ms)),
+                               payload[body:body + size]))
+            slot += 1
     if not frames:
         raise ValueError("AVI with no video frames")
     return frames
+
+
+def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Parse an MJPEG AVI → [(timestamp_ms, uint8 (H, W, C)), …] with
+    every frame decoded. See ``scan_avi_frames`` for the lazy container
+    scan (preferred when only a subset of frames is needed)."""
+    return [(t, decode_jpeg(j)) for t, j in scan_avi_frames(payload)]
 
 
 def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,

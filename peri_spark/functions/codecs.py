@@ -23,7 +23,8 @@ import zlib
 
 import numpy as np
 
-from .avi import decode_avi_frames, encode_avi_mjpeg  # noqa: F401
+from .avi import (decode_avi_frames, encode_avi_mjpeg,  # noqa: F401
+                  scan_avi_frames)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
 
 __all__ = [
@@ -31,7 +32,7 @@ __all__ = [
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
     "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
     "decode_jpeg", "encode_jpeg", "decode_avi_frames",
-    "encode_avi_mjpeg",
+    "scan_avi_frames", "encode_avi_mjpeg",
     "DECODABLE_IMAGE_FORMATS",
 ]
 
@@ -324,7 +325,6 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "ppm":
         return decode_ppm(payload)
     if fmt == "jpeg":
-        from .jpeg import decode_jpeg
         return decode_jpeg(payload)
     if fmt == "gif":  # still image = first composited frame
         frames = decode_gif_frames(payload)

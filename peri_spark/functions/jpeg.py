@@ -23,6 +23,7 @@ backs the SURVEY.md multimodal directive.
 
 from __future__ import annotations
 
+import functools
 import re
 import struct
 
@@ -131,62 +132,24 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
             for s in _RST_RE.split(data[pos:end])]
 
 
-class _FastBits:
-    """MSB-first bit reader over one un-stuffed entropy segment with a
-    bulk-refill accumulator; reads past the end yield 1-bits (T.81
-    F.2.2.5 allows padding at a marker boundary / end of data)."""
-
-    __slots__ = ("d", "pos", "acc", "n")
-
-    def __init__(self, d: bytes):
-        self.d = d
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self, need: int) -> None:
-        d, p, acc, n = self.d, self.pos, self.acc, self.n
-        ln = len(d)
-        while n < need:
-            acc = (acc << 8) | (d[p] if p < ln else 0xFF)
-            p += 1
-            n += 8
-        self.pos, self.acc, self.n = p, acc, n
-
-    def read(self, k: int) -> int:
-        if self.n < k:
-            self._fill(k)
-        n = self.n - k
-        v = (self.acc >> n) & ((1 << k) - 1)
-        self.n = n
-        self.acc &= (1 << n) - 1
-        return v
-
-    def peek16(self) -> int:
-        if self.n < 16:
-            self._fill(16)
-        return (self.acc >> (self.n - 16)) & 0xFFFF
-
-    def skip(self, k: int) -> None:
-        n = self.n - k
-        self.n = n
-        self.acc &= (1 << n) - 1
-
-
-def _huff_lut(dec: dict) -> list[int]:
-    """16-bit peek lookup table from a canonical decode map: entry =
-    (code_len << 8) | symbol, 0 = invalid prefix. One table costs a few
-    hundred slice fills over a 65536 numpy array, built once per DHT."""
+@functools.lru_cache(maxsize=64)
+def _huff_lut(bits: bytes, vals: bytes) -> list[int]:
+    """16-bit peek lookup table from a DHT spec: entry = (code_len << 8)
+    | symbol, 0 = invalid prefix. Cached on the raw wire bytes — real
+    corpora overwhelmingly ship the identical Annex-K tables, so the
+    65536-slot list builds once per executor, not once per image."""
+    if len(bits) != 16 or len(vals) != sum(bits):
+        raise ValueError("truncated JPEG DHT segment")
     lut = np.zeros(65536, dtype=np.int32)
-    for (ln, code), sym in dec.items():
-        lo = code << (16 - ln)
-        lut[lo:lo + (1 << (16 - ln))] = (ln << 8) | sym
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            lut[lo:lo + (1 << (16 - ln))] = (ln << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
     return lut.tolist()        # Python list indexing beats np scalar
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 EXTEND: map s-bit magnitude to signed value."""
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
 # ---------------------------------------------------------------------------
@@ -194,13 +157,24 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JFIF → uint8 (H, W, 3) RGB or (H, W, 1) gray."""
+    """Decode baseline JFIF → uint8 (H, W, 3) RGB or (H, W, 1) gray.
+    Raises ValueError for corrupt/truncated streams and the variants
+    outside baseline sequential (progressive, arithmetic, 12-bit)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        # short segments surface as struct/index errors deep in the
+        # parse; the documented contract is ValueError
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, dict] = {}
-    ac_tabs: dict[int, dict] = {}
+    dc_tabs: dict[int, list] = {}
+    ac_tabs: dict[int, list] = {}
     comps = None
     h = w = None
     restart = 0
@@ -208,6 +182,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker sync at {pos}")
         m = payload[pos + 1]
+        if m == 0xFF:          # T.81 B.1.1.2: optional fill bytes
+            pos += 1
+            continue
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
@@ -221,6 +198,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = seg[o] >> 4, seg[o] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if len(seg) < o + 65:
+                    raise ValueError("truncated JPEG DQT segment")
                 tab = np.frombuffer(seg[o + 1:o + 65], dtype=np.uint8)
                 qts[tq] = tab.astype(np.int32)
                 o += 65
@@ -228,11 +207,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(seg):
                 tc, th = seg[o] >> 4, seg[o] & 0x0F
-                bits = list(seg[o + 1:o + 17])
+                bits = bytes(seg[o + 1:o + 17])
                 nv = sum(bits)
-                vals = list(seg[o + 17:o + 17 + nv])
-                dec, _ = _build_huff(bits, vals)
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_lut(dec)
+                vals = bytes(seg[o + 17:o + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = \
+                    _huff_lut(bits, vals)
                 o += 17 + nv
         elif m == 0xC0:                              # SOF0 baseline
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -257,6 +236,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0x0F)
             for c in comps:
+                if c["id"] not in sel:
+                    raise ValueError("JPEG scan omits a SOF component")
                 c["td"], c["ta"] = sel[c["id"]]
             return _decode_scan(payload, pos + seglen, comps, qts,
                                 dc_tabs, ac_tabs, h, w, restart)
@@ -418,29 +399,6 @@ def _decode_scan(data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart):
 # Encoder
 # ---------------------------------------------------------------------------
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def write(self, code: int, ln: int):
-        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
-        self.n += ln
-        while self.n >= 8:
-            b = (self.acc >> (self.n - 8)) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)          # byte stuffing
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
-
-    def flush(self):
-        if self.n:
-            pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)    # pad with 1-bits
-
-
 def _mag(v: int) -> tuple[int, int]:
     """(size, magnitude bits) for a signed coefficient."""
     if v == 0:
@@ -601,8 +559,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         if b == 0xFF:
             out.append(0x00)
         nacc -= 8
-    bw_ = _BitWriter()
-    bw_.out = out
+    scan = out          # entropy-coded scan bytes (``out`` is rebound
+    # below to the file assembly buffer)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
@@ -634,6 +592,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
-    out += bw_.out
+    out += scan
     out += b"\xff\xd9"
     return bytes(out)

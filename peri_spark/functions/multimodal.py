@@ -323,8 +323,9 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .codecs import (decode_avi_frames, decode_gif_frames,
-                             encode_png, sniff_format)
+        from .avi import scan_avi_frames
+        from .codecs import (decode_gif_frames, decode_jpeg, encode_png,
+                             sniff_format)
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "frame_ms", "payload",
                                     "width", "height", "error")}
@@ -344,31 +345,46 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                     payload = bytes(payload)
                     fmt = sniff_format(payload)
                     if fmt == "gif":
-                        frames = decode_gif_frames(payload)
-                        if not frames:
+                        # GIF frames composite (disposal/transparency),
+                        # so every frame must decode up front
+                        decoded = decode_gif_frames(payload)
+                        if not decoded:
                             raise ValueError("GIF with no frames")
+                        starts = [t for t, _ in decoded]
+
+                        def get_img(fi, _d=decoded):
+                            return _d[fi][1]
                     elif fmt == "avi":
-                        frames = decode_avi_frames(payload)
+                        # MJPEG frames are independent: scan the
+                        # container only, decode just the sampled
+                        # frames (memory bounded by sampled count)
+                        scanned = scan_avi_frames(payload)
+                        starts = [t for t, _ in scanned]
+
+                        def get_img(fi, _s=scanned):
+                            return decode_jpeg(_s[fi][1])
                     else:
                         raise ValueError(
                             f"no stdlib frame codec for format "
                             f"{fmt or 'unknown'}")
                     # frame i is on screen over [t_i, t_{i+1});
                     # the clip ends when the last frame appears
-                    starts = [t for t, _ in frames]
                     ts = (range(0, starts[-1] + 1, every_ms)
                           if starts[-1] else [0])
                     fi = 0
-                    png_cache: dict[int, bytes] = {}  # frame idx → PNG:
-                    # many sampling instants can land on one long frame
+                    png_cache: dict[int, tuple] = {}  # frame idx →
+                    # (PNG, w, h): many sampling instants can land on
+                    # one long frame, and it decodes/encodes only once
                     for t in ts:
-                        while fi + 1 < len(frames) and starts[fi + 1] <= t:
+                        while fi + 1 < len(starts) and starts[fi + 1] <= t:
                             fi += 1
-                        img = frames[fi][1]
                         if fi not in png_cache:
-                            png_cache[fi] = encode_png(img)
-                        emit(mid, t, png_cache[fi],
-                             int(img.shape[1]), int(img.shape[0]), None)
+                            img = get_img(fi)
+                            png_cache[fi] = (encode_png(img),
+                                             int(img.shape[1]),
+                                             int(img.shape[0]))
+                        png, fw, fh = png_cache[fi]
+                        emit(mid, t, png, fw, fh, None)
                 except Exception as e:  # capture, don't fail the batch
                     emit(mid, None, None, None, None, str(e))
             yield pd.DataFrame(rows)

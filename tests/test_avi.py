@@ -63,3 +63,51 @@ def test_idx1_ignored_sequential_scan():
     i = avi.find(b"idx1")
     avi[i + 8:i + 12] = b"\xff\xff\xff\xff"
     assert len(decode_avi_frames(bytes(avi))) == 3
+
+
+# --- externally-shaped stream variants (review regressions) ---------------
+
+def _chunk(fcc, body):
+    import struct
+    return fcc + struct.pack("<I", len(body)) + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _rebuild_movi(avi, new_body):
+    """Swap the movi LIST's body (after the 'movi' kind) and fix sizes."""
+    import struct
+    i = avi.find(b"movi") - 8
+    (old_size,) = struct.unpack_from("<I", avi, i + 4)
+    old_total = 8 + old_size + (old_size & 1)
+    new = avi[:i] + _chunk(b"LIST", b"movi" + new_body) + avi[i + old_total:]
+    return new[:4] + __import__("struct").pack("<I", len(new) - 8) + new[8:]
+
+
+def test_dropped_frame_slots_keep_timestamps():
+    from peri_spark.functions.avi import scan_avi_frames
+    avi = encode_avi_mjpeg([_frame(0), _frame(1)], fps=10.0)
+    j0, j1 = [j for _, j in scan_avi_frames(avi)]
+    # frame0, dropped slot, frame1: frame1 appears at 200ms, not 100ms
+    body = _chunk(b"00dc", j0) + _chunk(b"00dc", b"") + _chunk(b"00dc", j1)
+    dec = decode_avi_frames(_rebuild_movi(avi, body))
+    assert [t for t, _ in dec] == [0, 200]
+
+
+def test_rec_list_grouping_with_dropped_frame():
+    from peri_spark.functions.avi import scan_avi_frames
+    avi = encode_avi_mjpeg([_frame(0), _frame(1)], fps=10.0)
+    j0, j1 = [j for _, j in scan_avi_frames(avi)]
+    rec = _chunk(b"LIST", b"rec " + _chunk(b"00dc", j0)
+                 + _chunk(b"00dc", b"") + _chunk(b"00dc", j1))
+    dec = decode_avi_frames(_rebuild_movi(avi, rec))
+    assert [t for t, _ in dec] == [0, 200]
+    assert dec[0][1].shape == (24, 32, 3)
+
+
+def test_scan_does_not_decode():
+    from peri_spark.functions.avi import scan_avi_frames
+    frames = [_frame(i) for i in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=10.0)
+    scanned = scan_avi_frames(avi)
+    assert all(isinstance(j, bytes) and j[:3] == b"\xff\xd8\xff"
+               for _, j in scanned)

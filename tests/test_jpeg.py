@@ -81,3 +81,40 @@ def test_truncated_rejected():
         decode_jpeg(enc[:40])
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+# --- externally-shaped stream variants (review regressions) ---------------
+
+def test_fill_bytes_before_marker_accepted():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    img = _rgb(16, 16)
+    enc = encode_jpeg(img, quality=90)
+    i = enc.find(b"\xff\xda")           # pad just before SOS
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    dec = decode_jpeg(padded)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_truncated_dht_raises_valueerror():
+    enc = bytearray(encode_jpeg(_rgb(16, 16), 85))
+    i = enc.find(b"\xff\xc4")
+    # shrink the DHT segment length so the bits array is cut short
+    enc[i + 2:i + 4] = (10).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_scan_component_mismatch_raises_valueerror():
+    enc = bytearray(encode_jpeg(_rgb(16, 16), 85))
+    i = enc.find(b"\xff\xda")
+    enc[i + 5] = 9          # first scan component id: 1 → 9 (not in SOF)
+    with pytest.raises(ValueError, match="omits|corrupt"):
+        decode_jpeg(bytes(enc))
+
+
+def test_huffman_lut_cached_across_decodes():
+    from peri_spark.functions.jpeg import _huff_lut
+    before = _huff_lut.cache_info().hits
+    decode_jpeg(encode_jpeg(_rgb(8, 8), 85))
+    decode_jpeg(encode_jpeg(_rgb(9, 9), 85))
+    assert _huff_lut.cache_info().hits > before
