@@ -15,6 +15,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
                          ivf_topk, normalize_embeddings,
                          train_ivf_centroids)
+from .probe import probe_media, probe_metadata
 from .textstats import (language_id, quality_scores, token_counts,
                         winnow_fingerprints)
 
@@ -26,5 +27,5 @@ __all__ = [
     "normalize_embeddings", "deterministic_kmeans", "train_ivf_centroids",
     "ivf_topk",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
-    "portable_hash64",
+    "portable_hash64", "probe_media", "probe_metadata",
 ]
