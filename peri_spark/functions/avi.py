@@ -28,7 +28,8 @@ import numpy as np
 
 from .jpeg import decode_jpeg, encode_jpeg
 
-__all__ = ["decode_avi_frames", "scan_avi_frames", "encode_avi_mjpeg"]
+__all__ = ["decode_avi_frames", "scan_avi_frames", "decode_avi_audio",
+           "encode_avi_mjpeg"]
 
 
 def _chunks(buf: bytes, pos: int, end: int):
@@ -138,11 +139,77 @@ def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
     return [(t, decode_jpeg(j)) for t, j in scan_avi_frames(payload)]
 
 
+def decode_avi_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Extract the first PCM16 'auds' stream → (int16 (n, channels),
+    rate_hz) — same shape contract as ``codecs.decode_wav``. Raises
+    ValueError for non-AVI payloads, missing/compressed audio streams.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    stream_no = None
+    rate = channels = bits = None
+    next_stream = 0
+    movi = None
+    for fcc, body, size in _chunks(payload, 12, end):
+        if fcc != b"LIST":
+            continue
+        kind = payload[body:body + 4]
+        if kind == b"hdrl":
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
+                    sidx = next_stream
+                    next_stream += 1
+                    is_auds = False
+                    for f3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and s3 >= 4:
+                            is_auds = payload[b3:b3 + 4] == b"auds"
+                        elif f3 == b"strf" and is_auds and s3 >= 16 \
+                                and stream_no is None:
+                            tag, channels, rate = struct.unpack_from(
+                                "<HHI", payload, b3)
+                            bits = struct.unpack_from(
+                                "<H", payload, b3 + 14)[0]
+                            if tag != 1 or bits != 16:
+                                raise ValueError(
+                                    "no stdlib codec for AVI audio "
+                                    f"format tag {tag} ({bits}-bit)")
+                            stream_no = sidx
+        elif kind == b"movi":
+            movi = (body + 4, body + size)
+    if stream_no is None:
+        raise ValueError("AVI with no PCM audio stream")
+    if movi is None:
+        raise ValueError("AVI with no movi data")
+    want = b"%02d" % stream_no
+    pieces = []
+    for fcc, body, size in _chunks(payload, movi[0], movi[1]):
+        if fcc == b"LIST":
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2[:2] == want and f2[2:4] == b"wb" and s2:
+                    pieces.append(payload[b2:b2 + s2])
+        elif fcc[:2] == want and fcc[2:4] == b"wb" and size:
+            pieces.append(payload[body:body + size])
+    if not pieces:
+        raise ValueError("AVI audio stream with no data chunks")
+    raw = b"".join(pieces)
+    frame_bytes = 2 * channels
+    raw = raw[:len(raw) - (len(raw) % frame_bytes)]
+    if not raw:
+        raise ValueError("AVI audio stream with no samples")
+    return (np.frombuffer(raw, dtype="<i2").reshape(-1, channels),
+            rate)
+
+
 def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
-                     quality: int = 85) -> bytes:
+                     quality: int = 85,
+                     audio: tuple[np.ndarray, int] | None = None) -> bytes:
     """Encode uint8 (H, W, 3) frames → a minimal MJPEG AVI (fixture /
     sink use). All frames must share one shape; ``fps`` sets the stream
-    dwRate/dwScale timing the decoder reads back."""
+    dwRate/dwScale timing the decoder reads back. ``audio`` optionally
+    adds a PCM16 'auds' stream as (int16 samples (n,) or (n, ch),
+    rate_hz)."""
     if not frames:
         raise ValueError("encode_avi_mjpeg wants at least one frame")
     h, w = frames[0].shape[:2]
@@ -161,22 +228,40 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0,
 
     rate = max(int(round(fps * 1000)), 1)
     scale = 1000
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack("<14I", int(1_000_000 / fps), 0, 0, 0x10,
-                       len(frames), 0, 1, 0, w, h, 0, 0, 0, 0)
+                       len(frames), 0, n_streams, 0, w, h, 0, 0, 0, 0)
     strh = b"vids" + b"MJPG" + struct.pack(
         "<IHHIIIIIIII4h", 0, 0, 0, 0, scale, rate, 0, len(frames),
         max(len(j) for j in jpegs), 0xFFFFFFFF & -1, 0,
         0, 0, w, h)
     strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
                        w * h * 3, 0, 0, 0, 0)
-    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih)
-                      + list_chunk(b"strl", chunk(b"strh", strh)
-                                   + chunk(b"strf", strf)))
-    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    strl_v = list_chunk(b"strl", chunk(b"strh", strh)
+                        + chunk(b"strf", strf))
+    strl_a = b""
+    audio_chunk = b""
+    if audio is not None:
+        samples, arate = audio
+        s = np.asarray(samples, dtype=np.int16)
+        if s.ndim == 1:
+            s = s[:, None]
+        ch = s.shape[1]
+        block = 2 * ch
+        strh_a = b"auds" + bytes(4) + struct.pack(
+            "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, arate, 0, len(s),
+            len(s) * block, 0xFFFFFFFF, block, 0, 0, 0, 0)
+        strf_a = struct.pack("<HHIIHH", 1, ch, arate, arate * block,
+                             block, 16)
+        strl_a = list_chunk(b"strl", chunk(b"strh", strh_a)
+                            + chunk(b"strf", strf_a))
+        audio_chunk = chunk(b"01wb", s.tobytes())
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl_v + strl_a)
+    movi_body = audio_chunk + b"".join(chunk(b"00dc", j) for j in jpegs)
     movi = list_chunk(b"movi", movi_body)
     # idx1: offsets are relative to the start of 'movi' kind fourcc
     idx = b""
-    off = 4
+    off = 4 + len(audio_chunk)
     for j in jpegs:
         idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
         off += 8 + len(j) + (len(j) & 1)

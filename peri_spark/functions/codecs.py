@@ -23,8 +23,8 @@ import zlib
 
 import numpy as np
 
-from .avi import (decode_avi_frames, encode_avi_mjpeg,  # noqa: F401
-                  scan_avi_frames)
+from .avi import (decode_avi_audio, decode_avi_frames,  # noqa: F401
+                  encode_avi_mjpeg, scan_avi_frames)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401 (re-export)
 
 __all__ = [
@@ -32,7 +32,7 @@ __all__ = [
     "decode_png", "decode_bmp", "decode_ppm", "decode_wav",
     "encode_wav_pcm16", "decode_gif_frames", "encode_gif",
     "decode_jpeg", "encode_jpeg", "decode_avi_frames",
-    "scan_avi_frames", "encode_avi_mjpeg",
+    "scan_avi_frames", "decode_avi_audio", "encode_avi_mjpeg",
     "DECODABLE_IMAGE_FORMATS",
 ]
 

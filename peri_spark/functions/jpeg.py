@@ -415,10 +415,11 @@ def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False,
+                subsample: bool | str = False,
                 restart_interval: int = 0) -> bytes:
     """Encode uint8 (H, W), (H, W, 1) or (H, W, 3) → baseline JFIF.
-    ``subsample=True`` → 4:2:0 chroma, else 4:4:4;
+    ``subsample``: False/"444" → 4:4:4, True/"420" → 4:2:0,
+    "422" → horizontal-only chroma halving;
     ``restart_interval`` emits DRI + RSTn every N MCUs."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -436,7 +437,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         y = 0.299 * rf + 0.587 * gf + 0.114 * bf
         cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128
         cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128
-        if subsample:
+        mode = {False: "444", True: "420"}.get(subsample, subsample)
+        if mode == "420":
             # pad to even dims then 2x2 mean
             ph, pw = (h + 1) & ~1, (w + 1) & ~1
             def pad2(p):
@@ -444,8 +446,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
             cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             samps = [(2, 2), (1, 1), (1, 1)]
-        else:
+        elif mode == "422":
+            # horizontal-only 2x mean (chroma halves in width)
+            pw = (w + 1) & ~1
+            def padw(p):
+                return np.pad(p, ((0, 0), (0, pw - w)), mode="edge")
+            cb = padw(cb).reshape(h, pw // 2, 2).mean(axis=2)
+            cr = padw(cr).reshape(h, pw // 2, 2).mean(axis=2)
+            samps = [(2, 1), (1, 1), (1, 1)]
+        elif mode == "444":
             samps = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unknown subsampling mode {subsample!r}")
         planes = [y, cb, cr]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)

@@ -224,12 +224,14 @@ resize_stub = resize_images
 
 def audio_features(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "media_id") -> DataFrame:
-    """REAL WAV audio features via mapInPandas: (id, duration_ms,
-    rate_hz, n_channels, rms, zero_crossing_rate, error).
+    """REAL audio features via mapInPandas: (id, duration_ms, rate_hz,
+    n_channels, rms, zero_crossing_rate, error).
 
     PCM16 RIFF/WAVE decoded with the stdlib codec
-    (``codecs.decode_wav``); non-WAV payloads produce a per-row error
-    (no fake numbers for audio — compressed formats need ffmpeg).
+    (``codecs.decode_wav``); AVI containers yield their first PCM16
+    'auds' stream (``codecs.decode_avi_audio``). Other payloads produce
+    a per-row error (no fake numbers for audio — compressed formats
+    need ffmpeg).
     """
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -245,7 +247,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
         import numpy as np
         import pandas as pd
 
-        from .codecs import decode_wav
+        from .codecs import decode_avi_audio, decode_wav, sniff_format
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "duration_ms", "rate_hz",
                                     "n_channels", "rms",
@@ -255,7 +257,11 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    s, rate = decode_wav(bytes(payload))
+                    payload = bytes(payload)
+                    if sniff_format(payload) == "avi":
+                        s, rate = decode_avi_audio(payload)
+                    else:
+                        s, rate = decode_wav(payload)
                     mono = s.astype(np.float64).mean(axis=1)
                     zc = (float(np.count_nonzero(
                         np.signbit(mono[1:]) != np.signbit(mono[:-1])))

@@ -160,11 +160,20 @@ def _probe_avi(p: bytes) -> dict:
                      w, h) = struct.unpack_from("<10I", p, b2)
                     out["width"], out["height"] = w, h
                 elif f2 == b"LIST" and p[b2:b2 + 4] == b"strl":
+                    is_auds = False
                     for f3, b3, s3 in _chunks(p, b2 + 4, b2 + s2):
-                        if f3 == b"strh" and s3 >= 8 \
-                                and p[b3:b3 + 4] == b"vids":
-                            out["codec"] = p[b3 + 4:b3 + 8] \
-                                .decode("ascii", "replace").strip("\x00 ")
+                        if f3 == b"strh" and s3 >= 8:
+                            if p[b3:b3 + 4] == b"vids":
+                                out["codec"] = p[b3 + 4:b3 + 8] \
+                                    .decode("ascii",
+                                            "replace").strip("\x00 ")
+                            is_auds = p[b3:b3 + 4] == b"auds"
+                        elif f3 == b"strf" and is_auds and s3 >= 8 \
+                                and "sample_rate" not in out:
+                            _tag, ch, rate = struct.unpack_from(
+                                "<HHI", p, b3)
+                            out["sample_rate"] = rate
+                            out["channels"] = ch
             break
     if usec and nframes:
         out["duration_ms"] = int(usec * nframes / 1000)

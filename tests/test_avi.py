@@ -111,3 +111,31 @@ def test_scan_does_not_decode():
     scanned = scan_avi_frames(avi)
     assert all(isinstance(j, bytes) and j[:3] == b"\xff\xd8\xff"
                for _, j in scanned)
+
+
+def test_audio_stream_roundtrip():
+    from peri_spark.functions.avi import decode_avi_audio, scan_avi_frames
+    rng = np.random.default_rng(3)
+    tone = rng.integers(-20000, 20000, size=(4000, 2), dtype=np.int16)
+    avi = encode_avi_mjpeg([_frame(i) for i in range(3)], fps=10.0,
+                           audio=(tone, 16000))
+    s, rate = decode_avi_audio(avi)
+    assert rate == 16000 and s.shape == (4000, 2) and (s == tone).all()
+    # video stream untouched by the interleaved audio chunk
+    assert len(scan_avi_frames(avi)) == 3
+
+
+def test_audio_stream_missing_or_compressed():
+    from peri_spark.functions.avi import decode_avi_audio
+    plain = encode_avi_mjpeg([_frame(0)], fps=10.0)
+    with pytest.raises(ValueError, match="no PCM audio"):
+        decode_avi_audio(plain)
+    withau = bytearray(encode_avi_mjpeg([_frame(0)], fps=10.0,
+                                        audio=(np.zeros(100, np.int16),
+                                               8000)))
+    i = withau.find(b"auds")
+    # strf follows strh: flip wFormatTag 1 -> 85 (MP3)
+    j = withau.find(b"strf", i)
+    withau[j + 8] = 85
+    with pytest.raises(ValueError, match="format tag"):
+        decode_avi_audio(bytes(withau))

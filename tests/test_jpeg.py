@@ -118,3 +118,19 @@ def test_huffman_lut_cached_across_decodes():
     decode_jpeg(encode_jpeg(_rgb(8, 8), 85))
     decode_jpeg(encode_jpeg(_rgb(9, 9), 85))
     assert _huff_lut.cache_info().hits > before
+
+
+@pytest.mark.parametrize("h,w", [(7, 9), (16, 16), (45, 61)])
+def test_422_roundtrip(h, w):
+    # exercises the decoder's (2, 1) sampling path, which 444/420
+    # fixtures never hit
+    img = _rgb(h, w)
+    enc = encode_jpeg(img, quality=90, subsample="422")
+    dec = decode_jpeg(enc)
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_unknown_subsample_mode_rejected():
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(_rgb(8, 8), subsample="411")

@@ -246,3 +246,19 @@ def test_frame_sample_mjpeg_avi(spark):
         assert np.abs(got.astype(int) - want.astype(int)).mean() < 5
     err = [r for r in rows if r.media_id == 2]
     assert len(err) == 1 and "no stdlib frame codec" in err[0].error
+
+
+def test_audio_features_from_avi(spark):
+    from peri_spark.functions.multimodal import audio_features
+    from peri_spark.functions.codecs import encode_avi_mjpeg
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    frame = _img(16, 16, seed=9)
+    avi = encode_avi_mjpeg([frame, frame], fps=2.0, audio=(tone, 8000))
+    df = _media_df(spark, [(1, bytearray(avi),
+                            ("video/x-msvideo", 16, 16, 1000))])
+    r = audio_features(df).collect()[0]
+    assert r.error is None
+    assert r.rate_hz == 8000 and r.n_channels == 1
+    assert r.duration_ms == 1000
+    assert r.rms == pytest.approx(20000 / np.sqrt(2), rel=0.01)

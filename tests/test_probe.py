@@ -116,3 +116,12 @@ def test_probe_metadata_operator(spark):
         and out[2].codec == "avc1"
     assert out[3].error is not None and out[3].format is None
     assert "null payload" in out[4].error
+
+
+def test_probe_avi_with_audio():
+    import numpy as np
+    avi = encode_avi_mjpeg([_rgb()] * 2, fps=4.0,
+                           audio=(np.zeros(800, dtype=np.int16), 8000))
+    info = probe_media(avi)
+    assert info["codec"] == "MJPG"
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
