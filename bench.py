@@ -424,8 +424,117 @@ def run_ann_recall(workers: int, input_path: str, runs: int) -> dict:
                             "wall_sec": round(ivf_wall, 3)}}
 
 
+def run_media(workers: int, input_path: str, runs: int) -> dict:
+    """Media-codec throughput child: a deterministic synthetic corpus
+    (60% JPEG / 15% PNG / 10% animated GIF / 10% WAV / 5% MJPEG AVI,
+    generated executor-side from seeded ids) through the four real
+    multimodal operators. Fresh every run, no history — the numbers
+    substantiate the codec layer the suite bench never touches."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    sys.path.insert(0, REPO)
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-media-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    n = int(os.environ.get("SPARK_GRAFT_MEDIA_N", "2000"))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from peri_spark.functions.codecs import (
+            encode_avi_mjpeg, encode_gif, encode_jpeg, encode_png,
+            encode_wav_pcm16)
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(mid)
+                kind = mid % 20
+                if kind < 12:      # JPEG, 64-256 px
+                    h, w = (int(rng.integers(64, 256)),
+                            int(rng.integers(64, 256)))
+                    img = rng.integers(0, 256, size=(h, w, 3),
+                                       dtype=np.uint8)
+                    p = encode_jpeg(img, quality=80,
+                                    subsample=bool(mid % 2))
+                elif kind < 15:    # PNG
+                    h, w = (int(rng.integers(64, 192)),
+                            int(rng.integers(64, 192)))
+                    p = encode_png(rng.integers(
+                        0, 256, size=(h, w, 3), dtype=np.uint8))
+                elif kind < 17:    # animated GIF (palette-bounded)
+                    g = [np.stack([f, f, f], axis=-1) for f in
+                         (rng.integers(0, 200, size=(64, 64))
+                          .astype(np.uint8) for _ in range(4))]
+                    p = encode_gif(g, [100] * 4)
+                elif kind < 19:    # WAV, 1 s mono
+                    p = encode_wav_pcm16(rng.integers(
+                        -30000, 30000, size=16000).astype(np.int16),
+                        16000)
+                else:              # MJPEG AVI + audio
+                    fr = [rng.integers(0, 256, size=(64, 96, 3),
+                                       dtype=np.uint8)
+                          for _ in range(5)]
+                    p = encode_avi_mjpeg(
+                        fr, fps=5.0,
+                        audio=(rng.integers(-3000, 3000, size=8000)
+                               .astype(np.int16), 8000))
+                ids.append(mid)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from peri_spark.functions.multimodal import (audio_features,
+                                                 decode_features,
+                                                 frame_sample,
+                                                 resize_images)
+    from peri_spark.functions.probe import probe_metadata
+    media = (spark.range(n).select(F.col("id").alias("media_id"))
+             .repartition(max(workers * 2, 4))
+             .mapInPandas(gen, "media_id long, payload binary")
+             .persist())
+    n_rows = media.count()
+    total_mb = media.agg(
+        F.sum(F.octet_length("payload"))).first()[0] / 1e6
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        ok = fn()
+        return round(time.perf_counter() - t0, 3), ok
+
+    probe_wall, probe_ok = timed(
+        lambda: probe_metadata(media).where("error is null").count())
+    dec_wall, dec_ok = timed(
+        lambda: decode_features(media).where("error is null").count())
+    rs_wall, rs_ok = timed(
+        lambda: resize_images(media, 64, 64)
+        .where("error is null").count())
+    fs_wall, fs_rows = timed(
+        lambda: frame_sample(media, every_ms=200)
+        .where("error is null").count())
+    au_wall, au_ok = timed(
+        lambda: audio_features(media).where("error is null").count())
+    media.unpersist()
+    spark.stop()
+    return {"workers": workers, "n_payloads": n_rows,
+            "corpus_mb": round(total_mb, 1),
+            "probe": {"wall_sec": probe_wall, "ok_rows": probe_ok,
+                      "payloads_per_sec": round(n_rows / probe_wall)},
+            "decode_features": {"wall_sec": dec_wall, "ok_rows": dec_ok,
+                                "mb_per_sec": round(total_mb / dec_wall,
+                                                    1)},
+            "resize": {"wall_sec": rs_wall, "ok_rows": rs_ok,
+                       "mb_per_sec": round(total_mb / rs_wall, 1)},
+            "frame_sample": {"wall_sec": fs_wall, "frame_rows": fs_rows},
+            "audio_features": {"wall_sec": au_wall, "ok_rows": au_ok}}
+
+
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
-                 "viol": run_violations_write, "ann": run_ann_recall}
+                 "viol": run_violations_write, "ann": run_ann_recall,
+                 "media": run_media}
 
 
 def child_main() -> None:
@@ -623,6 +732,12 @@ def main() -> None:
                                   runs=1, mode="ann")
     except Exception as e:
         out["ann_recall"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    try:
+        # media-codec throughput: fresh every run, no history
+        out["media"] = spawn(HEADLINE_WORKERS, SF_DIR, runs=1,
+                             mode="media")
+    except Exception as e:
+        out["media"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact
