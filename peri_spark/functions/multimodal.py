@@ -32,7 +32,8 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features",
            "decode_features_stub", "resize_images", "resize_stub",
-           "audio_features", "frame_sample", "frame_sample_stub"]
+           "audio_features", "frame_sample", "frame_sample_stub",
+           "partition_for_decode"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -51,6 +52,27 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     """Cheap JVM-side metadata: payload size + sha256 (no decode)."""
     return df.withColumn("payload_bytes", F.octet_length(F.col(payload_col))) \
              .withColumn("payload_sha256", F.sha2(F.col(payload_col), 256))
+
+
+def partition_for_decode(df: DataFrame, payload_col: str = "payload",
+                         target_mb_per_partition: int = 64,
+                         min_partitions: int | None = None) -> DataFrame:
+    """Repartition a binary-payload frame so each partition carries
+    ~``target_mb_per_partition`` of payload bytes, range-clustered by
+    payload size — a 4 KB thumbnail and a 40 MB clip never share an
+    Arrow batch, so mapInPandas decode wall-times stay uniform across
+    tasks instead of one task dragging a straggler mix.
+
+    Costs one aggregate job (total payload bytes) to size the partition
+    count; at 100 TB that is a map-side `sum` over an already-pruned
+    column, not a second corpus materialization. Rows with null
+    payloads sort first and stay together.
+    """
+    total = df.agg(F.sum(F.octet_length(F.col(payload_col)))) \
+        .first()[0] or 0
+    n = max(int(total / (target_mb_per_partition * 1_000_000)) + 1,
+            min_partitions or 1)
+    return df.repartitionByRange(n, F.octet_length(F.col(payload_col)))
 
 
 def _decode_image_bytes(payload: bytes, meta) -> list[float]:

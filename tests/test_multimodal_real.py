@@ -262,3 +262,30 @@ def test_audio_features_from_avi(spark):
     assert r.rate_hz == 8000 and r.n_channels == 1
     assert r.duration_ms == 1000
     assert r.rms == pytest.approx(20000 / np.sqrt(2), rel=0.01)
+
+
+def test_partition_for_decode_sizes_and_clusters(spark):
+    from peri_spark.functions.multimodal import partition_for_decode
+    from pyspark.sql import types as T
+    rng = np.random.default_rng(13)
+    rows = [(i, bytearray(bytes(int(size))))
+            for i, size in enumerate([100] * 40 + [1_000_000] * 6)]
+    rows.append((99, None))
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame(rows, schema)
+    out = partition_for_decode(df, target_mb_per_partition=2,
+                               min_partitions=3)
+    assert out.count() == 47                   # row-preserving
+    assert out.rdd.getNumPartitions() >= 3
+    # size-clustering: the big payloads land together, apart from the
+    # small ones (range partitioning on octet_length)
+    sizes_by_part = (out.rdd.mapPartitions(
+        lambda it: [sorted({0 if r.payload is None
+                            else len(r.payload) for r in it})])
+        .collect())
+    for sizes in sizes_by_part:
+        assert len(sizes) <= 2                 # never a wide size mix
+    # executed plan uses range partitioning, not round robin
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
