@@ -45,6 +45,67 @@ def _chunks(buf: bytes, pos: int, end: int):
         pos = body + size + (size & 1)
 
 
+def _parse_container(payload: bytes):
+    """Single shared walk of the AVI container structure used by the
+    frame scan, the audio decode, and the header probe — so bounds
+    handling and stream indexing can never drift between them.
+
+    Returns (avih_fields, streams, movi) where avih_fields is the
+    unpacked main header ints (possibly empty), streams is a list of
+    {"type", "handler", "scale", "rate", "length", "strf"} dicts in
+    container order, and movi = (start, end) of the movi LIST body.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    avih: tuple = ()
+    streams: list[dict] = []
+    movi = None
+    for fcc, body, size in _chunks(payload, 12, end):
+        if fcc != b"LIST":
+            continue
+        kind = payload[body:body + 4]
+        if kind == b"hdrl":
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 40:
+                    avih = struct.unpack_from("<10I", payload, b2)
+                elif f2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
+                    st: dict = {"type": None, "handler": b"",
+                                "scale": 0, "rate": 0, "length": 0,
+                                "strf": b""}
+                    streams.append(st)
+                    for f3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
+                        if f3 == b"strh" and s3 >= 32:
+                            st["type"] = payload[b3:b3 + 4]
+                            st["handler"] = payload[b3 + 4:b3 + 8]
+                            st["scale"], st["rate"] = struct.unpack_from(
+                                "<II", payload, b3 + 20)
+                            st["length"] = struct.unpack_from(
+                                "<I", payload, b3 + 32)[0] \
+                                if s3 >= 36 else 0
+                        elif f3 == b"strf":
+                            st["strf"] = payload[b3:b3 + s3]
+        elif kind == b"movi":
+            movi = (body + 4, body + size)
+    return avih, streams, movi
+
+
+def _movi_stream_chunks(payload: bytes, movi: tuple, stream_no: int,
+                        suffixes: tuple):
+    """Yield (body, size) for one stream's movi chunks (including
+    zero-size dropped-frame placeholders), recursing one level into
+    'rec ' LIST groupings."""
+    want = b"%02d" % stream_no
+    for fcc, body, size in _chunks(payload, movi[0], movi[1]):
+        if fcc == b"LIST":
+            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
+                if f2[:2] == want and f2[2:4] in suffixes:
+                    yield b2, s2
+        elif fcc[:2] == want and fcc[2:4] in suffixes:
+            yield body, size
+
+
 def scan_avi_frames(payload: bytes) -> list[tuple[int, bytes]]:
     """Parse an MJPEG AVI container → [(timestamp_ms, jpeg_bytes), …]
     WITHOUT decoding pixels — MJPEG frames are independent, so callers
@@ -58,75 +119,34 @@ def scan_avi_frames(payload: bytes) -> list[tuple[int, bytes]]:
     slot still advances the clock). Raises ValueError for non-AVI
     payloads and non-MJPEG video streams.
     """
-    if len(payload) < 12 or payload[:4] != b"RIFF" \
-            or payload[8:12] != b"AVI ":
-        raise ValueError("not an AVI payload")
-    (riff_size,) = struct.unpack_from("<I", payload, 4)
-    end = min(8 + riff_size, len(payload))
-
-    usec_per_frame = 0
-    stream_no = None
-    scale = rate = 0
-    next_stream = 0
-    movi = None
-
-    for fcc, body, size in _chunks(payload, 12, end):
-        if fcc != b"LIST":
-            continue
-        kind = payload[body:body + 4]
-        if kind == b"hdrl":
-            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
-                if f2 == b"avih" and s2 >= 4:
-                    (usec_per_frame,) = struct.unpack_from(
-                        "<I", payload, b2)
-                elif f2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
-                    sidx = next_stream
-                    next_stream += 1
-                    for f3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
-                        if f3 != b"strh" or s3 < 32:
-                            continue
-                        if payload[b3:b3 + 4] == b"vids" \
-                                and stream_no is None:
-                            stream_no = sidx
-                            handler = payload[b3 + 4:b3 + 8]
-                            if handler.upper() not in (b"MJPG", b"JPEG",
-                                                       b"\x00\x00\x00\x00"):
-                                raise ValueError(
-                                    "no stdlib codec for AVI video "
-                                    f"handler {handler!r}")
-                            scale, rate = struct.unpack_from(
-                                "<II", payload, b3 + 20)
-        elif kind == b"movi":
-            movi = (body + 4, body + size)
-
+    avih, streams, movi = _parse_container(payload)
+    stream_no = next((i for i, s in enumerate(streams)
+                      if s["type"] == b"vids"), None)
     if stream_no is None:
         raise ValueError("AVI with no video stream")
+    st = streams[stream_no]
+    if st["handler"].upper() not in (b"MJPG", b"JPEG",
+                                     b"\x00\x00\x00\x00"):
+        raise ValueError("no stdlib codec for AVI video "
+                         f"handler {st['handler']!r}")
     if movi is None:
         raise ValueError("AVI with no movi data")
-    if rate > 0 and scale > 0:
-        dt_ms = 1000.0 * scale / rate
-    elif usec_per_frame > 0:
-        dt_ms = usec_per_frame / 1000.0
+    if st["rate"] > 0 and st["scale"] > 0:
+        dt_ms = 1000.0 * st["scale"] / st["rate"]
+    elif avih and avih[0] > 0:
+        dt_ms = avih[0] / 1000.0       # microseconds per frame
     else:
         raise ValueError("AVI with no frame timing")
 
-    want = b"%02d" % stream_no
     frames: list[tuple[int, bytes]] = []
     slot = 0   # advances on EVERY video chunk incl. zero-size dropped
     # frames, so timestamps stay aligned to the stream clock
-    for fcc, body, size in _chunks(payload, movi[0], movi[1]):
-        if fcc == b"LIST":  # 'rec ' grouping — recurse one level
-            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
-                if f2[:2] == want and f2[2:4] in (b"dc", b"db"):
-                    if s2:
-                        frames.append((int(round(slot * dt_ms)),
-                                       payload[b2:b2 + s2]))
-                    slot += 1
-        elif fcc[:2] == want and fcc[2:4] in (b"dc", b"db"):
-            if size:
-                frames.append((int(round(slot * dt_ms)),
-                               payload[body:body + size]))
-            slot += 1
+    for body, size in _movi_stream_chunks(payload, movi, stream_no,
+                                          (b"dc", b"db")):
+        if size:
+            frames.append((int(round(slot * dt_ms)),
+                           payload[body:body + size]))
+        slot += 1
     if not frames:
         raise ValueError("AVI with no video frames")
     return frames
@@ -142,55 +162,33 @@ def decode_avi_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
 def decode_avi_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Extract the first PCM16 'auds' stream → (int16 (n, channels),
     rate_hz) — same shape contract as ``codecs.decode_wav``. Raises
-    ValueError for non-AVI payloads, missing/compressed audio streams.
+    ValueError for non-AVI payloads and when no PCM16 stream exists
+    (compressed-only audio reports the first stream's format tag).
     """
-    if len(payload) < 12 or payload[:4] != b"RIFF" \
-            or payload[8:12] != b"AVI ":
-        raise ValueError("not an AVI payload")
-    end = min(8 + struct.unpack_from("<I", payload, 4)[0], len(payload))
+    _, streams, movi = _parse_container(payload)
     stream_no = None
-    rate = channels = bits = None
-    next_stream = 0
-    movi = None
-    for fcc, body, size in _chunks(payload, 12, end):
-        if fcc != b"LIST":
+    rate = channels = None
+    bad = None
+    for i, st in enumerate(streams):
+        if st["type"] != b"auds" or len(st["strf"]) < 16:
             continue
-        kind = payload[body:body + 4]
-        if kind == b"hdrl":
-            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
-                if f2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
-                    sidx = next_stream
-                    next_stream += 1
-                    is_auds = False
-                    for f3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
-                        if f3 == b"strh" and s3 >= 4:
-                            is_auds = payload[b3:b3 + 4] == b"auds"
-                        elif f3 == b"strf" and is_auds and s3 >= 16 \
-                                and stream_no is None:
-                            tag, channels, rate = struct.unpack_from(
-                                "<HHI", payload, b3)
-                            bits = struct.unpack_from(
-                                "<H", payload, b3 + 14)[0]
-                            if tag != 1 or bits != 16:
-                                raise ValueError(
-                                    "no stdlib codec for AVI audio "
-                                    f"format tag {tag} ({bits}-bit)")
-                            stream_no = sidx
-        elif kind == b"movi":
-            movi = (body + 4, body + size)
+        tag, ch, hz = struct.unpack_from("<HHI", st["strf"])
+        bits = struct.unpack_from("<H", st["strf"], 14)[0]
+        if tag == 1 and bits == 16 and ch >= 1 and hz >= 1:
+            stream_no, channels, rate = i, ch, hz
+            break                      # first DECODABLE stream wins
+        if bad is None:
+            bad = (tag, bits)
     if stream_no is None:
+        if bad is not None:
+            raise ValueError("no stdlib codec for AVI audio format "
+                             f"tag {bad[0]} ({bad[1]}-bit)")
         raise ValueError("AVI with no PCM audio stream")
     if movi is None:
         raise ValueError("AVI with no movi data")
-    want = b"%02d" % stream_no
-    pieces = []
-    for fcc, body, size in _chunks(payload, movi[0], movi[1]):
-        if fcc == b"LIST":
-            for f2, b2, s2 in _chunks(payload, body + 4, body + size):
-                if f2[:2] == want and f2[2:4] == b"wb" and s2:
-                    pieces.append(payload[b2:b2 + s2])
-        elif fcc[:2] == want and fcc[2:4] == b"wb" and size:
-            pieces.append(payload[body:body + size])
+    pieces = [payload[body:body + size]
+              for body, size in _movi_stream_chunks(
+                  payload, movi, stream_no, (b"wb",)) if size]
     if not pieces:
         raise ValueError("AVI audio stream with no data chunks")
     raw = b"".join(pieces)

@@ -57,22 +57,43 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 def partition_for_decode(df: DataFrame, payload_col: str = "payload",
                          target_mb_per_partition: int = 64,
                          min_partitions: int | None = None) -> DataFrame:
-    """Repartition a binary-payload frame so each partition carries
-    ~``target_mb_per_partition`` of payload bytes, range-clustered by
-    payload size — a 4 KB thumbnail and a 40 MB clip never share an
-    Arrow batch, so mapInPandas decode wall-times stay uniform across
-    tasks instead of one task dragging a straggler mix.
+    """Repartition a binary-payload frame so each partition holds
+    payloads of ONE power-of-two size class totalling roughly
+    ``target_mb_per_partition`` — a 4 KB thumbnail and a 40 MB clip
+    never share an Arrow batch, and no partition drags a multi-target
+    byte pile, so mapInPandas decode wall-times stay uniform.
 
-    Costs one aggregate job (total payload bytes) to size the partition
-    count; at 100 TB that is a map-side `sum` over an already-pruned
-    column, not a second corpus materialization. Rows with null
-    payloads sort first and stay together.
+    Layout is sized by one tiny aggregate (bytes per size class, ≤ ~40
+    groups, map-side partials): class c gets ``ceil(bytes_c / target)``
+    sub-buckets, rows spread across them by payload hash, and the dense
+    (class, sub) → partition-index map is built driver-side, then
+    applied with ``repartitionByRange`` over the index so one output
+    partition ≈ one bucket. This is byte-balanced without a global
+    cumulative sum (which would need a single-partition window — the
+    100 TB anti-pattern). Null payloads land in class 0 together.
     """
-    total = df.agg(F.sum(F.octet_length(F.col(payload_col)))) \
-        .first()[0] or 0
-    n = max(int(total / (target_mb_per_partition * 1_000_000)) + 1,
-            min_partitions or 1)
-    return df.repartitionByRange(n, F.octet_length(F.col(payload_col)))
+    size = F.coalesce(F.octet_length(F.col(payload_col)), F.lit(0))
+    cls = F.floor(F.log2(F.greatest(size, F.lit(1)))).cast("int")
+    per_class = {int(r["cls"]): int(r["bytes"])
+                 for r in df.groupBy(cls.alias("cls"))
+                 .agg(F.sum(size).alias("bytes")).collect()}
+    target = max(target_mb_per_partition, 1) * 1_000_000
+    part_base: dict[int, int] = {}
+    nsub: dict[int, int] = {}
+    n_parts = 0
+    for c in sorted(per_class):
+        part_base[c] = n_parts
+        nsub[c] = max(-(-per_class[c] // target), 1)
+        n_parts += nsub[c]
+    n_parts = max(n_parts, min_partitions or 1, 1)
+    base_map = F.create_map(*[F.lit(x) for c in part_base
+                              for x in (c, part_base[c])])
+    nsub_map = F.create_map(*[F.lit(x) for c in nsub
+                              for x in (c, nsub[c])])
+    row_hash = F.coalesce(F.xxhash64(F.col(payload_col)), F.lit(0))
+    part_idx = base_map[cls] + F.pmod(row_hash, nsub_map[cls])
+    return (df.repartitionByRange(n_parts, part_idx.alias("__part"))
+            if per_class else df)
 
 
 def _decode_image_bytes(payload: bytes, meta) -> list[float]:

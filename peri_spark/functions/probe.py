@@ -31,17 +31,22 @@ def _probe_png(p: bytes) -> dict:
     return {"format": "png", "width": w, "height": h}
 
 
-def _probe_gif(p: bytes) -> dict:
+def _probe_gif(p: bytes, scan_limit: int = 1 << 20) -> dict:
     if len(p) < 10:
         raise ValueError("truncated GIF header")
     w, h = struct.unpack("<HH", p[6:10])
     # walk blocks for frame count + total animation duration: graphic
-    # control extensions carry per-frame delay in 1/100 s
+    # control extensions carry per-frame delay in 1/100 s. The walk is
+    # capped (``scan_limit`` bytes, default 1 MiB) so probing a huge
+    # animation stays O(limit), not O(payload) — past the cap the
+    # dims are still reported and frames/duration are omitted.
     pos = 13 + (3 * (2 << (p[10] & 0x07)) if p[10] & 0x80 else 0)
     frames = 0
     duration_ms = 0
     delay = 0
     while pos < len(p):
+        if pos > scan_limit:
+            return {"format": "gif", "width": w, "height": h}
         b = p[pos]
         if b == 0x3B:                      # trailer
             break
@@ -101,6 +106,8 @@ def _probe_bmp(p: bytes) -> dict:
     if len(p) < 26:
         raise ValueError("truncated BMP header")
     w, h = struct.unpack("<ii", p[18:26])
+    if w <= 0:                 # height may be negative (top-down rows)
+        raise ValueError("implausible BMP width")
     return {"format": "bmp", "width": w, "height": abs(h)}
 
 
@@ -148,36 +155,24 @@ def _probe_wav(p: bytes) -> dict:
 
 
 def _probe_avi(p: bytes) -> dict:
-    from .avi import _chunks
+    from .avi import _parse_container
+    avih, streams, _movi = _parse_container(p)
     out = {"format": "avi"}
-    usec = nframes = 0
-    for fcc, body, size in _chunks(p, 12, min(
-            8 + struct.unpack_from("<I", p, 4)[0], len(p))):
-        if fcc == b"LIST" and p[body:body + 4] == b"hdrl":
-            for f2, b2, s2 in _chunks(p, body + 4, body + size):
-                if f2 == b"avih" and s2 >= 40:
-                    (usec, _mb, _pg, _fl, nframes, _init, _ns, _sb,
-                     w, h) = struct.unpack_from("<10I", p, b2)
-                    out["width"], out["height"] = w, h
-                elif f2 == b"LIST" and p[b2:b2 + 4] == b"strl":
-                    is_auds = False
-                    for f3, b3, s3 in _chunks(p, b2 + 4, b2 + s2):
-                        if f3 == b"strh" and s3 >= 8:
-                            if p[b3:b3 + 4] == b"vids":
-                                out["codec"] = p[b3 + 4:b3 + 8] \
-                                    .decode("ascii",
-                                            "replace").strip("\x00 ")
-                            is_auds = p[b3:b3 + 4] == b"auds"
-                        elif f3 == b"strf" and is_auds and s3 >= 8 \
-                                and "sample_rate" not in out:
-                            _tag, ch, rate = struct.unpack_from(
-                                "<HHI", p, b3)
-                            out["sample_rate"] = rate
-                            out["channels"] = ch
-            break
-    if usec and nframes:
-        out["duration_ms"] = int(usec * nframes / 1000)
-        out["frames"] = nframes
+    if avih:
+        usec, nframes, w, h = avih[0], avih[4], avih[8], avih[9]
+        out["width"], out["height"] = w, h
+        if usec and nframes:
+            out["duration_ms"] = int(usec * nframes / 1000)
+            out["frames"] = nframes
+    for st in streams:
+        if st["type"] == b"vids" and "codec" not in out:
+            out["codec"] = st["handler"] \
+                .decode("ascii", "replace").strip("\x00 ")
+        elif st["type"] == b"auds" and "sample_rate" not in out \
+                and len(st["strf"]) >= 8:
+            _tag, ch, rate = struct.unpack_from("<HHI", st["strf"])
+            out["sample_rate"] = rate
+            out["channels"] = ch
     return out
 
 
@@ -251,9 +246,22 @@ def probe_media(payload: bytes) -> dict:
     if fmt not in probes:
         raise ValueError("unrecognized media format")
     try:
-        return probes[fmt](payload)
+        out = probes[fmt](payload)
     except (struct.error, IndexError) as e:
         raise ValueError(f"truncated {fmt} header: {e}") from e
+    # plausibility gate: header ints are attacker-controlled; a field
+    # that cannot fit the operator's int32/int64 output columns (or is
+    # non-positive) means a corrupt header, not a 4-billion-pixel image
+    # — surface it as a per-row error instead of letting the Arrow
+    # serializer wrap or kill the batch
+    for k in ("width", "height", "frames", "sample_rate", "channels"):
+        v = out.get(k)
+        if v is not None and not 1 <= v <= 2**31 - 1:
+            raise ValueError(f"implausible {fmt} header: {k}={v}")
+    v = out.get("duration_ms")
+    if v is not None and not 0 <= v <= 2**63 - 1:
+        raise ValueError(f"implausible {fmt} header: duration_ms={v}")
+    return out
 
 
 def probe_metadata(df, payload_col: str = "payload",

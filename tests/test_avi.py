@@ -139,3 +139,47 @@ def test_audio_stream_missing_or_compressed():
     withau[j + 8] = 85
     with pytest.raises(ValueError, match="format tag"):
         decode_avi_audio(bytes(withau))
+
+
+def test_audio_zero_channels_is_valueerror():
+    from peri_spark.functions.avi import decode_avi_audio
+    avi = bytearray(encode_avi_mjpeg([_frame(0)], fps=10.0,
+                                     audio=(np.zeros(64, np.int16),
+                                            8000)))
+    i = avi.find(b"strf", avi.find(b"auds"))
+    avi[i + 10:i + 12] = (0).to_bytes(2, "little")   # nChannels = 0
+    with pytest.raises(ValueError):
+        decode_avi_audio(bytes(avi))
+
+
+def test_audio_skips_compressed_stream_to_pcm():
+    # stream layout: auds MP3 (tag 85) first, then auds PCM16 — the
+    # decoder must keep walking to the decodable stream
+    import struct as _s
+    from peri_spark.functions.avi import decode_avi_audio
+
+    def chunk(fcc, body):
+        return fcc + _s.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    tone = np.arange(100, dtype=np.int16)
+    strh_a = b"auds" + bytes(4) + _s.pack(
+        "<IHHIIIIIIII4h", 0, 0, 0, 0, 1, 8000, 0, 100, 200,
+        0xFFFFFFFF, 2, 0, 0, 0, 0)
+    strf_mp3 = _s.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)
+    strf_pcm = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    avih = _s.pack("<14I", 100000, 0, 0, 0x10, 0, 0, 2, 0, 0, 0,
+                   0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_a)
+                     + chunk(b"strf", strf_mp3))
+               + lst(b"strl", chunk(b"strh", strh_a)
+                     + chunk(b"strf", strf_pcm)))
+    movi = lst(b"movi", chunk(b"01wb", tone.tobytes()))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    s, rate = decode_avi_audio(avi)
+    assert rate == 8000 and (s[:, 0] == tone).all()

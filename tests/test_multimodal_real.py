@@ -289,3 +289,23 @@ def test_partition_for_decode_sizes_and_clusters(spark):
     # executed plan uses range partitioning, not round robin
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_partition_for_decode_identical_sizes_still_spread(spark):
+    from peri_spark.functions.multimodal import partition_for_decode
+    from pyspark.sql import types as T
+    # 60 identical-size payloads: one size class, but the hash
+    # sub-buckets must still spread them (the range-on-size design
+    # collapsed this corpus into a single partition)
+    rows = [(i, bytearray(bytes([i % 251]) * 100_000))
+            for i in range(60)]
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame(rows, schema)
+    out = partition_for_decode(df, target_mb_per_partition=1)
+    assert out.count() == 60
+    counts = (out.rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+              .collect())
+    nonempty = [c for c in counts if c]
+    assert len(nonempty) >= 4          # ~6 MB corpus / 1 MB target
+    assert max(nonempty) <= 30         # no single-partition collapse

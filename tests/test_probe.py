@@ -125,3 +125,45 @@ def test_probe_avi_with_audio():
     info = probe_media(avi)
     assert info["codec"] == "MJPG"
     assert info["sample_rate"] == 8000 and info["channels"] == 1
+
+
+# --- hostile/corrupt header regressions (second review pass) --------------
+
+def test_probe_implausible_png_dims_rejected():
+    # IHDR claiming a ~4-billion-pixel-wide image: corrupt, not a dim
+    hdr = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 0xFFFFFFF0, 24) + bytes(5) + bytes(4))
+    with pytest.raises(ValueError, match="implausible"):
+        probe_media(hdr)
+
+
+def test_probe_negative_bmp_width_rejected():
+    bmp = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) \
+        + struct.pack("<Iii", 40, -32, 24)
+    with pytest.raises(ValueError, match="implausible BMP"):
+        probe_media(bmp)
+
+
+def test_probe_gif_walk_capped():
+    from peri_spark.functions.probe import _probe_gif
+    gif = encode_gif([_rgb()] * 3, [100, 100, 100])
+    # a 64-byte cap stops the frame walk but keeps header dims
+    info = _probe_gif(gif, scan_limit=64)
+    assert (info["width"], info["height"]) == (32, 24)
+    assert "frames" not in info and "duration_ms" not in info
+
+
+def test_probe_metadata_hostile_header_is_error_row(spark):
+    from pyspark.sql import types as T
+    from peri_spark.functions.probe import probe_metadata
+    hdr = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 0xFFFFFFF0, 24) + bytes(5) + bytes(4))
+    schema = T.StructType([T.StructField("media_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame([(1, bytearray(hdr)),
+                                (2, bytearray(encode_png(_rgb())))],
+                               schema)
+    out = {r.media_id: r for r in probe_metadata(df).collect()}
+    # the hostile row errors; the batch survives and the good row lands
+    assert out[1].error is not None and "implausible" in out[1].error
+    assert out[2].width == 32 and out[2].error is None
