@@ -188,6 +188,43 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(docs, "text", "doc_id")
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs vs a planted eval slice
+    (doc_id % 97 == 0), 3-word-gram overlap, portable-hash mode so the
+    DuckDB oracle reproduces the gram hashes bit-for-bit."""
+    from peri_spark.functions import contamination_overlap, portable_hash64
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, "text", "doc_id",
+                                 n=3, words=True, threshold=0.1,
+                                 hash_fn=portable_hash64)
+
+
+def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peri_spark.functions import hash_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
+def q_stratified_sample_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from peri_spark.functions import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "source", {"src0": 0.8, "src1": 0.4},
+                             "doc_id", default_rate=0.2) \
+        .select("doc_id", "source")
+
+
+def q_weighted_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from peri_spark.functions import weighted_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_mix(docs, "lang", {"en": 1.0, "de": 1.0, "zh": 2.0},
+                        "doc_id").select("doc_id", "lang")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -507,6 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "either_customer": q_either_customer,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_by_clusters": q_dedup_by_clusters,
+        "decontaminate_documents": q_decontaminate_documents,
+        "hash_split_documents": q_hash_split_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "weighted_mix_documents": q_weighted_mix_documents,
     })
     return out
 
@@ -1054,6 +1095,63 @@ def oracle_sql() -> dict[str, str]:
       AND c_mktsegment <> 'BUILDING'
       AND NOT regexp_matches(c_mktsegment, '^(MACH|AUTO)')
     """
+    # --- curation ops: the hash coin is portable_hash64 of
+    # "key<US>seed", so every kept row is reproducible in DuckDB ---
+    _coin42 = (_ph("CAST(doc_id AS VARCHAR) || chr(31) || '42'")
+               + " % 1000000")
+    decontaminate = f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(0, greatest(len(toks) - 3, 0) + 1),
+        i -> {_ph("array_to_string(toks[i+1:i+3], ' ')")})) AS g
+      FROM base),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+    ex AS (
+      SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
+      FROM grams WHERE doc_id % 97 <> 0)
+    SELECT ex.doc_id AS id,
+           CAST(ex.n_grams AS BIGINT) AS n_grams,
+           CAST(count(b.gram) AS BIGINT) AS n_matched,
+           round(CAST(count(b.gram) AS DOUBLE) / ex.n_grams, 6) AS overlap,
+           round(CAST(count(b.gram) AS DOUBLE) / ex.n_grams, 6) >= 0.1
+             AS contaminated
+    FROM ex LEFT JOIN bench b USING (gram)
+    GROUP BY ex.doc_id, ex.n_grams
+    """
+    hash_split_docs = f"""
+    SELECT doc_id,
+           CASE WHEN coin < 800000 THEN 'train'
+                WHEN coin < 900000 THEN 'val'
+                WHEN coin < 1000000 THEN 'test' END AS split
+    FROM (SELECT doc_id, {_coin42} AS coin FROM documents)
+    """
+    stratified_docs = f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, {_coin42} AS coin,
+             CASE source WHEN 'src0' THEN 800000
+                         WHEN 'src1' THEN 400000
+                         ELSE 200000 END AS thr
+      FROM documents)
+    WHERE coin < thr
+    """
+    weighted_mix_docs = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 CASE lang WHEN 'en' THEN CAST(1.0 AS DOUBLE)
+                           WHEN 'de' THEN CAST(1.0 AS DOUBLE)
+                           WHEN 'zh' THEN CAST(2.0 AS DOUBLE) END
+                   / n AS ratio
+          FROM c WHERE lang IN ('en', 'de', 'zh')),
+    rates AS (SELECT lang, ratio / max(ratio) OVER () AS rate FROM r)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates USING (lang)
+    WHERE {_coin42} < CAST(round(rate * 1000000) AS BIGINT)
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1089,5 +1187,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "dedup_by_clusters": _dedup_by_clusters_oracle_sql(),
         "embedding_dups": _embedding_dups_oracle_sql(),
+        "decontaminate_documents": decontaminate,
+        "hash_split_documents": hash_split_docs,
+        "stratified_sample_documents": stratified_docs,
+        "weighted_mix_documents": weighted_mix_docs,
     })
     return out

@@ -6,6 +6,8 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
+from .curation import (contamination_overlap, hash_split,
+                       stratified_sample, weighted_mix)
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
@@ -28,4 +30,6 @@ __all__ = [
     "ivf_topk",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
     "portable_hash64", "probe_media", "probe_metadata",
+    "contamination_overlap", "hash_split", "stratified_sample",
+    "weighted_mix",
 ]

@@ -1,0 +1,185 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-reference ops (the Elixir reference has no corpus layer; these
+extend SURVEY §2.6's table-level stages with the curation steps an LLM
+data pipeline runs between validation and training):
+
+* :func:`contamination_overlap` — benchmark decontamination: per-document
+  n-gram overlap against a (small) evaluation set, broadcast-joined so
+  the corpus never shuffles its text.
+* :func:`hash_split` — deterministic train/val/test assignment from a
+  key hash; pure map-side, reproducible across runs and engines.
+* :func:`stratified_sample` — per-stratum Bernoulli sampling with a
+  deterministic hash coin; pure map-side.
+* :func:`weighted_mix` — re-weight a multi-source corpus to target
+  proportions by deterministically downsampling over-represented
+  sources; one tiny count aggregate + a broadcast rate join.
+
+All coins derive from :func:`peri_spark.functions.dedup.portable_hash64`
+(md5-prefix 60-bit int), so a DuckDB oracle reproduces every kept row
+bit-for-bit — and a re-run months later keeps the identical split.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64, shingles
+
+__all__ = ["contamination_overlap", "hash_split", "stratified_sample",
+           "weighted_mix"]
+
+# one-in-a-million resolution for hash coins: thresholds become exact
+# integers, so engine-portable comparisons never hinge on float equality
+_COIN_M = 1_000_000
+
+
+def _coin(key: Column, seed: int) -> Column:
+    """Deterministic uniform int in [0, _COIN_M) from a key column.
+
+    chr(31) (unit separator) keys the seed so ("a", 12) and ("a1", 2)
+    never collide; portable_hash64 is md5-based, so DuckDB mirrors it.
+    """
+    return portable_hash64(
+        F.concat_ws("\x1f", key.cast("string"), F.lit(str(seed)))
+    ) % _COIN_M
+
+
+def contamination_overlap(df: DataFrame, bench: DataFrame, text_col: str,
+                          id_col: str, bench_text_col: str | None = None,
+                          n: int = 8, words: bool = True,
+                          threshold: float = 0.5,
+                          hash_fn=None) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval corpus.
+
+    Returns ``(id, n_grams, n_matched, overlap, contaminated)`` — one row
+    per non-empty document; ``overlap`` is the fraction of the document's
+    DISTINCT n-grams that appear anywhere in the benchmark set (the
+    standard eval-decontamination statistic), ``contaminated`` is
+    ``overlap >= threshold``.
+
+    Scale shape (100 TB corpus, benchmark ≤ millions of grams): the
+    benchmark gram set is aggregated small and BROADCAST; the corpus side
+    explodes its distinct grams map-side, marks hits against the
+    broadcast, and partially aggregates — the only shuffle carries
+    ``(id, n_grams, partial hit-count)``, never text or gram arrays.
+    No corpus-side distinct, no re-scan: total and matched counts ride
+    one exploded stream.
+    """
+    bench_text_col = bench_text_col or text_col
+    nonempty = F.length(F.trim(F.col(text_col))) > 0
+    doc = (df.where(F.col(text_col).isNotNull() & nonempty)
+             .select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), n, words=words,
+                              hash_fn=hash_fn).alias("__g")))
+    bench_nonempty = F.length(F.trim(F.col(bench_text_col))) > 0
+    bench_grams = (bench
+                   .where(F.col(bench_text_col).isNotNull() & bench_nonempty)
+                   .select(F.explode(
+                       shingles(F.col(bench_text_col), n, words=words,
+                                hash_fn=hash_fn)).alias("__gram"))
+                   .distinct()
+                   .withColumn("__hit", F.lit(1)))
+    ex = doc.select("id", F.size("__g").alias("n_grams"),
+                    F.explode("__g").alias("__gram"))
+    agg = (ex.join(F.broadcast(bench_grams), "__gram", "left")
+             .groupBy("id", "n_grams")
+             .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                  .alias("n_matched")))
+    overlap = F.round(F.col("n_matched") / F.col("n_grams"), 6)
+    return agg.select("id", F.col("n_grams").cast("long").alias("n_grams"),
+                      "n_matched", overlap.alias("overlap"),
+                      (overlap >= threshold).alias("contaminated"))
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return round(rate * _COIN_M)
+
+
+def hash_split(df: DataFrame, key_col: str, splits: dict[str, float],
+               seed: int = 42, split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label from its key hash.
+
+    ``splits`` maps label -> fraction (insertion order fixes the bucket
+    layout; fractions must sum to ≤ 1; any remainder gets a NULL label
+    so callers can carve a holdout later without moving existing rows).
+    Pure map-side projection — zero shuffle at any corpus size, and the
+    assignment is stable across runs, engines, and cluster layouts
+    because it depends only on the key bytes.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    coin = _coin(F.col(key_col), seed)
+    expr, cum = F.lit(None).cast("string"), 0.0
+    bounds = []
+    for label, frac in splits.items():
+        cum += frac
+        bounds.append((label, _threshold(cum)))
+    for label, bound in reversed(bounds):
+        expr = F.when(coin < bound, F.lit(label)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      rates: dict[str, float], key_col: str,
+                      seed: int = 42,
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (hash coin, map-side).
+
+    Keeps a row iff ``coin(key) < rate(stratum) * 1e6``; strata absent
+    from ``rates`` use ``default_rate``. Unlike ``df.sampleBy`` the
+    decision is a pure function of the key, so re-runs, retries, and
+    resumed jobs keep the exact same rows — the property a checkpointed
+    100 TB pipeline needs. Zero shuffle; the filter sits directly on the
+    scan so column pruning and pushdown still apply upstream.
+    """
+    rate = reduce(
+        lambda acc, kv: F.when(F.col(stratum_col) == kv[0],
+                               F.lit(_threshold(kv[1]))).otherwise(acc),
+        rates.items(), F.lit(_threshold(default_rate)))
+    return df.where(_coin(F.col(key_col), seed) < rate)
+
+
+def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
+                 key_col: str, seed: int = 42) -> DataFrame:
+    """Downsample sources so the surviving mix matches target weights.
+
+    ``weights`` maps source value -> target proportion (relative; they
+    are normalized internally). Sources not listed are DROPPED. The
+    per-source keep-rate is ``(w_s / n_s) / max_s(w_s / n_s)`` — the
+    most under-represented source keeps 100% of its rows and every other
+    source is deterministically thinned to match, which is the maximal-
+    retention mix with exact expected proportions.
+
+    Scale shape: one tiny ``groupBy(source).count()`` aggregate (rows =
+    number of sources), rates derived IN-PLAN via a window over that
+    tiny frame (no driver collect), broadcast back onto the corpus, then
+    the same map-side hash coin as :func:`stratified_sample`. The corpus
+    itself never shuffles.
+    """
+    counts = (df.groupBy(F.col(source_col).alias("__src"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+    # ratio/max window over a frame with one row per source — tiny by
+    # construction, so the single-partition window is not a bottleneck
+    rates = (counts
+             .withColumn("__w", reduce(
+                 lambda acc, kv: F.when(F.col("__src") == kv[0],
+                                        F.lit(float(kv[1]))).otherwise(acc),
+                 weights.items(), F.lit(None).cast("double")))
+             .where(F.col("__w").isNotNull())
+             .withColumn("__r", F.col("__w") / F.col("__n"))
+             .withColumn("__rate", F.col("__r") /
+                         F.max("__r").over(Window.partitionBy(F.lit(1))))
+             .select("__src", "__rate"))
+    coin = _coin(F.col(key_col), seed)
+    return (df.join(F.broadcast(rates),
+                    df[source_col] == F.col("__src"))
+              .where(coin < F.round(F.col("__rate") * _COIN_M)
+                     .cast("long"))
+              .drop("__src", "__rate"))

@@ -1,0 +1,134 @@
+"""Corpus-curation operators: decontamination, deterministic splits,
+stratified sampling, weighted source mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peri_spark.functions import (contamination_overlap, hash_split,
+                                  stratified_sample, weighted_mix)
+
+DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+# -- contamination_overlap --------------------------------------------------
+
+def test_contamination_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words appear here now friend")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["bench_id", "text"])
+    out = {r.id: r for r in contamination_overlap(
+        df, bench, "text", "doc_id", n=3, threshold=0.5).collect()}
+    assert out[1].overlap == 1.0 and out[1].contaminated
+    assert out[1].n_matched == out[1].n_grams
+    assert out[2].overlap == 0.0 and not out[2].contaminated
+    assert out[2].n_matched == 0
+
+
+def test_contamination_partial_overlap(spark):
+    # doc shares its first 3-gram with the benchmark, rest disjoint
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma zeta eta")], ["bench_id", "text"])
+    r = contamination_overlap(df, bench, "text", "doc_id",
+                              n=3, threshold=0.9).collect()[0]
+    # doc grams: (alpha beta gamma) (beta gamma delta) (gamma delta epsilon)
+    assert r.n_grams == 3 and r.n_matched == 1
+    assert r.overlap == round(1 / 3, 6) and not r.contaminated
+
+
+def test_contamination_skips_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, None), (3, "real text here")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "x y z")], ["bench_id", "text"])
+    out = contamination_overlap(df, bench, "text", "doc_id", n=2)
+    assert [r.id for r in out.collect()] == [3]
+
+
+# -- hash_split -------------------------------------------------------------
+
+def test_hash_split_partitions_and_is_deterministic(docs):
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"]
+    again = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0)
+
+
+def test_hash_split_remainder_is_null(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.5})
+    n_null = out.where(F.col("split").isNull()).count()
+    assert 0 < n_null < docs.count()
+
+
+def test_hash_split_rejects_oversubscription(docs):
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(docs, "doc_id", {"a": 0.7, "b": 0.5})
+
+
+# -- stratified_sample ------------------------------------------------------
+
+def test_stratified_sample_rates(docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0},
+                            "doc_id", default_rate=0.5)
+    n_en = docs.where(F.col("lang") == "en").count()
+    got = {r.lang: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    assert got["en"] == n_en            # rate 1.0 keeps everything
+    assert "de" not in got              # rate 0.0 drops the stratum
+    for lang in ("es", "fr", "zh"):     # default applies to the rest
+        total = docs.where(F.col("lang") == lang).count()
+        assert 0 < got[lang] < total
+
+
+def test_stratified_sample_is_subset_and_deterministic(docs):
+    out = stratified_sample(docs, "source", {"src0": 0.3}, "doc_id")
+    assert out.exceptAll(docs).count() == 0
+    assert out.count() == stratified_sample(
+        docs, "source", {"src0": 0.3}, "doc_id").count()
+
+
+def test_stratified_sample_rejects_bad_rate(docs):
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+# -- weighted_mix -----------------------------------------------------------
+
+def test_weighted_mix_proportions(docs):
+    # en is ~3x the size of de; ask for a 1:1 mix — en gets thinned,
+    # the scarcer-relative-to-weight source keeps all its rows
+    out = weighted_mix(docs, "lang", {"en": 1.0, "de": 1.0}, "doc_id")
+    got = {r.lang: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    n_de = docs.where(F.col("lang") == "de").count()
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert set(got) == {"en", "de"}     # unlisted sources dropped
+    assert got["de"] == n_de            # max-retention source intact
+    assert got["en"] < n_en             # oversized source thinned
+    assert abs(got["en"] - n_de) <= 0.35 * n_de   # ~1:1 mix
+
+
+def test_weighted_mix_keeps_schema_and_subset(docs):
+    out = weighted_mix(docs, "lang", {"fr": 2.0, "zh": 1.0}, "doc_id")
+    assert out.columns == docs.columns
+    assert out.exceptAll(docs).count() == 0
+    got = {r.lang: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    # fr weighted 2x zh: surviving fr ≈ 2 * surviving zh
+    assert got["fr"] > got["zh"]
