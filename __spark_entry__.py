@@ -225,6 +225,27 @@ def q_weighted_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id").select("doc_id", "lang")
 
 
+def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically planted PII
+    (every 3rd doc gets an email, an IPv4, and a 32-hex secret built
+    from doc_id — both engines synthesize the identical string)."""
+    from peri_spark.functions import redact_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 token "),
+        F.md5(F.col("doc_id").cast("string")))
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, planted)
+        .otherwise(F.col("text")).alias("text"))
+    return redact_text(staged, "text") \
+        .select("doc_id", F.col("text_redacted").alias("redacted"),
+                "n_email", "n_ipv4", "n_secret")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -548,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "weighted_mix_documents": q_weighted_mix_documents,
+        "redact_pii_documents": q_redact_pii_documents,
     })
     return out
 
@@ -1152,6 +1174,32 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d JOIN rates USING (lang)
     WHERE {_coin42} < CAST(round(rate * 1000000) AS BIGINT)
     """
+    redact_pii = r"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 token '
+                    || md5(CAST(doc_id AS VARCHAR))
+             ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+             '\b[0-9a-f]{32,}\b', '[SECRET]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_secret
+    FROM staged
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1191,5 +1239,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_documents": hash_split_docs,
         "stratified_sample_documents": stratified_docs,
         "weighted_mix_documents": weighted_mix_docs,
+        "redact_pii_documents": redact_pii,
     })
     return out

@@ -6,7 +6,7 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
-from .curation import (contamination_overlap, hash_split,
+from .curation import (contamination_overlap, hash_split, redact_text,
                        stratified_sample, weighted_mix)
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, ngram_jaccard_pairs,
@@ -31,5 +31,5 @@ __all__ = [
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
     "portable_hash64", "probe_media", "probe_metadata",
     "contamination_overlap", "hash_split", "stratified_sample",
-    "weighted_mix",
+    "weighted_mix", "redact_text",
 ]

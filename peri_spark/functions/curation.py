@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash64, shingles
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
-           "weighted_mix"]
+           "weighted_mix", "redact_text", "DEFAULT_PII_PATTERNS"]
+
+# Engine-portable regexes (no lookaround, ASCII classes): identical
+# semantics under Java regex (Spark) and RE2 (DuckDB oracle).
+DEFAULT_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "secret": r"\b[0-9a-f]{32,}\b",
+}
 
 # one-in-a-million resolution for hash coins: thresholds become exact
 # integers, so engine-portable comparisons never hinge on float equality
@@ -183,3 +191,34 @@ def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
               .where(coin < F.round(F.col("__rate") * _COIN_M)
                      .cast("long"))
               .drop("__src", "__rate"))
+
+
+def redact_text(df: DataFrame, text_col: str,
+                patterns: dict[str, str] | None = None,
+                out_col: str | None = None,
+                with_counts: bool = True) -> DataFrame:
+    """Scrub PII/secret patterns from a text column before training.
+
+    Each ``patterns`` entry (label -> regex) is replaced, in insertion
+    order, by ``[LABEL]``; ``n_<label>`` count columns (match counts on
+    the ORIGINAL text, so counts are order-independent) are appended
+    when ``with_counts``. Defaults cover emails, IPv4 addresses, and
+    long hex secrets — engine-portable regexes with no lookaround, so
+    the DuckDB oracle reproduces both the redacted text and the counts.
+
+    Pure map-side projection (chained ``regexp_replace`` inside
+    whole-stage codegen): zero shuffle at any corpus size, and filter
+    pushdown/column pruning upstream are unaffected.
+    """
+    patterns = DEFAULT_PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or f"{text_col}_redacted"
+    red = F.col(text_col)
+    counts = []
+    for label, pat in patterns.items():
+        if with_counts:
+            counts.append(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat),
+                                            F.lit(0)))
+                .cast("long").alias(f"n_{label}"))
+        red = F.regexp_replace(red, pat, f"[{label.upper()}]")
+    return df.select("*", red.alias(out_col), *counts)

@@ -132,3 +132,28 @@ def test_weighted_mix_keeps_schema_and_subset(docs):
            for r in out.groupBy("lang").count().collect()}
     # fr weighted 2x zh: surviving fr ≈ 2 * surviving zh
     assert got["fr"] > got["zh"]
+
+
+# -- redact_text ------------------------------------------------------------
+
+def test_redact_text_defaults(spark):
+    from peri_spark.functions import redact_text
+    df = spark.createDataFrame(
+        [(1, "mail bob@corp.example.org from 192.168.0.1 "
+             "key deadbeefdeadbeefdeadbeefdeadbeef done"),
+         (2, "nothing sensitive here")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in redact_text(df, "text").collect()}
+    assert out[1].text_redacted == \
+        "mail [EMAIL] from [IPV4] key [SECRET] done"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_secret) == (1, 1, 1)
+    assert out[2].text_redacted == "nothing sensitive here"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_secret) == (0, 0, 0)
+
+
+def test_redact_text_custom_patterns_and_plan(spark, docs):
+    from peri_spark.functions import redact_text
+    out = redact_text(docs, "text", patterns={"word": r"\bthe\b"},
+                      out_col="clean", with_counts=False)
+    assert out.columns == docs.columns + ["clean"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
