@@ -532,9 +532,79 @@ def run_media(workers: int, input_path: str, runs: int) -> dict:
             "audio_features": {"wall_sec": au_wall, "ok_rows": au_ok}}
 
 
+def run_curation(workers: int, input_path: str, runs: int) -> dict:
+    """Curation-layer throughput over the fanned code_files corpus:
+    the deterministic split coin (map-side md5), the 3-pattern PII
+    scrub, and benchmark decontamination against the sf documents
+    table as the eval set (aggregated gram set broadcast against the
+    map-side-exploded corpus). Fresh every run — no history merge."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    sys.path.insert(0, REPO)
+    from peri_spark.functions.curation import (contamination_overlap,
+                                               hash_split, redact_text)
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-curation-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    df = spark.read.parquet(input_path).where(F.col("content").isNotNull())
+    n = df.count()
+
+    t0 = time.monotonic()
+    split_counts = {r["split"]: r["count"] for r in hash_split(
+        df, "path", {"train": .9, "val": .05, "test": .05})
+        .groupBy("split").count().collect()}
+    sp_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pii = (redact_text(df, "content")
+           .agg((F.sum("n_email") + F.sum("n_ipv4") + F.sum("n_secret"))
+                .alias("hits"), F.count(F.lit(1)).alias("rows"))
+           .collect()[0])
+    rd_wall = round(time.monotonic() - t0, 3)
+
+    bench_docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                  .select("doc_id", "text"))
+    nb = bench_docs.count()
+    # decon is O(corpus tokens) through interpreted HOF shingling —
+    # the dominant curation cost. Measure it on an EXPLICIT 1/32
+    # deterministic hash slice (disclosed below, not a silent cap);
+    # rows_per_sec is per sampled row and extrapolates linearly
+    # (map-side embarrassingly parallel, broadcast join, no skew).
+    denom = 32
+    corpus = (df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                        "content")
+              .where(F.pmod(F.col("fid"), F.lit(denom)) == 0))
+    t0 = time.monotonic()
+    cont = (contamination_overlap(corpus, bench_docs, "content", "fid",
+                                  bench_text_col="text", n=8, words=True,
+                                  threshold=0.2)
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum(F.col("contaminated").cast("int")).alias("bad"))
+            .collect()[0])
+    dc_wall = round(time.monotonic() - t0, 3)
+    dc_rows = int(cont.rows)
+
+    spark.stop()
+    return {"workers": workers, "n_rows": n,
+            "hash_split": {"wall_sec": sp_wall, "splits": split_counts,
+                           "rows_per_sec": round(n / sp_wall, 1)},
+            "redact_pii": {"wall_sec": rd_wall, "pii_hits": int(pii.hits),
+                           "rows_per_sec": round(n / rd_wall, 1)},
+            "decontaminate": {"wall_sec": dc_wall, "bench_docs": nb,
+                              "sample_denominator": denom,
+                              "scored_rows": dc_rows,
+                              "contaminated": int(cont.bad or 0),
+                              "rows_per_sec": round(dc_rows / dc_wall, 1)}}
+
+
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
                  "viol": run_violations_write, "ann": run_ann_recall,
-                 "media": run_media}
+                 "media": run_media, "curation": run_curation}
 
 
 def child_main() -> None:
@@ -738,6 +808,12 @@ def main() -> None:
                              mode="media")
     except Exception as e:
         out["media"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    try:
+        # curation-layer throughput: fresh every run, no history
+        out["curation"] = spawn(HEADLINE_WORKERS, big, runs=1,
+                                mode="curation")
+    except Exception as e:
+        out["curation"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact

@@ -50,9 +50,13 @@ def _coin(key: Column, seed: int) -> Column:
 
     chr(31) (unit separator) keys the seed so ("a", 12) and ("a1", 2)
     never collide; portable_hash64 is md5-based, so DuckDB mirrors it.
+    NULL keys null-propagate (F.concat, not concat_ws) exactly like the
+    SQL ``key || chr(31) || seed`` mirror: a NULL coin fails every
+    ``coin < bound`` comparison, so null-key rows are dropped by the
+    samplers and get a NULL split label — never a shared constant coin.
     """
     return portable_hash64(
-        F.concat_ws("\x1f", key.cast("string"), F.lit(str(seed)))
+        F.concat(key.cast("string"), F.lit("\x1f"), F.lit(str(seed)))
     ) % _COIN_M
 
 
@@ -128,7 +132,9 @@ def hash_split(df: DataFrame, key_col: str, splits: dict[str, float],
     bounds = []
     for label, frac in splits.items():
         cum += frac
-        bounds.append((label, _threshold(cum)))
+        # float accumulation can land at 1.0000000000000002 even when
+        # the sum passed the tolerance gate — clamp before validating
+        bounds.append((label, _threshold(min(cum, 1.0))))
     for label, bound in reversed(bounds):
         expr = F.when(coin < bound, F.lit(label)).otherwise(expr)
     return df.withColumn(split_col, expr)
@@ -216,9 +222,10 @@ def redact_text(df: DataFrame, text_col: str,
     counts = []
     for label, pat in patterns.items():
         if with_counts:
-            counts.append(
-                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat),
-                                            F.lit(0)))
-                .cast("long").alias(f"n_{label}"))
-        red = F.regexp_replace(red, pat, f"[{label.upper()}]")
+            counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                          .cast("long").alias(f"n_{label}"))
+        # Java replacement strings treat \ and $ as metacharacters —
+        # escape them so a label like "price$" can't break replaceAll
+        tag = label.upper().replace("\\", "\\\\").replace("$", "\\$")
+        red = F.regexp_replace(red, pat, f"[{tag}]")
     return df.select("*", red.alias(out_col), *counts)

@@ -157,3 +157,36 @@ def test_redact_text_custom_patterns_and_plan(spark, docs):
     assert out.columns == docs.columns + ["clean"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# -- review-pass regressions -------------------------------------------------
+
+def test_hash_split_float_accumulation_boundary(docs):
+    # 0.34 + 0.56 + 0.10 accumulates to 1.0000000000000002 in floats;
+    # the cumulative bound must clamp, not raise
+    out = hash_split(docs, "doc_id", {"a": 0.34, "b": 0.56, "c": 0.10})
+    counts = {r.split: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"a", "b", "c"}
+    assert sum(counts.values()) == docs.count()
+
+
+def test_null_keys_null_propagate(spark):
+    # NULL keys must behave like the SQL `||` mirror: NULL coin, row
+    # dropped by samplers, NULL split — never one shared constant coin
+    df = spark.createDataFrame(
+        [(None, "en"), (None, "en"), ("k1", "en"), ("k2", "en")],
+        ["key", "lang"])
+    split = hash_split(df, "key", {"train": 0.99})
+    assert split.where(F.col("key").isNull()
+                       & F.col("split").isNotNull()).count() == 0
+    kept = stratified_sample(df, "lang", {"en": 0.99}, "key")
+    assert kept.where(F.col("key").isNull()).count() == 0
+
+
+def test_redact_label_with_replacement_metachars(spark):
+    from peri_spark.functions import redact_text
+    df = spark.createDataFrame([(1, "price $42 end")], ["doc_id", "text"])
+    out = redact_text(df, "text", patterns={"price$": r"\$\d+"},
+                      with_counts=False).collect()[0]
+    assert out.text_redacted == "price [PRICE$] end"
