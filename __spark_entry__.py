@@ -246,6 +246,59 @@ def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_email", "n_ipv4", "n_secret")
 
 
+def q_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (duplicate word-2-gram occurrence
+    fraction + top-gram character coverage) — zero-shuffle per-document
+    fold; the oracle recomputes via UNNEST + GROUP BY."""
+    from peri_spark.functions import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, "text", "doc_id", n=2)
+
+
+def q_pack_sequences_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: whitespace token counts laid
+    on 8 deterministic hash streams, 256-token bins; the per-stream
+    prefix sums reproduce as SQL window sums."""
+    from peri_spark.functions import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.where(F.col("text").isNotNull())
+            .select("doc_id",
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")))
+    return pack_sequences(toks, "doc_id", "n_tok", budget=256, n_buckets=8)
+
+
+def q_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (chunk-level) corpus dedup: duplicated 8-word
+    chunks survive only at their first (doc_id, idx) occurrence and the
+    cleaned token stream is rebuilt per document. Chunk identity is
+    hash-invariant (the oracle groups on the chunk strings), so the
+    fast xxhash64 join key needs no portable mirror."""
+    from peri_spark.functions import dedup_chunks
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_chunks(docs, "text", "doc_id", width=8)
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: the deterministic IVF cells from
+    knn_ivf partition the space, 20 planted near-duplicates (ids +10000,
+    first component ×1.05 — same plant as embedding_dups) must drop to
+    their lower-id originals within a cell; survivors return with their
+    cell id, all hash-checked against the centroid-literal oracle."""
+    from peri_spark.functions import semantic_dedup
+    cent = _ivf_centroids_from_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    pert = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(F.array(F.element_at("v", 1) * F.lit(1.05)),
+                 F.slice("v", 2, 63)).alias("v"))
+    allv = emb.unionByName(pert)
+    return semantic_dedup(allv, "v", "vec_id", cent, threshold=0.99)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -570,6 +623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "weighted_mix_documents": q_weighted_mix_documents,
         "redact_pii_documents": q_redact_pii_documents,
+        "repetition_documents": q_repetition_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "chunk_dedup_documents": q_chunk_dedup_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     })
     return out
 
@@ -826,6 +883,53 @@ def _knn_ivf_oracle_sql() -> str:
       FROM cand)
     SELECT query_id, id, round(cosine, 4) AS cosine, rank
     FROM ranked WHERE rank <= 5
+    """
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB reproduction of q_semantic_dedup_embeddings: identical
+    centroid literals + plant, (distance, cid) argmin assignment,
+    within-cell pairwise cosine rounded to 6dp, keep-min anti-join.
+    The engine's max_cell_size cap is not mirrored — at the comparison
+    scale every cell is far below the 10k cap, so capped and uncapped
+    semantics coincide (embedding_dups mirrors a cap explicitly where
+    it does bind)."""
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    cent = _ivf_centroids_from_parquet(f"{sf_dir}/embeddings.parquet")
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ",".join(repr(x) for x in c))
+        for i, c in enumerate(cent))
+    sqd = ("list_sum(list_transform(range(0, 64), "
+           "d -> (b.v[d+1] - c.c[d+1]) * (b.v[d+1] - c.c[d+1])))")
+    cos = ("list_sum(list_transform(range(0, 64), d -> l.v[d+1] * r.v[d+1]))"
+           " / (sqrt(list_sum(list_transform(l.v, x -> x * x))) * "
+           "sqrt(list_sum(list_transform(r.v, x -> x * x))))")
+    return f"""
+    WITH cent AS (SELECT * FROM (VALUES
+    {values}) t(cid, c)),
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    allv AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([v[1] * 1.05], v[2:64]) FROM base
+      WHERE vec_id < 20),
+    ad AS (
+      SELECT b.vec_id AS id, b.v, c.cid AS cell,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {sqd}, c.cid) AS rn
+      FROM allv b CROSS JOIN cent c),
+    assign AS (SELECT id, v, cell FROM ad WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT l.id
+      FROM assign l JOIN assign r ON l.cell = r.cell AND l.id > r.id
+      WHERE round({cos}, 6) >= 0.99)
+    SELECT a.id, a.cell FROM assign a
+    WHERE a.id NOT IN (SELECT id FROM dup)
     """
 
 
@@ -1200,6 +1304,78 @@ def oracle_sql() -> dict[str, str]:
              '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_secret
     FROM staged
     """
+    repetition = r"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars,
+             string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    g AS (
+      SELECT doc_id, n_chars, len(gr) AS n_grams, unnest(gr) AS g
+      FROM (SELECT doc_id, n_chars, list_transform(
+              range(0, greatest(len(tk) - 2, 0) + 1),
+              j -> array_to_string(list_slice(tk, j+1, j+2), ' ')) AS gr
+            FROM toks) t),
+    cnt AS (
+      SELECT doc_id, n_chars, n_grams, g, count(*) AS c
+      FROM g GROUP BY doc_id, n_chars, n_grams, g),
+    agg AS (
+      SELECT doc_id, n_chars, n_grams,
+             COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS dup
+      FROM cnt GROUP BY doc_id, n_chars, n_grams),
+    top AS (
+      SELECT doc_id, g AS top_ngram, c AS top_cnt
+      FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g ASC) = 1)
+    SELECT a.doc_id AS id, CAST(a.n_grams AS BIGINT) AS n_grams,
+           round(a.dup * 1.0 / a.n_grams, 6) AS dup_ngram_frac,
+           t.top_ngram,
+           round(t.top_cnt * length(t.top_ngram) * 1.0 / a.n_chars, 6)
+             AS top_ngram_char_frac
+    FROM agg a JOIN top t USING (doc_id)
+    """
+    pack_docs = f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT doc_id AS id, {_coin42} % 8 AS bucket,
+             CAST(n_tok AS BIGINT) AS n_tokens
+      FROM d WHERE n_tok > 0),
+    w AS (
+      SELECT id, bucket, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_tok
+      FROM b)
+    SELECT id, bucket, n_tokens, start_tok,
+           start_tok // 256 AS start_bin,
+           (start_tok + n_tokens - 1) // 256 AS end_bin
+    FROM w
+    """
+    chunk_dedup_docs = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    ch AS (
+      SELECT doc_id, j AS idx,
+             array_to_string(list_slice(tk, j * 8 + 1, j * 8 + 8), ' ')
+               AS chunk
+      FROM toks, LATERAL (SELECT unnest(range(0, (len(tk) + 7) // 8)) AS j) t),
+    k AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) = 1 AS keep
+      FROM ch)
+    SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                    FILTER (WHERE keep), '') AS text_clean
+    FROM k GROUP BY doc_id
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1240,5 +1416,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": stratified_docs,
         "weighted_mix_documents": weighted_mix_docs,
         "redact_pii_documents": redact_pii,
+        "repetition_documents": repetition,
+        "pack_sequences_documents": pack_docs,
+        "chunk_dedup_documents": chunk_dedup_docs,
+        "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
     })
     return out

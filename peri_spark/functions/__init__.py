@@ -6,20 +6,20 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
-from .curation import (contamination_overlap, hash_split, redact_text,
-                       stratified_sample, weighted_mix)
+from .curation import (contamination_overlap, hash_split, pack_sequences,
+                       redact_text, stratified_sample, weighted_mix)
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
                     near_dup_clusters, deduplicate_by_clusters,
-                    portable_hash64)
+                    dedup_chunks, portable_hash64)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
                          ivf_topk, normalize_embeddings,
-                         train_ivf_centroids)
+                         semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
-from .textstats import (language_id, quality_scores, token_counts,
-                        winnow_fingerprints)
+from .textstats import (language_id, quality_scores, repetition_stats,
+                        token_counts, winnow_fingerprints)
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
@@ -31,5 +31,6 @@ __all__ = [
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
     "portable_hash64", "probe_media", "probe_metadata",
     "contamination_overlap", "hash_split", "stratified_sample",
-    "weighted_mix", "redact_text",
+    "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
+    "semantic_dedup", "repetition_stats",
 ]

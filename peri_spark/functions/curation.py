@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash64, shingles
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
-           "weighted_mix", "redact_text", "DEFAULT_PII_PATTERNS"]
+           "weighted_mix", "redact_text", "pack_sequences",
+           "DEFAULT_PII_PATTERNS"]
 
 # Engine-portable regexes (no lookaround, ASCII classes): identical
 # semantics under Java regex (Spark) and RE2 (DuckDB oracle).
@@ -197,6 +198,49 @@ def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
               .where(coin < F.round(F.col("__rate") * _COIN_M)
                      .cast("long"))
               .drop("__src", "__rate"))
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   budget: int, n_buckets: int = 64,
+                   seed: int = 42) -> DataFrame:
+    """Concat-and-chunk sequence packing for pretraining batches.
+
+    Documents shard deterministically into ``n_buckets`` independent
+    streams (portable md5 hash of the id — the identical shard layout on
+    any cluster size, any engine, any re-run), order by id within a
+    stream, and lay head-to-tail on a token tape cut every ``budget``
+    tokens — the GPT-style packing where a document may straddle a bin
+    boundary. Returns one row per document::
+
+        (id, bucket, n_tokens, start_tok, start_bin, end_bin)
+
+    ``start_tok`` is the document's offset on its stream's tape;
+    ``start_bin``/``end_bin`` are the first/last context windows it
+    lands in (``end_bin - start_bin`` boundary crossings).
+
+    Scale shape: ONE hash-partition shuffle by bucket + a per-bucket
+    running sum. Each stream is an independent window, so parallelism is
+    ``n_buckets`` regardless of corpus size — size it to a small
+    multiple of cluster cores. No driver state, no iteration, and the
+    assignment is a pure function of (id, tokens) so a resumed or
+    re-run job packs identically. Rows with a null or non-positive
+    token count are dropped (they occupy no tape).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bucket = (_coin(F.col(id_col), seed) % n_buckets).alias("bucket")
+    w = (Window.partitionBy("bucket").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return (df.where(F.col(token_col).isNotNull() & (F.col(token_col) > 0))
+            .select(F.col(id_col).alias("id"), bucket,
+                    F.col(token_col).cast("long").alias("n_tokens"))
+            .withColumn("start_tok", start)
+            .withColumn("start_bin",
+                        (F.col("start_tok") / budget).cast("long"))
+            .withColumn("end_bin",
+                        ((F.col("start_tok") + F.col("n_tokens") - 1)
+                         / budget).cast("long")))
 
 
 def redact_text(df: DataFrame, text_col: str,

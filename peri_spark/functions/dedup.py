@@ -27,7 +27,7 @@ __all__ = ["exact_duplicates", "shingles", "minhash_signatures",
            "lsh_duplicate_pairs", "ngram_jaccard_pairs",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
-           "portable_hash64"]
+           "dedup_chunks", "portable_hash64"]
 
 
 def portable_hash64(c: Column) -> Column:
@@ -102,6 +102,66 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
     return (h.join(agg, "__h")
             .where(F.col("dup_id") != F.col("canonical_id"))
             .select("canonical_id", "dup_id", "n"))
+
+
+def dedup_chunks(df: DataFrame, text_col: str, id_col: str,
+                 width: int = 10, hash_fn=None) -> DataFrame:
+    """Exact-substring corpus dedup at chunk granularity (the
+    ExactSubstr idea of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", simplified to fixed word windows).
+
+    Every document splits into non-overlapping ``width``-word chunks;
+    a chunk whose text appears anywhere else in the corpus survives
+    only at its FIRST occurrence (min ``(id, chunk_idx)``) and is cut
+    from every other document. Returns one row per input document::
+
+        (id, n_chunks, n_kept, text_clean)
+
+    where ``text_clean`` is the surviving chunks re-joined in order on
+    single spaces over the normalized (lower/trim) token stream.
+
+    Scale shape: chunks shuffle by their 60-bit hash (``hash_fn``,
+    default xxhash64; pass :func:`portable_hash64` for the oracle-
+    reproducible mode) — the min-occurrence aggregate and the join-back
+    probe both hang off the one repartition exchange exactly like
+    :func:`exact_duplicates`, so a boilerplate chunk with millions of
+    copies streams through a hash-agg instead of buffering in one task.
+    The final per-document rebuild shuffles ``(id, idx, kept chunk)``
+    once; chunk arrays per document are bounded by document size, never
+    by corpus size. Null/blank documents are dropped.
+    """
+    h = hash_fn or F.xxhash64
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / width).cast("int")),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * width + 1, width)))
+    ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+          .select(F.col(id_col).alias("id"),
+                  F.posexplode(chunks).alias("idx", "chunk"))
+          .withColumn("__ch", h(F.col("chunk")))
+          .repartition("__ch"))
+    # the min-struct carries `chunk` too (ordering is unchanged — (id,
+    # idx) is unique): with identical column sets below both consumers,
+    # the repartition exchange canonicalizes equal and AQE's
+    # ReuseExchange runs the explode+hash pass ONCE (column pruning
+    # would otherwise strip `chunk` from the aggregate branch and fork
+    # the scan; plan-asserted in tests)
+    first = (ex.groupBy("__ch")
+             .agg(F.min(F.struct("id", "idx", "chunk")).alias("__first")))
+    kept = (ex.join(first, "__ch")
+            .withColumn("__keep", (F.col("id") == F.col("__first.id")) &
+                                  (F.col("idx") == F.col("__first.idx"))))
+    return (kept.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__keep"),
+                                    F.struct("idx", "chunk")))),
+                         lambda s: s["chunk"]),
+                     " ").alias("text_clean")))
 
 
 def shingles(text: Column, k: int = 5, words: bool = False,

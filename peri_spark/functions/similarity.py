@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["normalize_embeddings", "cosine_topk_for_query",
            "brute_force_topk", "hyperplane_lsh_topk",
-           "deterministic_kmeans", "train_ivf_centroids", "ivf_topk"]
+           "deterministic_kmeans", "train_ivf_centroids", "ivf_topk",
+           "semantic_dedup"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -220,6 +221,40 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     return (cand.dropDuplicates(["query_id", "id"])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: list[list[float]], threshold: float = 0.95,
+                   max_cell_size: int = 10_000,
+                   assume_normalized: bool = False) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest k-means cell,
+    compare pairs ONLY within a cell, and drop each vector that has a
+    lower-id neighbor with cosine ≥ ``threshold`` (the deterministic
+    keep-min canonical rule). Returns the surviving ``(id, cell)`` rows.
+
+    Scale shape: cell assignment is one map-side pass (no shuffle); the
+    within-cell self-join shuffles on the cell id only, and its cost is
+    Σ|cell|² — bounded by ``max_cell_size`` (cells above the cap are
+    kept UN-deduped rather than exploding the join; the cap mirrors
+    ``embedding_duplicate_pairs``). Train ``centroids`` via
+    :func:`train_ivf_centroids`; more centroids → smaller cells →
+    cheaper joins but more near-duplicates split across cell borders
+    (the SemDeDup trade). Cosine rounds to 6dp before the threshold so
+    the decision reproduces bit-for-bit in the DuckDB oracle.
+    """
+    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
+                  _ivf_assign(F.col(vec_col), centroids).alias("cell"))
+    sz = (c.groupBy("cell").agg(F.count(F.lit(1)).alias("__csz"))
+          .where(F.col("__csz") <= max_cell_size).select("cell"))
+    small = c.join(F.broadcast(sz), "cell")
+    a, b = small.alias("a"), small.alias("b")
+    sim = F.round(_sim(F.col("a.__v"), F.col("b.__v"), assume_normalized), 6)
+    dups = (a.join(b, (F.col("a.cell") == F.col("b.cell")) &
+                      (F.col("a.id") > F.col("b.id")))
+            .where(sim >= threshold)
+            .select(F.col("a.id").alias("id")).distinct())
+    return c.join(dups, "id", "left_anti").select("id", "cell")
 
 
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["language_id", "quality_scores", "token_counts",
-           "winnow_fingerprints", "LANG_MARKERS"]
+           "winnow_fingerprints", "repetition_stats", "LANG_MARKERS"]
 
 # n-gram/stopword heuristic markers per language (word-boundary regexes,
 # portable across Java regex and RE2)
@@ -90,6 +90,67 @@ def token_counts(df: DataFrame, text_col: str, id_col: str,
             t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
         out.append(pieces.alias("n_tokens_bpe_like"))
     return df.select(*out)
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1):
+    per-document word-n-gram repetition metrics.
+
+    Returns ``(id, n_grams, dup_ngram_frac, top_ngram,
+    top_ngram_char_frac)``:
+
+    * ``dup_ngram_frac`` — fraction of n-gram OCCURRENCES whose gram
+      appears more than once in the document (Gopher's "duplicate
+      n-gram fraction").
+    * ``top_ngram`` / ``top_ngram_char_frac`` — the most frequent
+      n-gram (ties → lexicographically smallest) and the fraction of
+      the document's characters its occurrences cover
+      (count × gram length / document length).
+
+    Zero shuffle — the Gopher statistic is per-document, so it must
+    never become a corpus-wide explode+groupBy: grams sort per row
+    (``array_sort``) and ONE sequential ``aggregate`` fold counts
+    duplicate occurrences and the longest run (= the top gram; runs
+    scan in sorted order, so the first maximal run is the smallest
+    gram). A 100 TB corpus streams partition-local; only the
+    (id, 4-column) result leaves the scan. Rows with null/blank text
+    are dropped (no grams to measure); a document shorter than ``n``
+    words yields its single partial gram, mirroring ``shingles``.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    n_grams = F.size(grams)
+    # fold state: previous gram, current run length, duplicate-occurrence
+    # count, best (longest) run length + its gram
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("dup"), F.lit(0).alias("best_cnt"),
+                    F.lit("").alias("best_g"))
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # a run reaching 2 retroactively marks both occurrences duplicate
+        dup = acc["dup"] + F.when(run == 2, F.lit(2)) \
+                            .when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        better = run > acc["best_cnt"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"), dup.alias("dup"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"))
+
+    folded = F.aggregate(F.array_sort(grams), acc0, _step)
+    n_chars = F.length(F.col(text_col))
+    return (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+            .select(F.col(id_col).alias("id"),
+                    n_grams.cast("long").alias("n_grams"),
+                    F.round(folded["dup"] / n_grams, 6)
+                    .alias("dup_ngram_frac"),
+                    folded["best_g"].alias("top_ngram"),
+                    F.round(folded["best_cnt"] * F.length(folded["best_g"])
+                            / n_chars, 6).alias("top_ngram_char_frac")))
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,

@@ -1,0 +1,141 @@
+"""Round-4 additions: repetition stats, sequence packing, chunk-level
+exact-substring dedup, SemDeDup embedding-cluster dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peri_spark.functions import (dedup_chunks, pack_sequences,
+                                  repetition_stats, semantic_dedup)
+
+
+# -- repetition_stats --------------------------------------------------------
+
+def test_repetition_counts_and_top_gram(spark):
+    df = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+    r = repetition_stats(df, "text", "doc_id", n=2).collect()[0]
+    # grams: "a b","b a","a b","b a","a c" -> dup occurrences 4 of 5
+    assert r.n_grams == 5
+    assert r.dup_ngram_frac == pytest.approx(0.8)
+    # tie between "a b" and "b a" (2 each) -> lexicographically smallest
+    assert r.top_ngram == "a b"
+    assert r.top_ngram_char_frac == pytest.approx(round(2 * 3 / 11, 6))
+
+
+def test_repetition_no_repeats_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, None), (4, "   ")],
+        ["doc_id", "text"])
+    out = {r.id: r for r in
+           repetition_stats(df, "text", "doc_id", n=2).collect()}
+    assert set(out) == {1, 2}          # null/blank dropped
+    assert out[1].dup_ngram_frac == 0.0 and out[1].n_grams == 2
+    assert out[1].top_ngram == "alpha beta"   # first max run, sorted order
+    # shorter than n words -> the single partial gram
+    assert out[2].n_grams == 1 and out[2].top_ngram == "solo"
+    assert out[2].top_ngram_char_frac == 1.0
+
+
+# -- pack_sequences ----------------------------------------------------------
+
+def test_pack_sequences_single_stream_spans(spark):
+    rows = [(i, 100) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {r.id: r for r in
+           pack_sequences(df, "doc_id", "n_tok", budget=256,
+                          n_buckets=1).collect()}
+    assert [out[i].start_tok for i in range(1, 7)] == \
+        [0, 100, 200, 300, 400, 500]
+    # doc 3 straddles the first bin boundary (tokens 200..299)
+    assert (out[3].start_bin, out[3].end_bin) == (0, 1)
+    assert (out[1].start_bin, out[1].end_bin) == (0, 0)
+    assert (out[6].start_bin, out[6].end_bin) == (1, 2)
+
+
+def test_pack_sequences_deterministic_and_filters(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 0), (3, None), (4, 70)], ["doc_id", "n_tok"])
+    a = sorted(pack_sequences(df, "doc_id", "n_tok", 64).collect())
+    b = sorted(pack_sequences(df, "doc_id", "n_tok", 64).collect())
+    assert a == b                      # pure function of (id, tokens)
+    assert {r.id for r in a} == {1, 4}  # zero/null token rows occupy no tape
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", 0)
+
+
+def test_pack_sequences_streams_are_independent(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(200)],
+                               ["doc_id", "n_tok"])
+    out = pack_sequences(df, "doc_id", "n_tok", budget=50, n_buckets=4)
+    rows = out.collect()
+    assert {r.bucket for r in rows} == {0, 1, 2, 3}
+    # within each stream offsets are the exclusive prefix sum by id
+    for b in range(4):
+        stream = sorted((r for r in rows if r.bucket == b),
+                        key=lambda r: r.id)
+        run = 0
+        for r in stream:
+            assert r.start_tok == run
+            run += r.n_tokens
+
+
+# -- dedup_chunks ------------------------------------------------------------
+
+def test_dedup_chunks_cross_and_within_doc(spark):
+    c1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    c2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    c3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    df = spark.createDataFrame(
+        [(1, f"{c1} {c2}"),            # first occurrence of both chunks
+         (2, f"{c1} {c3}"),            # c1 is a cross-doc duplicate
+         (3, f"{c3} {c3}")],           # within-doc duplicate of (2)'s c3
+        ["doc_id", "text"])
+    out = {r.id: r for r in
+           dedup_chunks(df, "text", "doc_id", width=8).collect()}
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].text_clean == f"{c1} {c2}"
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].text_clean == c3      # kept chunk order preserved
+    assert (out[3].n_chunks, out[3].n_kept) == (2, 0)
+    assert out[3].text_clean == ""      # fully-duplicated doc empties
+
+
+def test_dedup_chunks_partial_tail_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r = dedup_chunks(df, "text", "doc_id", width=3).collect()[0]
+    assert r.n_chunks == 2 and r.n_kept == 2   # "a b c" + partial "d e"
+    assert r.text_clean == "a b c d e"
+
+
+# -- semantic_dedup ----------------------------------------------------------
+
+CENTROIDS_2D = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_semantic_dedup_drops_within_cell_neighbor(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        ["vec_id", "v"])
+    out = {r.id: r.cell for r in
+           semantic_dedup(df, "v", "vec_id", CENTROIDS_2D,
+                          threshold=0.99).collect()}
+    assert set(out) == {1, 3}          # 2 had a lower-id 0.99+ neighbor
+    assert out[1] == 0 and out[3] == 1
+
+
+def test_semantic_dedup_cell_cap_skips_oversized(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        ["vec_id", "v"])
+    out = semantic_dedup(df, "v", "vec_id", CENTROIDS_2D,
+                         threshold=0.99, max_cell_size=1).collect()
+    # cell 0 holds 2 members > cap -> kept un-deduped rather than joined
+    assert {r.id for r in out} == {1, 2, 3}
+
+
+def test_semantic_dedup_cross_cell_neighbors_survive(spark):
+    # near-identical pair split across cells is NOT deduped (the SemDeDup
+    # trade: more centroids -> cheaper joins, border dups survive)
+    df = spark.createDataFrame(
+        [(1, [0.71, 0.70]), (2, [0.70, 0.71])], ["vec_id", "v"])
+    out = semantic_dedup(df, "v", "vec_id", CENTROIDS_2D, threshold=0.9)
+    assert {r.id for r in out.collect()} == {1, 2}

@@ -211,3 +211,48 @@ def test_brute_force_topk_uses_take_ordered(spark):
     q = [0.1] * 64
     top = cosine_topk_for_query(emb, "embedding", "vec_id", q, k=5)
     assert "TakeOrderedAndProject" in plan_of(top)  # heap top-k, no full sort
+
+
+def test_repetition_stats_zero_shuffle(spark, docs):
+    """The Gopher repetition fold is per-document: it must stay a pure
+    map stage (sort + sequential aggregate inside the row), never a
+    corpus-wide explode+groupBy."""
+    from peri_spark.functions import repetition_stats
+    p = plan_of(repetition_stats(docs, "text", "doc_id", n=2))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_dedup_chunks_reuses_chunk_exchange(spark, docs):
+    """Chunk dedup at scale (broadcast disabled = the shape a corpus-
+    sized chunk table forces): the explode+hash pass crosses the wire
+    once — min-occurrence aggregate and join-back probe hang off ONE
+    reused repartition exchange; no Window buffering hot boilerplate
+    chunks."""
+    from peri_spark.functions import dedup_chunks
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup_chunks(docs, "text", "doc_id", width=8)
+        out.collect()
+        final = plan_of(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
+    assert "Window" not in final
+
+
+def test_semantic_dedup_cell_equi_join_no_python(spark):
+    """SemDeDup: map-side cell assignment, within-cell equi-join only —
+    never a cartesian pairing, never Python in the plan."""
+    from peri_spark.functions import semantic_dedup, train_ivf_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
+                               train_limit=200)
+    out = semantic_dedup(emb, "embedding", "vec_id", cent, threshold=0.99)
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
