@@ -299,6 +299,16 @@ def q_semantic_dedup_embeddings(spark: SparkSession,
     return semantic_dedup(allv, "v", "vec_id", cent, threshold=0.99)
 
 
+def q_quality_filter_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Composite Gopher-style keep/drop filter with audit reasons —
+    all metrics (token/char ratios + the duplicate-2-gram fold) inline
+    in one zero-shuffle projection."""
+    from peri_spark.functions import quality_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs, "text", "doc_id")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "quality_filter_documents": q_quality_filter_documents,
     })
     return out
 
@@ -1376,6 +1387,49 @@ def oracle_sql() -> dict[str, str]:
                     FILTER (WHERE keep), '') AS text_clean
     FROM k GROUP BY doc_id
     """
+    quality_filter_docs = r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS tk,
+             length(text) AS n_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+        len(tk) AS n_tokens,
+        round(n_chars * 1.0 / greatest(len(tk), 1), 4) AS avg_token_len,
+        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+              / greatest(n_chars, 1), 4) AS alpha_ratio,
+        round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+              / greatest(n_chars, 1), 4) AS digit_ratio,
+        round(len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1), 4)
+          AS distinct_token_ratio,
+        list_transform(range(0, greatest(len(tk) - 2, 0) + 1),
+            j -> array_to_string(list_slice(tk, j+1, j+2), ' ')) AS gr
+      FROM d),
+    g AS (SELECT doc_id, len(gr) AS n_grams, unnest(gr) AS g FROM m),
+    cnt AS (SELECT doc_id, n_grams, g, count(*) AS c
+            FROM g GROUP BY doc_id, n_grams, g),
+    dup AS (SELECT doc_id,
+                   round(COALESCE(sum(c) FILTER (WHERE c > 1), 0) * 1.0
+                         / any_value(n_grams), 4) AS dup_2gram_frac
+            FROM cnt GROUP BY doc_id),
+    r AS (
+      SELECT m.doc_id,
+        CASE WHEN m.text IS NULL OR trim(m.text) = '' THEN 'empty'
+        -- array_to_string([]) is NULL in DuckDB but '' in Spark
+        ELSE COALESCE(array_to_string(list_filter([
+          CASE WHEN m.n_tokens < 20 THEN 'too_few_tokens' END,
+          CASE WHEN m.n_tokens > 100000 THEN 'too_many_tokens' END,
+          CASE WHEN m.avg_token_len < 2.0 THEN 'short_tokens' END,
+          CASE WHEN m.avg_token_len > 12.0 THEN 'long_tokens' END,
+          CASE WHEN m.alpha_ratio < 0.6 THEN 'low_alpha' END,
+          CASE WHEN m.digit_ratio > 0.2 THEN 'high_digit' END,
+          CASE WHEN m.distinct_token_ratio < 0.3 THEN 'low_distinct' END,
+          CASE WHEN dup.dup_2gram_frac > 0.6 THEN 'high_dup_2gram' END
+        ], x -> x IS NOT NULL), ','), '') END AS reasons
+      FROM m JOIN dup USING (doc_id))
+    SELECT doc_id AS id, reasons = '' AS keep, reasons FROM r
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1420,5 +1474,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": pack_docs,
         "chunk_dedup_documents": chunk_dedup_docs,
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
+        "quality_filter_documents": quality_filter_docs,
     })
     return out

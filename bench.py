@@ -412,6 +412,23 @@ def run_ann_recall(workers: int, input_path: str, runs: int) -> dict:
     ivf = ivf_topk(corpus, queries, "embedding", "vec_id", cent,
                    k=k, nprobe=3, assume_normalized=True).collect()
     ivf_wall = time.perf_counter() - t0
+
+    # SemDeDup over a 10-copy slice of the fanned corpus: every base
+    # vector owns a planted family of 1%-perturbed near-duplicates
+    # (cosine ≈ 0.999+), so the expected survivor count is ~n_base —
+    # a real dedup load, not a no-op scan. 64 cells keep the
+    # within-cell join quadratic cost bounded.
+    from peri_spark.functions.similarity import semantic_dedup
+    sd_slice = corpus.where(F.col("vec_id") < n_base * 10)
+    n_slice = sd_slice.count()
+    t0 = time.perf_counter()
+    sd_cent = train_ivf_centroids(sd_slice, "embedding", "vec_id",
+                                  n_centroids=64, train_limit=2048)
+    n_survivors = semantic_dedup(sd_slice, "embedding", "vec_id", sd_cent,
+                                 threshold=0.995,
+                                 assume_normalized=True).count()
+    sd_wall = time.perf_counter() - t0
+
     corpus.unpersist()
     spark.stop()
     return {"workers": workers, "n_corpus": n_corpus,
@@ -421,7 +438,11 @@ def run_ann_recall(workers: int, input_path: str, runs: int) -> dict:
             "lsh_multiprobe2": {"recall_at_10": recall(lsh),
                                 "wall_sec": round(lsh_wall, 3)},
             "ivf_nprobe3": {"recall_at_10": recall(ivf),
-                            "wall_sec": round(ivf_wall, 3)}}
+                            "wall_sec": round(ivf_wall, 3)},
+            "semantic_dedup": {"n_input": n_slice,
+                               "n_survivors": n_survivors,
+                               "wall_sec": round(sd_wall, 3),
+                               "rows_per_sec": round(n_slice / sd_wall, 1)}}
 
 
 def run_media(workers: int, input_path: str, runs: int) -> dict:
@@ -589,6 +610,35 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
     dc_wall = round(time.monotonic() - t0, 3)
     dc_rows = int(cont.rows)
 
+    from peri_spark.functions import (dedup_chunks, pack_sequences,
+                                      repetition_stats)
+    t0 = time.monotonic()
+    rep = (repetition_stats(df.select(
+        F.xxhash64("repo", "path", "commit").alias("fid"), "content"),
+        "content", "fid", n=2)
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.avg("dup_ngram_frac").alias("avg_dup")).collect()[0])
+    rp_wall = round(time.monotonic() - t0, 3)
+
+    toks = df.select(
+        F.xxhash64("repo", "path", "commit").alias("fid"),
+        F.size(F.split(F.trim("content"), r"\s+")).alias("n_tok"))
+    t0 = time.monotonic()
+    pk = (pack_sequences(toks, "fid", "n_tok", budget=2048,
+                         n_buckets=max(workers * 4, 8))
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.max("end_bin").alias("max_bin")).collect()[0])
+    pk_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    ck = (dedup_chunks(df.select(
+        F.xxhash64("repo", "path", "commit").alias("fid"), "content"),
+        "content", "fid", width=10)
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.sum("n_chunks").alias("chunks"),
+             F.sum("n_kept").alias("kept")).collect()[0])
+    ck_wall = round(time.monotonic() - t0, 3)
+
     spark.stop()
     return {"workers": workers, "n_rows": n,
             "hash_split": {"wall_sec": sp_wall, "splits": split_counts,
@@ -599,7 +649,19 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                               "sample_denominator": denom,
                               "scored_rows": dc_rows,
                               "contaminated": int(cont.bad or 0),
-                              "rows_per_sec": round(dc_rows / dc_wall, 1)}}
+                              "rows_per_sec": round(dc_rows / dc_wall, 1)},
+            "repetition_stats": {"wall_sec": rp_wall,
+                                 "avg_dup_ngram_frac":
+                                     round(float(rep.avg_dup), 4),
+                                 "rows_per_sec": round(n / rp_wall, 1)},
+            "pack_sequences": {"wall_sec": pk_wall,
+                               "packed_rows": int(pk.rows),
+                               "max_bin": int(pk.max_bin),
+                               "rows_per_sec": round(n / pk_wall, 1)},
+            "chunk_dedup": {"wall_sec": ck_wall,
+                            "chunks": int(ck.chunks),
+                            "kept": int(ck.kept),
+                            "rows_per_sec": round(n / ck_wall, 1)}}
 
 
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,

@@ -18,8 +18,9 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
-from .textstats import (language_id, quality_scores, repetition_stats,
-                        token_counts, winnow_fingerprints)
+from .textstats import (language_id, quality_filter, quality_scores,
+                        repetition_stats, token_counts,
+                        winnow_fingerprints)
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
@@ -32,5 +33,5 @@ __all__ = [
     "portable_hash64", "probe_media", "probe_metadata",
     "contamination_overlap", "hash_split", "stratified_sample",
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
-    "semantic_dedup", "repetition_stats",
+    "semantic_dedup", "repetition_stats", "quality_filter",
 ]

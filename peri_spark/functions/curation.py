@@ -27,7 +27,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash64, shingles
+from .dedup import portable_hash64, shingles, shingles_arrow
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
@@ -65,7 +65,7 @@ def contamination_overlap(df: DataFrame, bench: DataFrame, text_col: str,
                           id_col: str, bench_text_col: str | None = None,
                           n: int = 8, words: bool = True,
                           threshold: float = 0.5,
-                          hash_fn=None) -> DataFrame:
+                          hash_fn=None, arrow: bool = False) -> DataFrame:
     """Per-document n-gram overlap against a benchmark/eval corpus.
 
     Returns ``(id, n_grams, n_matched, overlap, contaminated)`` — one row
@@ -83,17 +83,25 @@ def contamination_overlap(df: DataFrame, bench: DataFrame, text_col: str,
     one exploded stream.
     """
     bench_text_col = bench_text_col or text_col
+    if arrow:
+        # Arrow fast path: identical portable md5-prefix hashes, one
+        # vectorized pandas UDF per side instead of the interpreted
+        # HOF+md5 chain — ``hash_fn`` is ignored (the values ARE
+        # portable_hash64's, so the oracle mirror is unchanged)
+        def _sh(c):
+            return shingles_arrow(c, n, words=words)
+    else:
+        def _sh(c):
+            return shingles(c, n, words=words, hash_fn=hash_fn)
     nonempty = F.length(F.trim(F.col(text_col))) > 0
     doc = (df.where(F.col(text_col).isNotNull() & nonempty)
              .select(F.col(id_col).alias("id"),
-                     shingles(F.col(text_col), n, words=words,
-                              hash_fn=hash_fn).alias("__g")))
+                     _sh(F.col(text_col)).alias("__g")))
     bench_nonempty = F.length(F.trim(F.col(bench_text_col))) > 0
     bench_grams = (bench
                    .where(F.col(bench_text_col).isNotNull() & bench_nonempty)
                    .select(F.explode(
-                       shingles(F.col(bench_text_col), n, words=words,
-                                hash_fn=hash_fn)).alias("__gram"))
+                       _sh(F.col(bench_text_col))).alias("__gram"))
                    .distinct()
                    .withColumn("__hit", F.lit(1)))
     ex = doc.select("id", F.size("__g").alias("n_grams"),

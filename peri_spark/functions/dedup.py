@@ -23,7 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_duplicates", "shingles", "minhash_signatures",
+__all__ = ["exact_duplicates", "shingles", "shingles_arrow",
+           "minhash_signatures",
            "lsh_duplicate_pairs", "ngram_jaccard_pairs",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
@@ -182,6 +183,48 @@ def shingles(text: Column, k: int = 5, words: bool = False,
         grams = F.transform(F.sequence(F.lit(0), n),
                             lambda i: h(F.substr(t, i + 1, F.lit(k))))
     return F.array_distinct(grams)
+
+
+def shingles_arrow(text: Column, k: int = 5, words: bool = False) -> Column:
+    """Arrow-batched twin of ``shingles(..., hash_fn=portable_hash64)``:
+    the SAME distinct md5-prefix 60-bit gram hashes, computed in one
+    pandas UDF instead of an interpreted ``transform``+``md5`` HOF chain
+    (Spark HOF lambdas are CodegenFallback, and the md5→conv pair per
+    gram dominates decontamination wall time — the Arrow path computes
+    identical values ~an order of magnitude faster, so the DuckDB
+    oracle mirror is unchanged).
+
+    Parity contract with the JVM version (tested): lower → trim → split
+    ``\\s+`` (``re.ASCII`` matches Java's ``\\s`` char class), partial
+    final gram when the document is shorter than ``k`` tokens, distinct
+    set semantics. Null text → null array.
+    """
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _hashes(t: str) -> list[int]:
+        t = t.lower()
+        if words:
+            toks = ws.split(t.strip())
+            grams = {" ".join(toks[i:i + k])
+                     for i in range(max(len(toks) - k, 0) + 1)}
+        else:
+            grams = {t[i:i + k]
+                     for i in range(max(len(t) - k, 0) + 1)}
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in grams]
+
+    # annotation-free lambda: dedup.py stringizes annotations
+    # (PEP 563) and the locally-imported ``pd`` name can't resolve
+    # inside pandas_udf's hint inference — same pattern as compiler.py
+    f = pandas_udf(
+        lambda s: s.map(lambda t: None if t is None else _hashes(t)),
+        "array<long>")
+    return f(text)
 
 
 def _perm_coeffs(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:

@@ -10,7 +10,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["language_id", "quality_scores", "token_counts",
-           "winnow_fingerprints", "repetition_stats", "LANG_MARKERS"]
+           "winnow_fingerprints", "repetition_stats", "quality_filter",
+           "LANG_MARKERS", "DEFAULT_QUALITY_RULES"]
 
 # n-gram/stopword heuristic markers per language (word-boundary regexes,
 # portable across Java regex and RE2)
@@ -90,6 +91,88 @@ def token_counts(df: DataFrame, text_col: str, id_col: str,
             t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
         out.append(pieces.alias("n_tokens_bpe_like"))
     return df.select(*out)
+
+
+# (rule name, metric key, "lt"/"gt", default bound): a doc FAILS a rule
+# when its metric is strictly beyond the bound. Bounds compare on the
+# 4dp-rounded metrics so the keep/drop decision cannot hinge on a float
+# ulp that differs between engines.
+DEFAULT_QUALITY_RULES: list[tuple[str, str, str, float]] = [
+    ("too_few_tokens", "n_tokens", "lt", 20),
+    ("too_many_tokens", "n_tokens", "gt", 100_000),
+    ("short_tokens", "avg_token_len", "lt", 2.0),
+    ("long_tokens", "avg_token_len", "gt", 12.0),
+    ("low_alpha", "alpha_ratio", "lt", 0.6),
+    ("high_digit", "digit_ratio", "gt", 0.2),
+    ("low_distinct", "distinct_token_ratio", "lt", 0.3),
+    ("high_dup_2gram", "dup_2gram_frac", "gt", 0.6),
+]
+
+
+def quality_filter(df: DataFrame, text_col: str, id_col: str,
+                   rules: list[tuple[str, str, str, float]] | None = None,
+                   ) -> DataFrame:
+    """Composite Gopher/C4-style document filter: every rule that fires
+    becomes a reason string; ``keep`` is true iff none fire.
+
+    Returns ``(id, keep, reasons)`` with ``reasons`` a comma-joined,
+    rule-ordered string (empty when kept) — the audit trail a curation
+    pipeline writes next to its drop decisions. Metrics available to
+    rules: ``n_tokens``, ``avg_token_len``, ``alpha_ratio``,
+    ``digit_ratio``, ``distinct_token_ratio`` (as in
+    :func:`quality_scores`) and ``dup_2gram_frac`` (the
+    :func:`repetition_stats` duplicate-2-gram fold). Null/blank
+    documents fail with the single reason ``empty``.
+
+    One zero-shuffle projection — all metrics inline in the same pass,
+    so a 100 TB filter sweep is a scan, not a join of metric tables.
+    """
+    rules = DEFAULT_QUALITY_RULES if rules is None else rules
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tok - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    # duplicate-occurrence count via the sorted-run fold of
+    # repetition_stats; the increment derives from the OLD run length
+    # (a match extending run 1 -> 2 retroactively marks both grams)
+    dup = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("dup")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            (acc["dup"] + F.when(
+                g == acc["prev"],
+                F.when(acc["run"] >= 2, F.lit(1)).otherwise(F.lit(2)))
+             .otherwise(F.lit(0))).alias("dup")))["dup"]
+    metrics: dict[str, Column] = {
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4),
+        "alpha_ratio": F.round(alpha / F.greatest(n_chars, F.lit(1)), 4),
+        "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 4),
+        "distinct_token_ratio": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4),
+        "dup_2gram_frac": F.round(dup / F.size(grams), 4),
+    }
+    fired = []
+    for name, key, op, bound in rules:
+        m = metrics[key]
+        cond = m < F.lit(bound) if op == "lt" else m > F.lit(bound)
+        fired.append(F.when(cond, F.lit(name)))
+    blank = t.isNull() | (F.trim(t) == "")
+    reasons = F.when(blank, F.lit("empty")).otherwise(
+        F.array_join(F.filter(F.array(*fired), lambda x: x.isNotNull()),
+                     ","))
+    return df.select(F.col(id_col).alias("id"),
+                     (reasons == "").alias("keep"),
+                     reasons.alias("reasons"))
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str,

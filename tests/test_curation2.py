@@ -139,3 +139,86 @@ def test_semantic_dedup_cross_cell_neighbors_survive(spark):
         [(1, [0.71, 0.70]), (2, [0.70, 0.71])], ["vec_id", "v"])
     out = semantic_dedup(df, "v", "vec_id", CENTROIDS_2D, threshold=0.9)
     assert {r.id for r in out.collect()} == {1, 2}
+
+
+# -- shingles_arrow parity ----------------------------------------------------
+
+def test_shingles_arrow_matches_jvm_portable(spark):
+    """The Arrow shingle path must produce the IDENTICAL distinct hash
+    sets as shingles(hash_fn=portable_hash64) — on real corpus text and
+    on the edge shapes (short doc, weird whitespace, unicode, null)."""
+    from peri_spark.functions.dedup import (portable_hash64, shingles,
+                                            shingles_arrow)
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .limit(100)
+            .union(spark.createDataFrame(
+                [(9001, "one two", "en", "s", 7),
+                 (9002, "  tab\tand\nnewline  spaced ", "en", "s", 9),
+                 (9003, "Ünïcode Wörds Ünïcode Wörds more", "en", "s", 9),
+                 (9004, None, "en", "s", 0)],
+                ["doc_id", "text", "lang", "source", "n_chars"])))
+    for words, k in [(True, 3), (False, 5)]:
+        jvm = docs.select(
+            "doc_id",
+            F.array_sort(shingles(F.col("text"), k, words=words,
+                                  hash_fn=portable_hash64)).alias("g"))
+        arw = docs.select(
+            "doc_id",
+            F.array_sort(shingles_arrow(F.col("text"), k,
+                                        words=words)).alias("g"))
+        a = {r.doc_id: r.g for r in jvm.collect()}
+        b = {r.doc_id: r.g for r in arw.collect()}
+        # null text: JVM shingles yields [hash("")] (concat_ws swallows
+        # the null slice); the Arrow twin returns null — the documented
+        # contract, and every caller pre-filters null text. Parity is
+        # asserted on the non-null domain.
+        assert b.pop(9004) is None
+        a.pop(9004)
+        assert a == b, f"mismatch for words={words}, k={k}"
+
+
+def test_contamination_arrow_path_same_result(spark):
+    from peri_spark.functions import contamination_overlap
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(150)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    base = contamination_overlap(corpus, bench, "text", "doc_id",
+                                 n=3, threshold=0.2).collect()
+    fast = contamination_overlap(corpus, bench, "text", "doc_id",
+                                 n=3, threshold=0.2, arrow=True).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, fast))
+
+
+# -- quality_filter -----------------------------------------------------------
+
+def test_quality_filter_reasons_and_keep(spark):
+    from peri_spark.functions import quality_filter
+    good = " ".join(f"word{i} extra" for i in range(15))   # 30 tokens, varied
+    dup = " ".join(["spam ham"] * 30)                       # repeated 2-grams
+    digits = " ".join(["12345 67890"] * 15)                 # digit-heavy
+    df = spark.createDataFrame(
+        [(1, good), (2, dup), (3, digits), (4, ""), (5, None), (6, "tiny doc")],
+        ["doc_id", "text"])
+    out = {r.id: r for r in
+           quality_filter(df, "text", "doc_id").collect()}
+    assert out[1].keep and out[1].reasons == ""
+    assert not out[2].keep and "high_dup_2gram" in out[2].reasons
+    assert "low_distinct" in out[2].reasons
+    assert not out[3].keep and "high_digit" in out[3].reasons
+    assert "low_alpha" in out[3].reasons
+    assert out[4].reasons == "empty" and not out[4].keep
+    assert out[5].reasons == "empty" and not out[5].keep
+    assert "too_few_tokens" in out[6].reasons
+    # reasons follow rule order (audit trails diff cleanly)
+    assert out[2].reasons.index("low_distinct") \
+        < out[2].reasons.index("high_dup_2gram")
+
+
+def test_quality_filter_custom_rules(spark):
+    from peri_spark.functions import quality_filter
+    df = spark.createDataFrame([(1, "one two three")], ["doc_id", "text"])
+    strict = [("needs_five", "n_tokens", "lt", 5)]
+    lax = [("needs_two", "n_tokens", "lt", 2)]
+    assert not quality_filter(df, "text", "doc_id", strict).first().keep
+    assert quality_filter(df, "text", "doc_id", lax).first().keep
