@@ -610,6 +610,22 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
     dc_wall = round(time.monotonic() - t0, 3)
     dc_rows = int(cont.rows)
 
+    # Arrow decon: identical hashes/semantics via one vectorized pandas
+    # UDF per side (shingles_arrow) — fast enough to take the FULL
+    # input, no sampling. rows_per_sec vs the HOF slice above is the
+    # speedup a 100 TB decon sweep actually gets.
+    full = df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                     "content")
+    t0 = time.monotonic()
+    cont_a = (contamination_overlap(full, bench_docs, "content", "fid",
+                                    bench_text_col="text", n=8, words=True,
+                                    threshold=0.2, arrow=True)
+              .agg(F.count(F.lit(1)).alias("rows"),
+                   F.sum(F.col("contaminated").cast("int")).alias("bad"))
+              .collect()[0])
+    dca_wall = round(time.monotonic() - t0, 3)
+    dca_rows = int(cont_a.rows)
+
     from peri_spark.functions import (dedup_chunks, pack_sequences,
                                       repetition_stats)
     t0 = time.monotonic()
@@ -650,6 +666,11 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                               "scored_rows": dc_rows,
                               "contaminated": int(cont.bad or 0),
                               "rows_per_sec": round(dc_rows / dc_wall, 1)},
+            "decontaminate_arrow": {"wall_sec": dca_wall,
+                                    "scored_rows": dca_rows,
+                                    "contaminated": int(cont_a.bad or 0),
+                                    "rows_per_sec":
+                                        round(dca_rows / dca_wall, 1)},
             "repetition_stats": {"wall_sec": rp_wall,
                                  "avg_dup_ngram_frac":
                                      round(float(rep.avg_dup), 4),
