@@ -636,6 +636,16 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
              F.avg("dup_ngram_frac").alias("avg_dup")).collect()[0])
     rp_wall = round(time.monotonic() - t0, 3)
 
+    # Arrow twin: identical per-document stats via one pandas UDF —
+    # the interpreted struct-fold above is the cost on long documents
+    t0 = time.monotonic()
+    rep_a = (repetition_stats(df.select(
+        F.xxhash64("repo", "path", "commit").alias("fid"), "content"),
+        "content", "fid", n=2, arrow=True)
+        .agg(F.count(F.lit(1)).alias("rows"),
+             F.avg("dup_ngram_frac").alias("avg_dup")).collect()[0])
+    rpa_wall = round(time.monotonic() - t0, 3)
+
     toks = df.select(
         F.xxhash64("repo", "path", "commit").alias("fid"),
         F.size(F.split(F.trim("content"), r"\s+")).alias("n_tok"))
@@ -675,6 +685,11 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                                  "avg_dup_ngram_frac":
                                      round(float(rep.avg_dup), 4),
                                  "rows_per_sec": round(n / rp_wall, 1)},
+            "repetition_stats_arrow": {"wall_sec": rpa_wall,
+                                       "avg_dup_ngram_frac":
+                                           round(float(rep_a.avg_dup), 4),
+                                       "rows_per_sec":
+                                           round(n / rpa_wall, 1)},
             "pack_sequences": {"wall_sec": pk_wall,
                                "packed_rows": int(pk.rows),
                                "max_bin": int(pk.max_bin),

@@ -175,8 +175,52 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
                      reasons.alias("reasons"))
 
 
+def _repetition_fold_arrow(text: Column, n: int) -> Column:
+    """Arrow-batched twin of the ``repetition_stats`` sorted-run fold:
+    identical ``(n_grams, dup, best_cnt, best_g)`` per document, computed
+    by one pandas UDF instead of the interpreted ``aggregate`` HOF (struct
+    accumulators are CodegenFallback — the fold dominates wall time on
+    long documents; a per-row ``Counter`` is ~an order of magnitude
+    faster and the DuckDB oracle mirror is unchanged).
+
+    Parity contract with the JVM fold (tested): lower → trim → split
+    ``\\s+`` (``re.ASCII`` = Java's ``\\s`` char class), partial final
+    gram when the document is shorter than ``n`` words, ties on the top
+    gram break lexicographically smallest (UTF-8 byte order == Python
+    str order).
+    """
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def _fold(t):
+        if t is None:
+            return (0, 0, 0, "")
+        toks = ws.split(t.lower().strip())
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(max(len(toks) - n, 0) + 1)]
+        counts = Counter(grams)
+        dup = sum(c for c in counts.values() if c >= 2)
+        best_cnt = max(counts.values())
+        best_g = min(g for g, c in counts.items() if c == best_cnt)
+        return (len(grams), dup, best_cnt, best_g)
+
+    # annotation-free lambda: stringized annotations can't resolve the
+    # locally-imported pd inside pandas_udf hint inference
+    f = pandas_udf(
+        lambda s: pd.DataFrame(
+            [_fold(t) for t in s],
+            columns=["n_grams", "dup", "best_cnt", "best_g"]),
+        "struct<n_grams:long, dup:long, best_cnt:int, best_g:string>")
+    return f(text)
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str,
-                     n: int = 2) -> DataFrame:
+                     n: int = 2, arrow: bool = False) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, Table A1):
     per-document word-n-gram repetition metrics.
 
@@ -200,8 +244,28 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     (id, 4-column) result leaves the scan. Rows with null/blank text
     are dropped (no grams to measure); a document shorter than ``n``
     words yields its single partial gram, mirroring ``shingles``.
+
+    ``arrow=True`` swaps the interpreted JVM fold for the Arrow-batched
+    twin (``_repetition_fold_arrow``) — identical output, ~10× faster on
+    long documents; the row filter and fraction rounding stay Spark-side
+    either way.
     """
     t = F.trim(F.lower(F.col(text_col)))
+    n_chars = F.length(F.col(text_col))
+    if arrow:
+        folded = _repetition_fold_arrow(F.col(text_col), n)
+        return (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+                .select(F.col(id_col).alias("id"), folded.alias("_f"),
+                        n_chars.alias("_nc"))
+                .select(F.col("id"),
+                        F.col("_f.n_grams").alias("n_grams"),
+                        F.round(F.col("_f.dup") / F.col("_f.n_grams"), 6)
+                        .alias("dup_ngram_frac"),
+                        F.col("_f.best_g").alias("top_ngram"),
+                        F.round(F.col("_f.best_cnt")
+                                * F.length(F.col("_f.best_g"))
+                                / F.col("_nc"), 6)
+                        .alias("top_ngram_char_frac")))
     toks = F.split(t, r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -225,7 +289,6 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
             F.when(better, g).otherwise(acc["best_g"]).alias("best_g"))
 
     folded = F.aggregate(F.array_sort(grams), acc0, _step)
-    n_chars = F.length(F.col(text_col))
     return (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
             .select(F.col(id_col).alias("id"),
                     n_grams.cast("long").alias("n_grams"),

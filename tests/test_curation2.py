@@ -8,6 +8,11 @@ from peri_spark.functions import (dedup_chunks, pack_sequences,
                                   repetition_stats, semantic_dedup)
 
 
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
 # -- repetition_stats --------------------------------------------------------
 
 def test_repetition_counts_and_top_gram(spark):
@@ -33,6 +38,21 @@ def test_repetition_no_repeats_and_short_doc(spark):
     # shorter than n words -> the single partial gram
     assert out[2].n_grams == 1 and out[2].top_ngram == "solo"
     assert out[2].top_ngram_char_frac == 1.0
+
+
+def test_repetition_arrow_parity(spark, docs):
+    """arrow=True must be row-identical to the JVM fold — same grams,
+    same dup counts, same tie-breaks, same rounding — on real documents
+    and on crafted edges (ties, partial gram, multi-space, blank)."""
+    edge = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "tie tie foo tie tie foo"),
+         (4, "  z  "), (5, "w1  w2\tw1 w2"), (6, None), (7, "   ")],
+        ["doc_id", "text"])
+    for df in (docs, edge):
+        hof = repetition_stats(df, "text", "doc_id", n=2)
+        arr = repetition_stats(df, "text", "doc_id", n=2, arrow=True)
+        assert arr.exceptAll(hof).count() == 0
+        assert hof.exceptAll(arr).count() == 0
 
 
 # -- pack_sequences ----------------------------------------------------------
