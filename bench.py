@@ -646,6 +646,16 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
              F.avg("dup_ngram_frac").alias("avg_dup")).collect()[0])
     rpa_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions import quality_filter
+    qf_in = df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                      "content")
+    t0 = time.monotonic()
+    qf = (quality_filter(qf_in, "content", "fid", arrow=True)
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum(F.col("keep").cast("int")).alias("kept"))
+          .collect()[0])
+    qf_wall = round(time.monotonic() - t0, 3)
+
     toks = df.select(
         F.xxhash64("repo", "path", "commit").alias("fid"),
         F.size(F.split(F.trim("content"), r"\s+")).alias("n_tok"))
@@ -690,6 +700,9 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                                            round(float(rep_a.avg_dup), 4),
                                        "rows_per_sec":
                                            round(n / rpa_wall, 1)},
+            "quality_filter_arrow": {"wall_sec": qf_wall,
+                                     "kept": int(qf.kept),
+                                     "rows_per_sec": round(n / qf_wall, 1)},
             "pack_sequences": {"wall_sec": pk_wall,
                                "packed_rows": int(pk.rows),
                                "max_bin": int(pk.max_bin),

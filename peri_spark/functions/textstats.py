@@ -111,7 +111,7 @@ DEFAULT_QUALITY_RULES: list[tuple[str, str, str, float]] = [
 
 def quality_filter(df: DataFrame, text_col: str, id_col: str,
                    rules: list[tuple[str, str, str, float]] | None = None,
-                   ) -> DataFrame:
+                   arrow: bool = False) -> DataFrame:
     """Composite Gopher/C4-style document filter: every rule that fires
     becomes a reason string; ``keep`` is true iff none fire.
 
@@ -126,6 +126,8 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
 
     One zero-shuffle projection — all metrics inline in the same pass,
     so a 100 TB filter sweep is a scan, not a join of metric tables.
+    ``arrow=True`` swaps the interpreted 2-gram fold for the Arrow twin
+    (identical ``dup_2gram_frac``); the cheap codegen metrics stay JVM.
     """
     rules = DEFAULT_QUALITY_RULES if rules is None else rules
     t = F.col(text_col)
@@ -134,24 +136,29 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_tok - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    # duplicate-occurrence count via the sorted-run fold of
-    # repetition_stats; the increment derives from the OLD run length
-    # (a match extending run 1 -> 2 retroactively marks both grams)
-    dup = F.aggregate(
-        F.array_sort(grams),
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                 F.lit(0).alias("dup")),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-            .alias("run"),
-            (acc["dup"] + F.when(
-                g == acc["prev"],
-                F.when(acc["run"] >= 2, F.lit(1)).otherwise(F.lit(2)))
-             .otherwise(F.lit(0))).alias("dup")))["dup"]
+    if arrow:
+        folded = _repetition_fold_arrow(t, 2)
+        dup, n_grams = folded["dup"], folded["n_grams"]
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_tok - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+        # duplicate-occurrence count via the sorted-run fold of
+        # repetition_stats; the increment derives from the OLD run length
+        # (a match extending run 1 -> 2 retroactively marks both grams)
+        dup = F.aggregate(
+            F.array_sort(grams),
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("dup")),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                .alias("run"),
+                (acc["dup"] + F.when(
+                    g == acc["prev"],
+                    F.when(acc["run"] >= 2, F.lit(1)).otherwise(F.lit(2)))
+                 .otherwise(F.lit(0))).alias("dup")))["dup"]
+        n_grams = F.size(grams)
     metrics: dict[str, Column] = {
         "n_tokens": n_tok.cast("long"),
         "avg_token_len": F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4),
@@ -159,7 +166,7 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
         "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 4),
         "distinct_token_ratio": F.round(
             F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4),
-        "dup_2gram_frac": F.round(dup / F.size(grams), 4),
+        "dup_2gram_frac": F.round(dup / n_grams, 4),
     }
     fired = []
     for name, key, op, bound in rules:

@@ -242,3 +242,15 @@ def test_quality_filter_custom_rules(spark):
     lax = [("needs_two", "n_tokens", "lt", 2)]
     assert not quality_filter(df, "text", "doc_id", strict).first().keep
     assert quality_filter(df, "text", "doc_id", lax).first().keep
+
+
+def test_quality_filter_arrow_parity(spark, docs):
+    from peri_spark.functions import quality_filter
+    edge = spark.createDataFrame(
+        [(1, "a b a b a b " * 50), (2, None), (3, "   "),
+         (4, "x " * 30), (5, "1 2 3 " * 40)], ["doc_id", "text"])
+    for df in (docs, edge):
+        hof = quality_filter(df, "text", "doc_id")
+        arr = quality_filter(df, "text", "doc_id", arrow=True)
+        assert arr.exceptAll(hof).count() == 0
+        assert hof.exceptAll(arr).count() == 0
