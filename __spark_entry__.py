@@ -309,6 +309,28 @@ def q_quality_filter_documents(spark: SparkSession,
     return quality_filter(docs, "text", "doc_id")
 
 
+def q_vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (top-200 by count, token tiebreak): two-level
+    (token, id) → token aggregate gives exact counts + doc frequencies
+    without a distinct-count rescan; rank via TakeOrdered + window on
+    the 200 survivors."""
+    from peri_spark.functions import vocabulary
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocabulary(docs, "text", "doc_id", top_k=200)
+
+
+def q_unigram_scores_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DSIR-style per-document unigram log-likelihood under the corpus'
+    own top-20 vocabulary (Laplace alpha=1; 11 of the corpus'
+    31 distinct tokens are OOV, so the smoothing floor is exercised): broadcast vocab join on the
+    token stream + one id aggregate — the data-selection score of a
+    100 TB importance-sampling sweep."""
+    from peri_spark.functions import unigram_logprob
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs, "text", "doc_id", top_k=20, alpha=1.0)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -638,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup_documents": q_chunk_dedup_documents,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "quality_filter_documents": q_quality_filter_documents,
+        "vocabulary_documents": q_vocabulary_documents,
+        "unigram_scores_documents": q_unigram_scores_documents,
     })
     return out
 
@@ -1430,6 +1454,40 @@ def oracle_sql() -> dict[str, str]:
       FROM m JOIN dup USING (doc_id))
     SELECT doc_id AS id, reasons = '' AS keep, reasons FROM r
     """
+    vocab_docs = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    v AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tk GROUP BY token)
+    SELECT token, cnt AS "count", doc_freq,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+             AS rank
+    FROM v ORDER BY cnt DESC, token LIMIT 200
+    """
+    unigram_docs = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    v AS (
+      SELECT token, count(*) AS c
+      FROM tk GROUP BY token ORDER BY c DESC, token LIMIT 20),
+    params AS (
+      SELECT (SELECT count(*) FROM tk) AS total,
+             (SELECT count(*) FROM v) AS vs)
+    SELECT tk.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((COALESCE(v.c, 0) + 1.0)
+                        / (params.total + 1.0 * (params.vs + 1)))), 6)
+             AS logprob
+    FROM tk LEFT JOIN v USING (token) CROSS JOIN params
+    GROUP BY tk.doc_id
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1475,5 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_documents": chunk_dedup_docs,
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
         "quality_filter_documents": quality_filter_docs,
+        "vocabulary_documents": vocab_docs,
+        "unigram_scores_documents": unigram_docs,
     })
     return out

@@ -329,3 +329,83 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     return (df.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
                     F.array_distinct(wins).alias("fingerprints")))
+
+
+def vocabulary(df: DataFrame, text_col: str, id_col: str,
+               min_count: int = 1, top_k: int | None = None) -> DataFrame:
+    """Corpus vocabulary table: ``(token, count, doc_freq, rank)``.
+
+    Tokens are whitespace words of the lower/trim-normalized text (the
+    shared convention of :func:`quality_scores` / :func:`repetition_stats`);
+    ``count`` is total occurrences, ``doc_freq`` the number of distinct
+    documents containing the token, ``rank`` the 1-based position by
+    ``(count DESC, token ASC)`` — fully deterministic, ties included.
+
+    Scale shape (100 TB corpus): the explode never materializes — tokens
+    stream into a two-level aggregate, ``(token, id)`` partial counts
+    first (spreads stopword skew across the full key space and gives
+    ``doc_freq`` exactly, no distinct-count rescan), then ``token``
+    totals. The final rank is a global sort of the VOCABULARY, not the
+    corpus — with ``top_k`` it runs on the top-k rows after a
+    distributed TakeOrdered; without it, on one vocab-sized partition
+    (bounded by |V|, typically millions of rows ≪ corpus).
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.lower(F.col(text_col)))
+    ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+          .select(F.col(id_col).alias("__id"),
+                  F.explode(F.split(t, r"\s+")).alias("token")))
+    voc = (ex.groupBy("token", "__id").agg(F.count(F.lit(1)).alias("__c"))
+           .groupBy("token")
+           .agg(F.sum("__c").alias("count"),
+                F.count(F.lit(1)).alias("doc_freq"))
+           .where(F.col("count") >= min_count))
+    if top_k is not None:
+        voc = voc.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return voc.select("token", "count", "doc_freq",
+                      F.row_number().over(w).cast("long").alias("rank"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                    top_k: int = 65536, alpha: float = 1.0,
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """Per-document average unigram log-likelihood — the importance /
+    quality score of DSIR-style data selection (Xie et al. 2023): docs
+    whose tokens are typical of the corpus (or of a reference corpus
+    passed as ``vocab``) score high; gibberish and boilerplate outliers
+    score low.
+
+    Laplace-smoothed: ``p(tok) = (c + alpha) / (total + alpha·(V+1))``
+    with ``c`` the token's count in the (truncated) vocabulary, ``c=0``
+    for out-of-vocabulary tokens, ``total`` the FULL corpus token count
+    (not just the retained top-k mass) and ``V`` the retained vocabulary
+    size. Returns ``(id, n_tokens, logprob)`` with ``logprob`` the
+    6dp-rounded mean ``ln p`` over the document's token occurrences.
+
+    Scale shape: the truncated vocabulary (≤ ``top_k`` rows) is
+    BROADCAST — scoring is a map-side hash join on the token stream
+    followed by one ``id`` aggregate; no corpus-sized shuffle. ``total``
+    and ``V`` ride along as literals computed from the vocab pass.
+    """
+    from pyspark.sql.functions import broadcast
+
+    t = F.trim(F.lower(F.col(text_col)))
+    ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+          .select(F.col(id_col).alias("id"),
+                  F.explode(F.split(t, r"\s+")).alias("token")))
+    if vocab is None:
+        vocab = vocabulary(df, text_col, id_col, top_k=top_k)
+    vocab = vocab.select("token", "count")
+    # two tiny scalar aggregates (vocab-sized / one row), collected once:
+    # they parameterize the smoothing denominator as plan literals
+    v_size = vocab.count()
+    total = int(ex.agg(F.count(F.lit(1))).collect()[0][0])
+    denom = float(total) + alpha * (v_size + 1)
+    p = (F.coalesce(F.col("count"), F.lit(0)).cast("double") + F.lit(alpha)) \
+        / F.lit(denom)
+    return (ex.join(broadcast(vocab), "token", "left")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(p)), 6).alias("logprob")))

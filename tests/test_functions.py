@@ -321,3 +321,55 @@ def test_near_dup_clusters_max_iter_partial_refinement(spark):
     part = {r["id"]: r["cluster_id"]
             for r in near_dup_clusters(pairs, max_iter=1).collect()}
     assert all(part[i] >= full[i] for i in part) and part[31] == 30
+
+
+# -- vocabulary / unigram_logprob ---------------------------------------------
+
+def test_vocabulary_counts_docfreq_rank(spark):
+    from peri_spark.functions import vocabulary
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat"),
+         (3, None), (4, "   ")], ["doc_id", "text"])
+    v = {r.token: r for r in vocabulary(df, "text", "doc_id").collect()}
+    assert v["the"]["count"] == 3 and v["the"].doc_freq == 2
+    assert v["sat"]["count"] == 2 and v["sat"].doc_freq == 2
+    assert v["the"].rank == 1 and v["sat"].rank == 2
+    # count ties rank by token ascending — deterministic
+    singles = [t for t in v if v[t]["count"] == 1]
+    ranks = [v[t].rank for t in sorted(singles)]
+    assert ranks == sorted(ranks)
+    # min_count / top_k truncation
+    assert {r.token for r in
+            vocabulary(df, "text", "doc_id", min_count=2).collect()} == \
+        {"the", "sat"}
+    top = vocabulary(df, "text", "doc_id", top_k=2).collect()
+    assert [(r.token, r.rank) for r in
+            sorted(top, key=lambda r: r.rank)] == [("the", 1), ("sat", 2)]
+
+
+def test_unigram_logprob_oov_and_reference_vocab(spark):
+    import math
+    from peri_spark.functions import unigram_logprob, vocabulary
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a z")], ["doc_id", "text"])
+    # top_k=1 keeps only "a" (count 3); total=5, V=1, denom=5+1*2=7
+    out = {r.id: r for r in
+           unigram_logprob(df, "text", "doc_id", top_k=1).collect()}
+    pa, poov = 4 / 7, 1 / 7
+    assert out[1].logprob == round((2 * math.log(pa) + math.log(poov)) / 3, 6)
+    assert out[2].logprob == round((math.log(pa) + math.log(poov)) / 2, 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    # an external reference vocabulary scores a different corpus
+    ref = vocabulary(df, "text", "doc_id", top_k=1)
+    other = spark.createDataFrame([(9, "a q")], ["doc_id", "text"])
+    r9 = unigram_logprob(other, "text", "doc_id", vocab=ref).collect()[0]
+    # total/V still derive from the SCORED corpus stream (2 tokens)
+    assert r9.n_tokens == 2
+
+
+def test_unigram_vocab_join_is_broadcast(spark, docs):
+    from peri_spark.functions import unigram_logprob
+    df = unigram_logprob(docs, "text", "doc_id", top_k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
