@@ -331,6 +331,15 @@ def q_unigram_scores_documents(spark: SparkSession,
     return unigram_logprob(docs, "text", "doc_id", top_k=20, alpha=1.0)
 
 
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (top-15 for a 3-term query): explode +
+    literal-IN filter means only matching tokens shuffle; corpus stats
+    enter the plan as literals; deterministic (score DESC, id ASC) cut."""
+    from peri_spark.functions import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, "text", "doc_id", "scan window join", k=15)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -662,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_documents": q_quality_filter_documents,
         "vocabulary_documents": q_vocabulary_documents,
         "unigram_scores_documents": q_unigram_scores_documents,
+        "bm25_documents": q_bm25_documents,
     })
     return out
 
@@ -1488,6 +1498,31 @@ def oracle_sql() -> dict[str, str]:
     FROM tk LEFT JOIN v USING (token) CROSS JOIN params
     GROUP BY tk.doc_id
     """
+
+    bm25_docs = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    base AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+    ex AS (SELECT doc_id, dl, unnest(tk) AS tok FROM base),
+    hits AS (
+      SELECT doc_id, dl, tok, count(*) AS tf FROM ex
+      WHERE tok IN ('join', 'scan', 'window')
+      GROUP BY doc_id, dl, tok),
+    dfs AS (SELECT tok, count(*) AS dfc FROM hits GROUP BY tok),
+    sc AS (
+      SELECT h.doc_id,
+             ln((s.n - d2.dfc + 0.5) / (d2.dfc + 0.5) + 1.0)
+               * h.tf * (1.2 + 1)
+               / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl)) AS ts
+      FROM hits h JOIN dfs d2 USING (tok) CROSS JOIN stats s)
+    SELECT doc_id AS id, round(sum(ts), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_hit
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, id ASC LIMIT 15
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1535,5 +1570,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_documents": quality_filter_docs,
         "vocabulary_documents": vocab_docs,
         "unigram_scores_documents": unigram_docs,
+        "bm25_documents": bm25_docs,
     })
     return out

@@ -409,3 +409,60 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(F.log(p)), 6).alias("logprob")))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a query string
+    (Robertson-Spärck Jones idf, the `+1` variant that keeps idf
+    positive). Returns ``(id, score, n_hit)`` — 6dp-rounded score,
+    number of distinct query terms present — ordered by
+    ``(score DESC, id ASC)`` so the cut is deterministic under ties.
+
+    Scale shape (100 TB corpus, query of a few terms): the token
+    explode feeds a codegen ``IN`` filter on the literal term set, so
+    only MATCHING tokens ever shuffle — tf aggregates on
+    ``(id, term)``, then one doc-level sum; the final top-k is a
+    distributed TakeOrdered, never a global sort. Corpus statistics
+    (N, average doc length, per-term document frequencies) come from
+    two tiny scalar aggregates collected once and enter the plan as
+    literals. Three scans of the corpus total; wrap ``df`` in
+    ``.persist()`` first if it is already materialized columnar.
+    """
+    import math
+    import re as _re
+
+    terms = sorted({w for w in _re.split(r"\s+", query.strip().lower(),
+                                         flags=_re.ASCII) if w})
+    if not terms:
+        raise ValueError("bm25_topk: query has no terms")
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    base = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+            .select(F.col(id_col).alias("id"),
+                    F.size(toks).alias("__dl"),
+                    toks.alias("__toks")))
+    stats = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("__dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats.n), float(stats.avgdl)
+    ex = (base.select("id", "__dl", F.explode("__toks").alias("__tok"))
+          .where(F.col("__tok").isin(terms)))
+    tf = (ex.groupBy("id", "__dl", "__tok")
+          .agg(F.count(F.lit(1)).alias("__tf")))
+    dfs = {r["__tok"]: int(r["df"]) for r in
+           tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("df"))
+           .collect()}
+    idf = {w: math.log((n_docs - dfs.get(w, 0) + 0.5)
+                       / (dfs.get(w, 0) + 0.5) + 1.0) for w in terms}
+    idf_col = F.lit(idf[terms[0]])
+    for w in terms[1:]:
+        idf_col = F.when(F.col("__tok") == w, F.lit(idf[w])) \
+            .otherwise(idf_col)
+    term_score = idf_col * F.col("__tf") * (k1 + 1) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(avgdl)))
+    return (tf.select("id", term_score.alias("__s"))
+            .groupBy("id")
+            .agg(F.round(F.sum("__s"), 6).alias("score"),
+                 F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(k))

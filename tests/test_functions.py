@@ -373,3 +373,39 @@ def test_unigram_vocab_join_is_broadcast(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_formula_and_ranking(spark):
+    import math
+    from peri_spark.functions import bm25_topk
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "apple apple apple apple"), (4, None)], ["doc_id", "text"])
+    out = bm25_topk(df, "text", "doc_id", "apple cherry", k=10).collect()
+    # N=3, avgdl=3, df(apple)=2, df(cherry)=1
+    idf_a = math.log((3 - 2 + 0.5) / 2.5 + 1)
+    idf_c = math.log((3 - 1 + 0.5) / 1.5 + 1)
+
+    def w(tf, dl, idf):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    expect = {1: round(w(2, 3, idf_a), 6), 2: round(w(1, 2, idf_c), 6),
+              3: round(w(4, 4, idf_a), 6)}
+    assert [r.id for r in out] == sorted(expect, key=lambda i: -expect[i])
+    assert {r.id: r.score for r in out} == expect
+    assert all(r.n_hit == 1 for r in out)
+
+
+def test_bm25_topk_cut_and_errors(spark, docs):
+    import pytest as _pytest
+    from peri_spark.functions import bm25_topk
+    top3 = bm25_topk(docs, "text", "doc_id", "scan window", k=3).collect()
+    top9 = bm25_topk(docs, "text", "doc_id", "scan window", k=9).collect()
+    assert [(r.id, r.score) for r in top3] == \
+        [(r.id, r.score) for r in top9[:3]]
+    assert len(top9) == 9
+    # scores non-increasing, id ascending within equal scores
+    pairs = [(r.score, r.id) for r in top9]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", "   ")
