@@ -656,6 +656,21 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
           .collect()[0])
     qf_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions import bm25_topk, unigram_logprob, vocabulary
+    t0 = time.monotonic()
+    vocab = vocabulary(qf_in, "content", "fid", top_k=65536)
+    n_vocab = vocab.count()
+    vb_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    ug = (unigram_logprob(qf_in, "content", "fid", vocab=vocab)
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.round(F.avg("logprob"), 4).alias("avg_lp")).collect()[0])
+    ug_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    bm = bm25_topk(qf_in, "content", "fid", "scan window join", k=100) \
+        .collect()
+    bm_wall = round(time.monotonic() - t0, 3)
+
     toks = df.select(
         F.xxhash64("repo", "path", "commit").alias("fid"),
         F.size(F.split(F.trim("content"), r"\s+")).alias("n_tok"))
@@ -703,6 +718,13 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
             "quality_filter_arrow": {"wall_sec": qf_wall,
                                      "kept": int(qf.kept),
                                      "rows_per_sec": round(n / qf_wall, 1)},
+            "vocabulary": {"wall_sec": vb_wall, "vocab_size": int(n_vocab),
+                           "rows_per_sec": round(n / vb_wall, 1)},
+            "unigram_logprob": {"wall_sec": ug_wall,
+                                "avg_logprob": float(ug.avg_lp),
+                                "rows_per_sec": round(n / ug_wall, 1)},
+            "bm25_topk": {"wall_sec": bm_wall, "hits": len(bm),
+                          "rows_per_sec": round(n / bm_wall, 1)},
             "pack_sequences": {"wall_sec": pk_wall,
                                "packed_rows": int(pk.rows),
                                "max_bin": int(pk.max_bin),
@@ -771,6 +793,11 @@ def scale_smoke(rate_sf01: float) -> dict | None:
     lsh_scale = max(SCALE_BIG // 40, 1)
     suite_in = prepare_input(suite_scale)
     lsh_in = prepare_input(lsh_scale)
+    # same-window sf0.1 reference: one fresh child right before the sf1
+    # child, so the rate ratio isolates scale behavior from host noise
+    # (the merged-history headline rate can be 2-3x a bad window's
+    # attainable rate, which would misread as a 10x plan degradation)
+    ref = spawn(HEADLINE_WORKERS, prepare_input(SCALE_BIG), runs=1)
     s = spawn(HEADLINE_WORKERS, suite_in, runs=1)
     l = spawn(HEADLINE_WORKERS, lsh_in, runs=1, mode="lsh")
     v = spawn(HEADLINE_WORKERS, suite_in, runs=1, mode="viol")
@@ -778,7 +805,10 @@ def scale_smoke(rate_sf01: float) -> dict | None:
         "suite": {"n_rows": s["n_rows"], "wall_sec": s["wall_sec"],
                   "rows_per_sec": s["rows_per_sec"],
                   "rate_vs_sf0.1": (round(s["rows_per_sec"] / rate_sf01, 3)
-                                    if rate_sf01 else None)},
+                                    if rate_sf01 else None),
+                  "sf0.1_same_window_rows_per_sec": ref["rows_per_sec"],
+                  "rate_vs_sf0.1_same_window":
+                      round(s["rows_per_sec"] / ref["rows_per_sec"], 3)},
         "lsh_near_dup": {"n_rows": l["n_rows"], "n_pairs": l["n_pairs"],
                          "wall_sec": l["wall_sec"],
                          "docs_per_sec": l["rows_per_sec"]},
@@ -920,9 +950,15 @@ def main() -> None:
     except Exception as e:
         out["media"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
-        # curation-layer throughput: fresh every run, no history
-        out["curation"] = spawn(HEADLINE_WORKERS, big, runs=1,
-                                mode="curation")
+        # curation-layer throughput: fresh every run, no history.
+        # Deliberately a 150 K-row slice (x30), NOT the 6 M-row headline
+        # input: the sections report rows/sec (startup amortized within
+        # a few seconds either way), and the interpreted-HOF reference
+        # sections (decontaminate, repetition_stats) exist precisely to
+        # be slow next to their Arrow twins — on x1200 they alone would
+        # add ~25 min to every bench run without changing any rate.
+        out["curation"] = spawn(HEADLINE_WORKERS, prepare_input(30),
+                                runs=1, mode="curation")
     except Exception as e:
         out["curation"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
