@@ -1,0 +1,67 @@
+"""Curation operators under Structured Streaming: quality_filter,
+repetition_stats (both fold variants) and redact_text are stateless
+row transforms, so a curation pipeline can score/scrub in-stream before
+anything lands in the corpus — results must be row-identical to the
+batch run over the same files."""
+
+import pytest
+
+from peri_spark.functions import quality_filter, redact_text, repetition_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    # readStream needs a DIRECTORY source; the testdata table is one file
+    out = str(tmp_path_factory.mktemp("docs_stream") / "documents")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_batch(spark, docs_dir):
+    return spark.read.parquet(docs_dir)
+
+
+def _stream(spark, batch, docs_dir):
+    return spark.readStream.schema(batch.schema).parquet(docs_dir)
+
+
+def _drain(stream, name):
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def _rows(spark, name):
+    return sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+
+
+@pytest.mark.parametrize("arrow", [False, True])
+def test_quality_filter_stream_matches_batch(spark, docs_batch, docs_dir, arrow):
+    name = f"qf_stream_{int(arrow)}"
+    _drain(quality_filter(_stream(spark, docs_batch, docs_dir), "text", "doc_id",
+                          arrow=arrow), name)
+    got = _rows(spark, name)
+    want = sorted(map(tuple, quality_filter(docs_batch, "text", "doc_id",
+                                            arrow=arrow).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_repetition_stats_stream_matches_batch(spark, docs_batch, docs_dir):
+    _drain(repetition_stats(_stream(spark, docs_batch, docs_dir), "text", "doc_id",
+                            n=2, arrow=True), "rep_stream")
+    got = _rows(spark, "rep_stream")
+    want = sorted(map(tuple, repetition_stats(docs_batch, "text", "doc_id",
+                                              n=2).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_redact_text_stream_matches_batch(spark, docs_batch, docs_dir):
+    _drain(redact_text(_stream(spark, docs_batch, docs_dir), "text"),
+           "redact_stream")
+    got = _rows(spark, "redact_stream")
+    want = sorted(map(tuple, redact_text(docs_batch, "text").collect()))
+    assert got == want and len(got) > 0
