@@ -806,9 +806,10 @@ def scale_smoke(rate_sf01: float) -> dict | None:
                   "rows_per_sec": s["rows_per_sec"],
                   "rate_vs_sf0.1": (round(s["rows_per_sec"] / rate_sf01, 3)
                                     if rate_sf01 else None),
-                  "sf0.1_same_window_rows_per_sec": ref["rows_per_sec"],
+                  "sf0.1_same_window_rows_per_sec": ref.get("rows_per_sec"),
                   "rate_vs_sf0.1_same_window":
-                      round(s["rows_per_sec"] / ref["rows_per_sec"], 3)},
+                      (round(s["rows_per_sec"] / ref["rows_per_sec"], 3)
+                       if ref.get("rows_per_sec") else None)},
         "lsh_near_dup": {"n_rows": l["n_rows"], "n_pairs": l["n_pairs"],
                          "wall_sec": l["wall_sec"],
                          "docs_per_sec": l["rows_per_sec"]},

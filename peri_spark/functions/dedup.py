@@ -195,9 +195,11 @@ def shingles_arrow(text: Column, k: int = 5, words: bool = False) -> Column:
     oracle mirror is unchanged).
 
     Parity contract with the JVM version (tested): lower → trim → split
-    ``\\s+`` (``re.ASCII`` matches Java's ``\\s`` char class), partial
-    final gram when the document is shorter than ``k`` tokens, distinct
-    set semantics. Null text → null array.
+    ``\\s+`` (``re.ASCII`` matches Java's ``\\s`` char class;
+    ``strip(" ")`` because Spark ``trim`` strips 0x20 ONLY, so a
+    trailing newline/tab yields an empty edge token the Python side
+    must keep), partial final gram when the document is shorter than
+    ``k`` tokens, distinct set semantics. Null text → null array.
     """
     import hashlib
     import re as _re
@@ -209,7 +211,7 @@ def shingles_arrow(text: Column, k: int = 5, words: bool = False) -> Column:
     def _hashes(t: str) -> list[int]:
         t = t.lower()
         if words:
-            toks = ws.split(t.strip())
+            toks = ws.split(t.strip(" "))
             grams = {" ".join(toks[i:i + k])
                      for i in range(max(len(toks) - k, 0) + 1)}
         else:

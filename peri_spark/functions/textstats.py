@@ -191,10 +191,12 @@ def _repetition_fold_arrow(text: Column, n: int) -> Column:
     faster and the DuckDB oracle mirror is unchanged).
 
     Parity contract with the JVM fold (tested): lower → trim → split
-    ``\\s+`` (``re.ASCII`` = Java's ``\\s`` char class), partial final
-    gram when the document is shorter than ``n`` words, ties on the top
-    gram break lexicographically smallest (UTF-8 byte order == Python
-    str order).
+    ``\\s+`` (``re.ASCII`` = Java's ``\\s`` char class; ``strip(" ")``
+    because Spark ``trim`` strips 0x20 ONLY — a trailing newline/tab
+    survives trim and yields an empty edge token after split, which the
+    Python side must reproduce), partial final gram when the document is
+    shorter than ``n`` words, ties on the top gram break
+    lexicographically smallest (UTF-8 byte order == Python str order).
     """
     import re as _re
     from collections import Counter
@@ -207,7 +209,7 @@ def _repetition_fold_arrow(text: Column, n: int) -> Column:
     def _fold(t):
         if t is None:
             return (0, 0, 0, "")
-        toks = ws.split(t.lower().strip())
+        toks = ws.split(t.lower().strip(" "))
         grams = [" ".join(toks[i:i + n])
                  for i in range(max(len(toks) - n, 0) + 1)]
         counts = Counter(grams)
@@ -379,15 +381,21 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
 
     Laplace-smoothed: ``p(tok) = (c + alpha) / (total + alpha·(V+1))``
     with ``c`` the token's count in the (truncated) vocabulary, ``c=0``
-    for out-of-vocabulary tokens, ``total`` the FULL corpus token count
-    (not just the retained top-k mass) and ``V`` the retained vocabulary
-    size. Returns ``(id, n_tokens, logprob)`` with ``logprob`` the
-    6dp-rounded mean ``ln p`` over the document's token occurrences.
+    for out-of-vocabulary tokens, and ``V`` the retained vocabulary
+    size. ``total`` is the token mass of the MODELED distribution:
+    the full corpus token count when the vocabulary is built from the
+    scored corpus itself, or the summed counts of a ``vocab`` passed
+    in — counts and denominator must come from the same corpus or
+    p is not a probability (a large reference over a small target
+    would yield p > 1). Returns ``(id, n_tokens, logprob)`` with
+    ``logprob`` the 6dp-rounded mean ``ln p`` over the document's
+    token occurrences.
 
     Scale shape: the truncated vocabulary (≤ ``top_k`` rows) is
-    BROADCAST — scoring is a map-side hash join on the token stream
-    followed by one ``id`` aggregate; no corpus-sized shuffle. ``total``
-    and ``V`` ride along as literals computed from the vocab pass.
+    collected ONCE — its size and token mass become plan literals and
+    its rows re-enter as a BROADCAST hash join on the token stream,
+    so the vocabulary job never re-runs per downstream action and no
+    corpus-sized shuffle exists anywhere in scoring.
     """
     from pyspark.sql.functions import broadcast
 
@@ -395,17 +403,22 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
     ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
           .select(F.col(id_col).alias("id"),
                   F.explode(F.split(t, r"\s+")).alias("token")))
-    if vocab is None:
+    own_corpus = vocab is None
+    if own_corpus:
         vocab = vocabulary(df, text_col, id_col, top_k=top_k)
-    vocab = vocab.select("token", "count")
-    # two tiny scalar aggregates (vocab-sized / one row), collected once:
-    # they parameterize the smoothing denominator as plan literals
-    v_size = vocab.count()
-    total = int(ex.agg(F.count(F.lit(1))).collect()[0][0])
+    rows = [(r["token"], int(r["count"]))
+            for r in vocab.select("token", "count").collect()]
+    v_size = len(rows)
+    if own_corpus:
+        total = int(ex.agg(F.count(F.lit(1))).collect()[0][0])
+    else:
+        total = sum(c for _tok, c in rows)
     denom = float(total) + alpha * (v_size + 1)
+    vdf = df.sparkSession.createDataFrame(rows, "token string, count long") \
+        if rows else df.sparkSession.createDataFrame([], "token string, count long")
     p = (F.coalesce(F.col("count"), F.lit(0)).cast("double") + F.lit(alpha)) \
         / F.lit(denom)
-    return (ex.join(broadcast(vocab), "token", "left")
+    return (ex.join(broadcast(vdf), "token", "left")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(F.log(p)), 6).alias("logprob")))
@@ -444,6 +457,9 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
                     toks.alias("__toks")))
     stats = base.agg(F.count(F.lit(1)).alias("n"),
                      F.avg("__dl").alias("avgdl")).collect()[0]
+    if stats.n == 0:  # no non-blank documents -> zero hits, not a crash
+        return base.select("id", F.lit(0.0).alias("score"),
+                           F.lit(0).cast("long").alias("n_hit")).limit(0)
     n_docs, avgdl = int(stats.n), float(stats.avgdl)
     ex = (base.select("id", "__dl", F.explode("__toks").alias("__tok"))
           .where(F.col("__tok").isin(terms)))

@@ -46,7 +46,10 @@ def test_repetition_arrow_parity(spark, docs):
     and on crafted edges (ties, partial gram, multi-space, blank)."""
     edge = spark.createDataFrame(
         [(1, "a b a b a b"), (2, "x"), (3, "tie tie foo tie tie foo"),
-         (4, "  z  "), (5, "w1  w2\tw1 w2"), (6, None), (7, "   ")],
+         (4, "  z  "), (5, "w1  w2\tw1 w2"), (6, None), (7, "   "),
+         # Spark trim strips 0x20 only: trailing \n / leading \t survive
+         # and split yields empty edge tokens the arrow path must keep
+         (8, "a b a b\n"), (9, "\tx y x y"), (10, "p q\r\n")],
         ["doc_id", "text"])
     for df in (docs, edge):
         hof = repetition_stats(df, "text", "doc_id", n=2)
@@ -175,7 +178,11 @@ def test_shingles_arrow_matches_jvm_portable(spark):
                 [(9001, "one two", "en", "s", 7),
                  (9002, "  tab\tand\nnewline  spaced ", "en", "s", 9),
                  (9003, "Ünïcode Wörds Ünïcode Wörds more", "en", "s", 9),
-                 (9004, None, "en", "s", 0)],
+                 (9004, None, "en", "s", 0),
+                 # trailing \n / leading \t survive Spark trim (0x20
+                 # only) and create empty edge tokens after split
+                 (9005, "edge case one\n", "en", "s", 9),
+                 (9006, "\tlead tab case here", "en", "s", 9)],
                 ["doc_id", "text", "lang", "source", "n_chars"])))
     for words, k in [(True, 3), (False, 5)]:
         jvm = docs.select(
@@ -248,7 +255,9 @@ def test_quality_filter_arrow_parity(spark, docs):
     from peri_spark.functions import quality_filter
     edge = spark.createDataFrame(
         [(1, "a b a b a b " * 50), (2, None), (3, "   "),
-         (4, "x " * 30), (5, "1 2 3 " * 40)], ["doc_id", "text"])
+         (4, "x " * 30), (5, "1 2 3 " * 40),
+         (6, ("u v " * 30) + "\n"), (7, "\t" + "m n m n " * 10)],
+        ["doc_id", "text"])
     for df in (docs, edge):
         hof = quality_filter(df, "text", "doc_id")
         arr = quality_filter(df, "text", "doc_id", arrow=True)

@@ -359,12 +359,28 @@ def test_unigram_logprob_oov_and_reference_vocab(spark):
     assert out[1].logprob == round((2 * math.log(pa) + math.log(poov)) / 3, 6)
     assert out[2].logprob == round((math.log(pa) + math.log(poov)) / 2, 6)
     assert out[1].n_tokens == 3 and out[2].n_tokens == 2
-    # an external reference vocabulary scores a different corpus
-    ref = vocabulary(df, "text", "doc_id", top_k=1)
-    other = spark.createDataFrame([(9, "a q")], ["doc_id", "text"])
+    # an external reference vocabulary scores a different corpus: the
+    # smoothing total must come from the REFERENCE counts (a large
+    # reference over a small target must never yield p > 1 / logprob > 0)
+    big_ref = spark.createDataFrame(
+        [(i, "common " * 500) for i in range(20)], ["doc_id", "text"])
+    ref = vocabulary(big_ref, "text", "doc_id", top_k=4)
+    other = spark.createDataFrame([(9, "common rare")], ["doc_id", "text"])
     r9 = unigram_logprob(other, "text", "doc_id", vocab=ref).collect()[0]
-    # total/V still derive from the SCORED corpus stream (2 tokens)
-    assert r9.n_tokens == 2
+    assert r9.n_tokens == 2 and r9.logprob < 0
+    # reference mass total=10000 ('common' x500 x20 docs), V=1 distinct
+    # -> denom = 10000 + 1*(1+1); p(common)=10001/denom, p(rare)=1/denom
+    denom = 10002.0
+    want = round((math.log(10001 / denom) + math.log(1 / denom)) / 2, 6)
+    assert r9.logprob == want
+
+
+def test_bm25_empty_corpus_returns_no_hits(spark):
+    from peri_spark.functions import bm25_topk
+    df = spark.createDataFrame([(1, None), (2, "   ")], ["doc_id", "text"])
+    out = bm25_topk(df, "text", "doc_id", "anything", k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["id", "score", "n_hit"]
 
 
 def test_unigram_vocab_join_is_broadcast(spark, docs):
