@@ -374,11 +374,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint counts, portable-hash mode."""
-    from peri_spark.functions import winnow_fingerprints, portable_hash64
+    """Winnowing fingerprint counts, portable-hash mode (Arrow twin:
+    the JVM HOF path recomputes the md5 chain per window after lambda
+    inlining — quadratic, ~165 s on 500 docs vs ~4 s here)."""
+    from peri_spark.functions import winnow_fingerprints
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = winnow_fingerprints(docs, "text", "doc_id",
-                             hash_fn=portable_hash64)
+    fp = winnow_fingerprints(docs, "text", "doc_id", arrow=True)
     return fp.select("id", F.size("fingerprints").cast("long").alias("n_fp"))
 
 

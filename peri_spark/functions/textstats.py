@@ -310,13 +310,32 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                         k: int = 8, window: int = 4,
-                        hash_fn=None) -> DataFrame:
+                        hash_fn=None, arrow: bool = False) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     k-gram rolling hashes → per-window minima → distinct fingerprint set.
     JVM HOFs end to end; output (id, fingerprints array<long>) feeds an
     inverted-index overlap join for plagiarism/near-dup detection.
     ``hash_fn`` defaults to xxhash64; pass dedup.portable_hash64 for an
-    oracle-reproducible fingerprint set."""
+    oracle-reproducible fingerprint set.
+
+    ``arrow=True`` computes the PORTABLE (md5-prefix) fingerprints in
+    one pandas UDF — identical values, first-occurrence order, same
+    null/short-doc edges. Use it whenever portable mode is wanted:
+    Catalyst inlines the gram-hash array into every window lambda
+    (common subexpressions are not shared across HOF lambdas), so the
+    JVM portable path recomputes the md5 chain once PER WINDOW —
+    quadratic in document length and ~40× slower than the UDF even on
+    300-char documents. Incompatible with a custom ``hash_fn``.
+    """
+    if arrow:
+        from .dedup import portable_hash64
+        if hash_fn is not None and hash_fn is not portable_hash64:
+            raise ValueError("winnow_fingerprints: arrow=True computes "
+                             "portable (md5-prefix) hashes only")
+        return (df.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("id"),
+                        _winnow_arrow(F.col(text_col), k, window)
+                        .alias("fingerprints")))
     h = hash_fn or F.xxhash64
     t = F.lower(F.col(text_col))
     n = F.greatest(F.length(t) - k, F.lit(0))
@@ -331,6 +350,34 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     return (df.where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("id"),
                     F.array_distinct(wins).alias("fingerprints")))
+
+
+def _winnow_arrow(text: Column, k: int, window: int) -> Column:
+    """Arrow twin of the portable-hash winnowing chain: md5-prefix
+    60-bit k-gram hashes → window minima → distinct (first occurrence),
+    matching the JVM expressions value-for-value on lower(text)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(t):
+        if t is None:
+            return None
+        t = t.lower()
+        grams = [t[i:i + k] for i in range(max(len(t) - k, 0) + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        wins = (min(hs[i:i + window])
+                for i in range(max(len(hs) - window, 0) + 1))
+        seen, out = set(), []
+        for v in wins:
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+        return out
+
+    f = pandas_udf(lambda s: s.map(_fps), "array<long>")
+    return f(text)
 
 
 def vocabulary(df: DataFrame, text_col: str, id_col: str,

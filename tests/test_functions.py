@@ -425,3 +425,24 @@ def test_bm25_topk_cut_and_errors(spark, docs):
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
     with _pytest.raises(ValueError):
         bm25_topk(docs, "text", "doc_id", "   ")
+
+
+def test_winnow_arrow_parity_and_errors(spark, docs):
+    import pytest as _pytest
+    from peri_spark.functions import winnow_fingerprints
+    from peri_spark.functions.dedup import portable_hash64
+    edge = spark.createDataFrame(
+        [(1, "abcdefghij" * 5), (2, "short"), (3, ""), (4, None),
+         (5, "AbC dEf\nGhI\t"), (6, "xxxxxxxxxxxxxxxx")],
+        ["doc_id", "text"])
+    for df in (docs.limit(60), edge):
+        jvm = winnow_fingerprints(df, "text", "doc_id",
+                                  hash_fn=portable_hash64)
+        arw = winnow_fingerprints(df, "text", "doc_id", arrow=True)
+        a = {r.id: r.fingerprints for r in jvm.collect()}
+        b = {r.id: r.fingerprints for r in arw.collect()}
+        assert a == b
+    with _pytest.raises(ValueError):
+        from pyspark.sql import functions as SF
+        winnow_fingerprints(edge, "text", "doc_id", hash_fn=SF.xxhash64,
+                            arrow=True)
