@@ -27,7 +27,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash64, shingles, shingles_arrow
+from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
+                    shingles_from_norm)
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
@@ -88,20 +89,27 @@ def contamination_overlap(df: DataFrame, bench: DataFrame, text_col: str,
         # vectorized pandas UDF per side instead of the interpreted
         # HOF+md5 chain — ``hash_fn`` is ignored (the values ARE
         # portable_hash64's, so the oracle mirror is unchanged)
-        def _sh(c):
-            return shingles_arrow(c, n, words=words)
+        def _grams(d, col):
+            return d.select("*", shingles_arrow(F.col(col), n,
+                                                words=words).alias("__g"))
     else:
-        def _sh(c):
-            return shingles(c, n, words=words, hash_fn=hash_fn)
+        # two projections: the normalization must be an attribute
+        # before it enters the gram lambda, else it re-runs per gram
+        # (quadratic in document length — see dedup.shingle_norm)
+        def _grams(d, col):
+            return (d.select("*", shingle_norm(F.col(col), words)
+                             .alias("__norm"))
+                    .select("*", shingles_from_norm(
+                        F.col("__norm"), n, words, hash_fn).alias("__g"))
+                    .drop("__norm"))
     nonempty = F.length(F.trim(F.col(text_col))) > 0
-    doc = (df.where(F.col(text_col).isNotNull() & nonempty)
-             .select(F.col(id_col).alias("id"),
-                     _sh(F.col(text_col)).alias("__g")))
+    doc = (_grams(df.where(F.col(text_col).isNotNull() & nonempty),
+                  text_col)
+           .select(F.col(id_col).alias("id"), "__g"))
     bench_nonempty = F.length(F.trim(F.col(bench_text_col))) > 0
-    bench_grams = (bench
-                   .where(F.col(bench_text_col).isNotNull() & bench_nonempty)
-                   .select(F.explode(
-                       _sh(F.col(bench_text_col))).alias("__gram"))
+    bench_grams = (_grams(bench.where(F.col(bench_text_col).isNotNull()
+                                      & bench_nonempty), bench_text_col)
+                   .select(F.explode("__g").alias("__gram"))
                    .distinct()
                    .withColumn("__hit", F.lit(1)))
     ex = doc.select("id", F.size("__g").alias("n_grams"),

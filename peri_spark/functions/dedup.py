@@ -133,13 +133,17 @@ def dedup_chunks(df: DataFrame, text_col: str, id_col: str,
     """
     h = hash_fn or F.xxhash64
     t = F.trim(F.lower(F.col(text_col)))
-    toks = F.split(t, r"\s+")
+    # token array materialized in its own projection: referencing the
+    # split expression inside the chunk lambda would re-split the text
+    # once per chunk (quadratic in document length)
+    toks = F.col("__toks")
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / width).cast("int")),
         lambda j: F.concat_ws(" ", F.slice(toks, j * width + 1, width)))
     ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
           .select(F.col(id_col).alias("id"),
-                  F.posexplode(chunks).alias("idx", "chunk"))
+                  F.split(t, r"\s+").alias("__toks"))
+          .select("id", F.posexplode(chunks).alias("idx", "chunk"))
           .withColumn("__ch", h(F.col("chunk")))
           .repartition("__ch"))
     # the min-struct carries `chunk` too (ordering is unchanged — (id,
@@ -165,24 +169,49 @@ def dedup_chunks(df: DataFrame, text_col: str, id_col: str,
                      " ").alias("text_clean")))
 
 
+def shingle_norm(text: Column, words: bool = False) -> Column:
+    """Normalization half of :func:`shingles`: the lowered text (char
+    mode) or the lower/trim/split token array (word mode). Materialize
+    THIS in its own projection and feed the attribute to
+    :func:`shingles_from_norm` — a HOF lambda re-evaluates every
+    captured non-attribute expression once PER ELEMENT (Catalyst shares
+    no common subexpressions across lambda invocations), so embedding
+    the normalization inside the gram lambda is quadratic in document
+    length. Measured 2.2× on 300-char docs; unbounded on real files."""
+    if words:
+        return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.lower(text)
+
+
+def shingles_from_norm(norm: Column, k: int = 5, words: bool = False,
+                       hash_fn=None) -> Column:
+    """Gram-hash half of :func:`shingles` over a pre-materialized
+    :func:`shingle_norm` ATTRIBUTE (cheap per-element access)."""
+    h = hash_fn or F.xxhash64
+    if words:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(norm) - k, F.lit(0))),
+            lambda i: h(F.concat_ws(" ", F.slice(norm, i + 1, k))))
+    else:
+        n = F.greatest(F.length(norm) - k, F.lit(0))
+        grams = F.transform(F.sequence(F.lit(0), n),
+                            lambda i: h(F.substr(norm, i + 1, F.lit(k))))
+    return F.array_distinct(grams)
+
+
 def shingles(text: Column, k: int = 5, words: bool = False,
              hash_fn=None) -> Column:
     """Distinct shingle hashes of a text column (JVM HOFs only).
 
     ``hash_fn`` defaults to xxhash64 (fast path); pass ``portable_hash64``
-    for oracle-reproducible hashes."""
-    h = hash_fn or F.xxhash64
-    if words:
-        toks = F.split(F.trim(F.lower(text)), r"\s+")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, k))))
-    else:
-        t = F.lower(text)
-        n = F.greatest(F.length(t) - k, F.lit(0))
-        grams = F.transform(F.sequence(F.lit(0), n),
-                            lambda i: h(F.substr(t, i + 1, F.lit(k))))
-    return F.array_distinct(grams)
+    for oracle-reproducible hashes.
+
+    NOTE: this single-expression form re-runs the normalization inside
+    the gram lambda per element (quadratic in document length). Inside
+    DataFrame operators prefer the two-projection pair
+    ``shingle_norm`` → ``shingles_from_norm``; this stays for
+    single-column call sites and API compatibility."""
+    return shingles_from_norm(shingle_norm(text, words), k, words, hash_fn)
 
 
 def shingles_arrow(text: Column, k: int = 5, words: bool = False) -> Column:
@@ -249,7 +278,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql.functions import pandas_udf
 
     a, b = _perm_coeffs(n_hashes, seed)
-    sh = shingles(F.col(text_col), k, words, hash_fn)
+    sh = shingles_from_norm(F.col("__norm"), k, words, hash_fn)
 
     # Permutation minima via Arrow-batched numpy broadcasting. The pure-HOF
     # formulation (transform over 64 perms × transform over shingles) is
@@ -268,7 +297,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         return pd.Series(out)
 
     _sig = pandas_udf(_sig_batch, "array<long>")
-    return (df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
+    return (df.select(F.col(id_col).alias("id"),
+                      shingle_norm(F.col(text_col), words).alias("__norm"))
+            .select("id", sh.alias("__sh"))
             .where(F.size("__sh") > 0)
             .select("id", _sig("__sh").alias("sig")))
 
@@ -434,7 +465,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     ``semi_filter``.
     """
     sh = (df.select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), k, words).alias("sh"))
+                    shingle_norm(F.col(text_col), words).alias("__norm"))
+          .select("id",
+                  shingles_from_norm(F.col("__norm"), k, words).alias("sh"))
           .where(F.size("sh") > 0)
           .persist())
     inv = sh.select("id", F.explode("sh").alias("tok"))

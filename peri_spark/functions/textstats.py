@@ -130,8 +130,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     (identical ``dup_2gram_frac``); the cheap codegen metrics stay JVM.
     """
     rules = DEFAULT_QUALITY_RULES if rules is None else rules
-    t = F.col(text_col)
-    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    # text and tokens enter as ATTRIBUTES (materialized by the first
+    # projection below): the 2-gram lambda would otherwise re-split the
+    # text once per gram — quadratic in document length
+    t = F.col("__t")
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -177,9 +180,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     reasons = F.when(blank, F.lit("empty")).otherwise(
         F.array_join(F.filter(F.array(*fired), lambda x: x.isNotNull()),
                      ","))
-    return df.select(F.col(id_col).alias("id"),
-                     (reasons == "").alias("keep"),
-                     reasons.alias("reasons"))
+    raw = F.col(text_col)
+    return (df.select(F.col(id_col).alias("id"), raw.alias("__t"),
+                      F.split(F.trim(F.lower(raw)), r"\s+").alias("__toks"))
+            .select("id", (reasons == "").alias("keep"),
+                    reasons.alias("reasons")))
 
 
 def _repetition_fold_arrow(text: Column, n: int) -> Column:
@@ -275,7 +280,9 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                                 * F.length(F.col("_f.best_g"))
                                 / F.col("_nc"), 6)
                         .alias("top_ngram_char_frac")))
-    toks = F.split(t, r"\s+")
+    # tokens materialize in their own projection: the split re-runs per
+    # gram if it is inlined into the gram lambda (quadratic in length)
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -300,12 +307,16 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     folded = F.aggregate(F.array_sort(grams), acc0, _step)
     return (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
             .select(F.col(id_col).alias("id"),
+                    F.split(t, r"\s+").alias("__toks"),
+                    n_chars.alias("__nc"))
+            .select("id",
                     n_grams.cast("long").alias("n_grams"),
                     F.round(folded["dup"] / n_grams, 6)
                     .alias("dup_ngram_frac"),
                     folded["best_g"].alias("top_ngram"),
                     F.round(folded["best_cnt"] * F.length(folded["best_g"])
-                            / n_chars, 6).alias("top_ngram_char_frac")))
+                            / F.col("__nc"), 6)
+                    .alias("top_ngram_char_frac")))
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
@@ -341,15 +352,20 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     n = F.greatest(F.length(t) - k, F.lit(0))
     seq = F.transform(F.sequence(F.lit(0), n),
                       lambda i: h(F.substr(t, i + 1, F.lit(k))))
+    # the gram-hash array MUST be an attribute before the window lambda
+    # consumes it: a lambda re-evaluates captured expressions per
+    # element, so inlining `seq` recomputes the whole hash chain once
+    # per window — quadratic (165 s -> 3.7 s at sf0.01, portable mode)
+    kh = F.col("__kh")
     wins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(seq) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(seq, i + 1, window)))
+        F.sequence(F.lit(0), F.greatest(F.size(kh) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(kh, i + 1, window)))
     # null text has no k-grams — drop the row (greatest() ignoring the
     # null length would otherwise emit one bogus hash-of-nothing
     # fingerprint per null document)
     return (df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"),
-                    F.array_distinct(wins).alias("fingerprints")))
+            .select(F.col(id_col).alias("id"), seq.alias("__kh"))
+            .select("id", F.array_distinct(wins).alias("fingerprints")))
 
 
 def _winnow_arrow(text: Column, k: int, window: int) -> Column:
