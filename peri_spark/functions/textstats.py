@@ -348,7 +348,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
                         _winnow_arrow(F.col(text_col), k, window)
                         .alias("fingerprints")))
     h = hash_fn or F.xxhash64
-    t = F.lower(F.col(text_col))
+    # lowered text, then the gram-hash array, each materialize in their
+    # own projection before any lambda captures them (see below)
+    t = F.col("__lt")
     n = F.greatest(F.length(t) - k, F.lit(0))
     seq = F.transform(F.sequence(F.lit(0), n),
                       lambda i: h(F.substr(t, i + 1, F.lit(k))))
@@ -364,7 +366,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     # null length would otherwise emit one bogus hash-of-nothing
     # fingerprint per null document)
     return (df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"), seq.alias("__kh"))
+            .select(F.col(id_col).alias("id"),
+                    F.lower(F.col(text_col)).alias("__lt"))
+            .select("id", seq.alias("__kh"))
             .select("id", F.array_distinct(wins).alias("fingerprints")))
 
 
