@@ -568,6 +568,84 @@ def q_streaming_violation_streaks(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("key", "total_bad", "streak"))
 
 
+def q_streaming_window_rates_events(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """Watermarked tumbling-window violation rates
+    (peri_spark.streaming.violation_rates) drained append-mode under an
+    ``availableNow`` trigger: the memory sink receives exactly the
+    FINALIZED windows — those with ``window.end <= max(event time) -
+    delay`` — which a batch engine can reproduce, so the DuckDB oracle
+    checks BOTH the windowed aggregation and the watermark-eviction
+    boundary. Event time is microsecond-random, so the boundary predicate
+    never lands on a window edge and ``<`` vs ``<=`` semantics coincide.
+    The session timezone is pinned to UTC for the duration of the stream
+    so the NTZ→TIMESTAMP cast and window alignment are host-independent;
+    emitted boundaries are formatted strings (timestamps hash differently
+    across engines). Parity target: continuous data-quality dashboards
+    over the validation stream (SURVEY.md §2.7)."""
+    from peri_spark.streaming import violation_rates
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .option("maxFilesPerTrigger", 1).parquet(sf_dir)
+                  # watermarks require TIMESTAMP; the table stores NTZ
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        rates = violation_rates(stream, EVENTS_SCHEMA, ts_col="ts",
+                                window="1 hour", watermark="101 minutes")
+        out = rates.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_end"),
+            "n_rows", "n_bad_rows",
+            F.round("bad_ratio", 6).alias("bad_ratio"))
+        sink = "stream_window_rates_sink"
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return spark.table(sink).orderBy("window_start")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store exact dedup (``dropDuplicatesWithinWatermark`` via
+    peri_spark.streaming.streaming_dedup) over a deliberately DOUBLED
+    stream: the file source unioned with itself, so every event arrives
+    exactly twice and the engine must emit each event_id once. Duplicate
+    rows are byte-identical, so which occurrence survives is immaterial
+    and the output hashes deterministically; ts is dropped from the
+    projection so the oracle is timezone-independent. This is the scale
+    path for streaming ingestion dedup — state keyed by event_id, the
+    watermark bounding state size (SURVEY.md §2.7)."""
+    from peri_spark.streaming import streaming_dedup
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def src() -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    dd = streaming_dedup(src().union(src()), keys=["event_id"], ts_col="ts")
+    out = dd.select("event_id", "event_type", "value")
+    sink = "stream_dedup_events_sink"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("event_id")
+
+
 def q_frame_offsets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-offset plumbing (SURVEY.md multimodal directive):
     a media frame derived deterministically from events (media_id =
@@ -655,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events": q_validate_events,
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_violation_streaks": q_streaming_violation_streaks,
+        "streaming_window_rates_events": q_streaming_window_rates_events,
+        "streaming_dedup_events": q_streaming_dedup_events,
         "frame_offsets_events": q_frame_offsets_events,
         "defaults_transform_orders": q_defaults_transform_orders,
         "either_customer": q_either_customer,
@@ -1239,6 +1319,34 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY c6 DESC, id ASC LIMIT 10
     """
     validate_events = po.violations_sql(EVENTS_SCHEMA, "events", ["event_id"])
+    # mirrors q_streaming_window_rates_events: hourly buckets (Spark
+    # window('1 hour') is epoch-aligned = date_trunc) over the generated
+    # bad-row predicate, keeping only windows the watermark finalized
+    # (window end <= max event time - delay). sum() is HUGEINT in DuckDB —
+    # cast to BIGINT to match Spark's long.
+    _bad = po.bad_row_predicate_sql(EVENTS_SCHEMA)
+    streaming_window_rates = f"""
+    WITH e AS (SELECT date_trunc('hour', ts) AS ws, {_bad} AS bad
+               FROM events),
+    mx AS (SELECT max(ts) AS m FROM events),
+    w AS (SELECT ws, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad_rows
+          FROM e GROUP BY ws)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           n_rows, n_bad_rows,
+           round(CAST(n_bad_rows AS DOUBLE) / n_rows, 6) AS bad_ratio
+    FROM w, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL 101 MINUTE
+    ORDER BY window_start
+    """
+    # mirrors q_streaming_dedup_events: the doubled stream deduped on
+    # event_id collapses back to the source table (event_id is unique and
+    # duplicate rows byte-identical)
+    streaming_dedup_events = """
+    SELECT event_id, event_type, value FROM events ORDER BY event_id
+    """
     # mirrors q_frame_offsets_events: Spark sequence(0, d-1 clamped, step)
     # is INCLUSIVE of the stop like DuckDB generate_series
     frame_offsets = """
@@ -1547,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         # the streaming run is batch-identical by design (stateless
         # projection), so the same generated oracle checks it
         "streaming_validate_events": validate_events,
+        "streaming_window_rates_events": streaming_window_rates,
+        "streaming_dedup_events": streaming_dedup_events,
         "frame_offsets_events": frame_offsets,
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,

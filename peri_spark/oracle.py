@@ -17,7 +17,7 @@ from __future__ import annotations
 from .dsl import Node, parse
 from .errors import inspect_value
 
-__all__ = ["violations_sql", "valid_rows_sql"]
+__all__ = ["violations_sql", "valid_rows_sql", "bad_row_predicate_sql"]
 
 
 def _q(s: str) -> str:
@@ -162,6 +162,21 @@ def violations_sql(schema, table: str, id_cols: list[str]) -> str:
                 f"SELECT {ids}, {_lit(key)} AS key, {_lit(key)} AS err_path, "
                 f"{msg} AS message FROM {table} WHERE {cond}")
     return "\nUNION ALL\n".join(selects)
+
+
+def bad_row_predicate_sql(schema) -> str:
+    """DuckDB boolean expression over the schema's table: TRUE iff the row
+    carries at least one violation — the SQL mirror of permissive mode's
+    ``size(violations) > 0`` predicate, for oracles that aggregate bad-row
+    counts (e.g. watermarked window rates) instead of emitting the rows."""
+    node = parse(schema)
+    assert node.tag == "nested"
+    stringish = _string_cols(node)
+    conds = []
+    for key, child in node.args[0].items():
+        for cond, _m in _checks(key, child, _q(key), stringish[key]):
+            conds.append(f"COALESCE(({cond}), FALSE)")
+    return "(" + " OR ".join(conds) + ")" if conds else "FALSE"
 
 
 def valid_rows_sql(schema, table: str, select_cols: list[str]) -> str:

@@ -83,3 +83,16 @@ def test_no_oracle_queries_run(spark, name):
     """Rows-only check for deliberately non-SQL-expressible queries."""
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_bad_row_predicate_matches_violations(duck):
+    """bad_row_predicate_sql is the row-level OR of violations_sql's
+    per-check conditions: the bad-id sets must coincide exactly."""
+    from peri_spark import oracle as po
+    pred = po.bad_row_predicate_sql(entrymod.EVENTS_SCHEMA)
+    viol = po.violations_sql(entrymod.EVENTS_SCHEMA, "events", ["event_id"])
+    bad_ids = {r[0] for r in duck.execute(
+        f"SELECT event_id FROM events WHERE {pred}").fetchall()}
+    viol_ids = {r[0] for r in duck.execute(
+        f"SELECT DISTINCT event_id FROM ({viol})").fetchall()}
+    assert bad_ids == viol_ids and bad_ids
