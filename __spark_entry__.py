@@ -340,6 +340,48 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", "scan window join", k=15)
 
 
+def q_top_k_per_source_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-group exact top-k ("best 5 documents per source" by length,
+    ids break ties): one hash exchange on the group key, in-partition
+    row_number, no global sort (curation.top_k_per_group)."""
+    from peri_spark.functions.curation import top_k_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = top_k_per_group(docs.select("doc_id", "source", "n_chars"),
+                          "source", "n_chars", 5, "doc_id",
+                          rank_col="rank")
+    return top.select("doc_id", "source", "n_chars", "rank")
+
+
+def q_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token-budget prefix (longest docs first, ids
+    break ties, running total inclusive ≤ 20000 chars) — the
+    "fill each source's quota with its best documents" data-mixing step
+    (curation.token_budget_sample). The window frame is explicitly ROWS:
+    RANGE would sum all tied peers and overshoot the budget."""
+    from peri_spark.functions.curation import token_budget_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = token_budget_sample(docs.select("doc_id", "lang", "n_chars"),
+                               "lang", "n_chars", 20_000, "doc_id",
+                               priority_col="n_chars",
+                               cum_col="cum_chars")
+    return kept.select("doc_id", "lang", "n_chars", "cum_chars")
+
+
+def q_top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-25% by length WITHOUT a global sort
+    (curation.select_top_fraction): histogram aggregates locate the
+    cutoff, ties at the cutoff break by smallest doc_id, and the final
+    selection is a pure map-side filter of plan literals. The oracle
+    states the same set declaratively via row_number ≤ ⌊0.25·n⌋ —
+    DuckDB may sort; the engine must not."""
+    from peri_spark.functions.curation import select_top_fraction
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = select_top_fraction(docs.select("doc_id", "n_chars"),
+                              "n_chars", 0.25, "doc_id")
+    return top.select("doc_id", "n_chars")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from peri_spark.functions import cosine_topk_for_query
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -753,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_documents": q_vocabulary_documents,
         "unigram_scores_documents": q_unigram_scores_documents,
         "bm25_documents": q_bm25_documents,
+        "top_k_per_source_documents": q_top_k_per_source_documents,
+        "token_budget_documents": q_token_budget_documents,
+        "top_fraction_documents": q_top_fraction_documents,
     })
     return out
 
@@ -1632,6 +1677,40 @@ def oracle_sql() -> dict[str, str]:
     FROM sc GROUP BY doc_id
     ORDER BY score DESC, id ASC LIMIT 15
     """
+    # mirrors q_top_k_per_source_documents: per-source rank ≤ 5 on
+    # (n_chars DESC, doc_id) — declarative window form of the engine's
+    # single-exchange row_number plan
+    top_k_per_source = """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+      FROM documents)
+    SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 5
+    """
+    # mirrors q_token_budget_documents: ROWS-framed running total
+    # (RANGE would sum tied peers and overshoot)
+    token_budget_docs = """
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM documents)
+    SELECT doc_id, lang, n_chars, cum_chars FROM c
+    WHERE cum_chars <= 20000
+    """
+    # mirrors q_top_fraction_documents: the declarative statement of the
+    # engine's histogram-located cutoff — exactly the rows with global
+    # rank ≤ ⌊0.25·n⌋ on (n_chars DESC, doc_id)
+    top_fraction_docs = """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents WHERE n_chars IS NOT NULL)
+    SELECT doc_id, n_chars FROM r WHERE rn <= floor(0.25 * n)
+    """
     from peri_spark.directive_queries import directive_oracles
     out = dict(directive_oracles())
     out.update({
@@ -1682,5 +1761,8 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary_documents": vocab_docs,
         "unigram_scores_documents": unigram_docs,
         "bm25_documents": bm25_docs,
+        "top_k_per_source_documents": top_k_per_source,
+        "token_budget_documents": token_budget_docs,
+        "top_fraction_documents": top_fraction_docs,
     })
     return out

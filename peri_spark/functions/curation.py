@@ -32,6 +32,7 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
+           "top_k_per_group", "token_budget_sample", "select_top_fraction",
            "DEFAULT_PII_PATTERNS"]
 
 # Engine-portable regexes (no lookaround, ASCII classes): identical
@@ -289,3 +290,179 @@ def redact_text(df: DataFrame, text_col: str,
         tag = label.upper().replace("\\", "\\\\").replace("$", "\\$")
         red = F.regexp_replace(red, pat, f"[{tag}]")
     return df.select("*", red.alias(out_col), *counts)
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
+                    k: int, id_col: str, descending: bool = True,
+                    rank_col: str | None = None) -> DataFrame:
+    """Exact per-group top-``k`` with a deterministic tiebreak.
+
+    Ranks rows within each ``group_col`` by ``order_col`` (descending by
+    default) breaking ties on ascending ``id_col`` (assumed unique), and
+    keeps ranks ≤ ``k``. ``rank_col`` optionally exposes the rank.
+
+    Scale shape: ONE hash-partition exchange on the group key, then an
+    in-partition ``row_number`` — no global sort ever materializes, and
+    per group only a linear scan runs. This is the "keep the best N
+    documents per domain" primitive; for a skewed giant group the work
+    is still linear in that group's rows (a top-k heap inside a window
+    is what Spark's WindowExec already does for row_number + filter via
+    its rank-limit optimization).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = (F.col(order_col).desc() if descending
+             else F.col(order_col).asc())
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    out = df.withColumn("__rank", F.row_number().over(w))
+    out = out.where(F.col("__rank") <= k)
+    if rank_col is None:
+        return out.drop("__rank")
+    return out.withColumnRenamed("__rank", rank_col)
+
+
+def token_budget_sample(df: DataFrame, group_col: str, token_col: str,
+                        budget: int, id_col: str,
+                        priority_col: str | None = None,
+                        cum_col: str | None = None) -> DataFrame:
+    """Greedy per-group selection under a token budget.
+
+    Orders each group by (``priority_col`` descending, ``id_col``
+    ascending — deterministic because ids are unique) and keeps the
+    prefix whose running token total (INCLUSIVE of the current row)
+    stays ≤ ``budget`` — the "fill each source's token quota with its
+    best documents" step of a data-mixing recipe. ``cum_col`` optionally
+    exposes the running total.
+
+    The window frame is explicitly ``rowsBetween`` — the default
+    ``RANGE`` frame would sum ALL peer rows that tie on the ordering
+    key, silently over-counting the prefix. One hash exchange on the
+    group key; the corpus text never shuffles if callers select the
+    token-count column first (column pruning pushes through the window).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = ([F.col(priority_col).desc()] if priority_col else [])
+    order.append(F.col(id_col).asc())
+    w = (Window.partitionBy(group_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.withColumn("__cum", F.sum(F.col(token_col)).over(w))
+             .where(F.col("__cum") <= budget))
+    if cum_col is None:
+        return out.drop("__cum")
+    return out.withColumnRenamed("__cum", cum_col)
+
+
+def select_top_fraction(df: DataFrame, score_col: str, frac: float,
+                        id_col: str, bins: int = 8192,
+                        refine_cap: int = 100_000) -> DataFrame:
+    """Exact global top-⌊frac·n⌋ rows by score WITHOUT a global sort.
+
+    The naive ``orderBy(score).limit(k)`` funnels every row through a
+    single-partition sort — the classic 100 TB bottleneck. Instead the
+    score CUTOFF is located by iterative histogram refinement, all
+    driver-side state being tiny aggregates (like the IVF centroid
+    training in similarity.py):
+
+    1. one aggregate for (count, min, max) over non-null scores;
+    2. a fixed-width ``bins``-bucket histogram aggregate locates the
+       bucket where the descending cumulative count crosses
+       k = ⌊frac·n⌋; re-histogram INSIDE that bucket until it holds
+       ≤ ``refine_cap`` rows (each pass shrinks the range ``bins``×,
+       so even a double-precision range resolves in ≤ 5 passes);
+    3. the surviving range's distinct scores (≤ refine_cap rows)
+       resolve the exact cutoff value and how many ties to keep;
+    4. ties at the cutoff break by smallest ``id_col`` (assumed
+       unique): an id threshold is computed from the (typically tiny)
+       equality set, so the FINAL selection is a pure map-side filter
+       ``score > cutoff OR (score == cutoff AND id <= id_threshold)``
+       that runs inside whole-stage codegen with pushdown intact.
+
+    Rows with NULL score are never selected. The result is exactly the
+    rows a ``row_number() OVER (ORDER BY score DESC, id)`` ≤ k would
+    keep — which is how the DuckDB oracle states it. Degenerate corpora
+    where one score value repeats beyond ``refine_cap`` still resolve
+    (the range stops splitting and the tie path takes over); the
+    tie-set id scan is the only non-aggregate intermediate and is
+    bounded by the count of EXACT cutoff duplicates.
+    """
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    import math
+
+    score = F.col(score_col)
+    scored = df.where(score.isNotNull())
+    n, lo, hi = scored.agg(
+        F.count(F.lit(1)), F.min(score).cast("double"),
+        F.max(score).cast("double")).collect()[0]
+    k = math.floor(frac * n)
+    if k <= 0:
+        return df.where(F.lit(False))
+    if k >= n:
+        return scored
+
+    # locate the cutoff bucket by descending cumulative count over
+    # HALF-OPEN ranges [blo, bhi): a score on a refined bucket's upper
+    # edge belongs to the bucket above (already counted in ``above``),
+    # so the range filter must exclude it or it would count twice
+    blo, bhi, above = lo, math.nextafter(hi, math.inf), 0
+    in_range = n
+    while in_range > refine_cap and bhi > blo:
+        width = (bhi - blo) / bins
+        bucket = F.least(F.floor((score.cast("double") - F.lit(blo))
+                                 / F.lit(width)), F.lit(bins - 1))
+        histo = (scored
+                 .where((score.cast("double") >= blo)
+                        & (score.cast("double") < bhi))
+                 .groupBy(bucket.alias("__b"))
+                 .agg(F.count(F.lit(1)).alias("__c"))
+                 .collect())
+        counts = {int(r["__b"]): r["__c"] for r in histo}
+        cum = above
+        for b in range(bins - 1, -1, -1):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                nlo, nhi = blo + b * width, blo + (b + 1) * width
+                if b == bins - 1:
+                    nhi = bhi
+                if (nlo, nhi) == (blo, bhi) or c == in_range:
+                    # range no longer splits (degenerate precision or a
+                    # single repeated value) — fall through to resolve
+                    in_range = 0
+                    break
+                blo, bhi, above, in_range = nlo, nhi, cum, c
+                break
+            cum += c
+        else:  # pragma: no cover - k <= total guards this
+            raise AssertionError("cutoff bucket not found")
+
+    # exact distinct scores in the final range (≤ refine_cap rows, or a
+    # degenerate range holding few DISTINCT values)
+    vals = (scored
+            .where((score.cast("double") >= blo)
+                   & (score.cast("double") < bhi))
+            .groupBy(score.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__v").desc())
+            .collect())
+    cum = above
+    cutoff = None
+    for r in vals:
+        if cum + r["__c"] >= k:
+            cutoff, m = r["__v"], k - cum
+            at_cut = r["__c"]
+            break
+        cum += r["__c"]
+    assert cutoff is not None, "cutoff value not found"
+
+    keep = score > F.lit(cutoff)
+    if m < at_cut:
+        # tie break: the m smallest ids at the exact cutoff value
+        id_thr = (scored.where(score == F.lit(cutoff))
+                  .select(id_col).orderBy(id_col).limit(m)
+                  .agg(F.max(id_col)).collect()[0][0])
+        keep = keep | ((score == F.lit(cutoff))
+                       & (F.col(id_col) <= F.lit(id_thr)))
+    else:
+        keep = keep | (score == F.lit(cutoff))
+    return df.where(score.isNotNull() & keep)
