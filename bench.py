@@ -690,8 +690,35 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
              F.sum("n_kept").alias("kept")).collect()[0])
     ck_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions.curation import (select_top_fraction,
+                                                token_budget_sample,
+                                                top_k_per_group)
+    sel_in = df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                       "repo", F.length("content").alias("n_chars"))
+    t0 = time.monotonic()
+    tk_rows = top_k_per_group(sel_in, "repo", "n_chars", 100,
+                              "fid").count()
+    tk_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    tb_rows = token_budget_sample(sel_in, "repo", "n_chars", 1_000_000,
+                                  "fid", priority_col="n_chars").count()
+    tb_wall = round(time.monotonic() - t0, 3)
+    # select_top_fraction runs its histogram aggregates eagerly at call
+    # time — time the call AND the final filtered count together
+    t0 = time.monotonic()
+    tf_rows = select_top_fraction(sel_in, "n_chars", 0.1, "fid").count()
+    tf_wall = round(time.monotonic() - t0, 3)
+
     spark.stop()
     return {"workers": workers, "n_rows": n,
+            "top_k_per_group": {"wall_sec": tk_wall, "kept": int(tk_rows),
+                                "rows_per_sec": round(n / tk_wall, 1)},
+            "token_budget_sample": {"wall_sec": tb_wall,
+                                    "kept": int(tb_rows),
+                                    "rows_per_sec": round(n / tb_wall, 1)},
+            "select_top_fraction": {"wall_sec": tf_wall,
+                                    "kept": int(tf_rows),
+                                    "rows_per_sec": round(n / tf_wall, 1)},
             "hash_split": {"wall_sec": sp_wall, "splits": split_counts,
                            "rows_per_sec": round(n / sp_wall, 1)},
             "redact_pii": {"wall_sec": rd_wall, "pii_hits": int(pii.hits),
