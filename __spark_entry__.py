@@ -340,6 +340,24 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", "scan window join", k=15)
 
 
+def q_dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection END-TO-END: unigram log-likelihood
+    scoring (broadcast top-20 vocab, Laplace alpha=1) composed with the
+    sort-free exact top-20% selector — score rounds to 6dp FIRST so the
+    ranking key is engine-portable, then select_top_fraction locates the
+    cutoff by histogram aggregates and breaks cutoff ties by smallest id.
+    This is the "keep the best X% by language-model fit" sweep of an
+    importance-sampling pipeline, with no global sort anywhere. At scale
+    the scored frame should be cached by the caller — the selector runs
+    2-3 tiny aggregates over it before the final map-side filter."""
+    from peri_spark.functions import unigram_logprob
+    from peri_spark.functions.curation import select_top_fraction
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = unigram_logprob(docs, "text", "doc_id", top_k=20, alpha=1.0)
+    top = select_top_fraction(scored, "logprob", 0.2, "id")
+    return top.select("id", "n_tokens", "logprob")
+
+
 def q_top_k_per_source_documents(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Per-group exact top-k ("best 5 documents per source" by length,
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_documents": q_vocabulary_documents,
         "unigram_scores_documents": q_unigram_scores_documents,
         "bm25_documents": q_bm25_documents,
+        "dsir_select_documents": q_dsir_select_documents,
         "top_k_per_source_documents": q_top_k_per_source_documents,
         "token_budget_documents": q_token_budget_documents,
         "top_fraction_documents": q_top_fraction_documents,
@@ -1677,6 +1696,35 @@ def oracle_sql() -> dict[str, str]:
     FROM sc GROUP BY doc_id
     ORDER BY score DESC, id ASC LIMIT 15
     """
+    # mirrors q_dsir_select_documents: the unigram CTEs (same as
+    # unigram_docs) piped into a global rank ≤ ⌊0.2·n⌋ on the 6dp-rounded
+    # score — the declarative statement of scoring + sort-free selection
+    dsir_select_docs = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    v AS (
+      SELECT token, count(*) AS c
+      FROM tk GROUP BY token ORDER BY c DESC, token LIMIT 20),
+    params AS (
+      SELECT (SELECT count(*) FROM tk) AS total,
+             (SELECT count(*) FROM v) AS vs),
+    scored AS (
+      SELECT tk.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln((COALESCE(v.c, 0) + 1.0)
+                          / (params.total + 1.0 * (params.vs + 1)))), 6)
+               AS logprob
+      FROM tk LEFT JOIN v USING (token) CROSS JOIN params
+      GROUP BY tk.doc_id),
+    r AS (
+      SELECT id, n_tokens, logprob,
+             row_number() OVER (ORDER BY logprob DESC, id) AS rn,
+             count(*) OVER () AS n
+      FROM scored)
+    SELECT id, n_tokens, logprob FROM r WHERE rn <= floor(0.2 * n)
+    """
     # mirrors q_top_k_per_source_documents: per-source rank ≤ 5 on
     # (n_chars DESC, doc_id) — declarative window form of the engine's
     # single-exchange row_number plan
@@ -1761,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary_documents": vocab_docs,
         "unigram_scores_documents": unigram_docs,
         "bm25_documents": bm25_docs,
+        "dsir_select_documents": dsir_select_docs,
         "top_k_per_source_documents": top_k_per_source,
         "token_budget_documents": token_budget_docs,
         "top_fraction_documents": top_fraction_docs,
