@@ -340,6 +340,27 @@ def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "text", "doc_id", "scan window join", k=15)
 
 
+def q_lsh_incremental_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup (lsh_pairs_against): a synthetic arrival batch
+    (every 10th document, re-keyed +1e6) probed against the full corpus
+    — the daily-ingestion shape where corpus signatures are a reusable
+    index and candidate generation is a batch×corpus band join, never a
+    corpus self-join. Portable-hash mode so DuckDB reproduces shingles →
+    permutation minima → band buckets → agreement bit-for-bit; exact
+    copies surface at est_jaccard 1.0."""
+    from peri_spark.functions.dedup import lsh_pairs_against, portable_hash64
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("text").isNotNull()))
+    corpus = docs.select(F.col("doc_id").alias("id"), "text")
+    batch = (docs.where(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("id"), "text"))
+    pairs = lsh_pairs_against(corpus, batch, "text", "id", threshold=0.9,
+                              hash_fn=portable_hash64)
+    return pairs.select("corpus_id", "batch_id",
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection END-TO-END: unigram log-likelihood
     scoring (broadcast top-20 vocab, Laplace alpha=1) composed with the
@@ -813,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_documents": q_vocabulary_documents,
         "unigram_scores_documents": q_unigram_scores_documents,
         "bm25_documents": q_bm25_documents,
+        "lsh_incremental_documents": q_lsh_incremental_documents,
         "dsir_select_documents": q_dsir_select_documents,
         "top_k_per_source_documents": q_top_k_per_source_documents,
         "token_budget_documents": q_token_budget_documents,
@@ -875,6 +897,58 @@ def _minhash_oracle_sql() -> str:
       JOIN sigs sa ON sa.id = c.id_a
       JOIN sigs sb ON sb.id = c.id_b)
     SELECT id_a, id_b, est_jaccard FROM ver WHERE est_jaccard >= 0.9
+    """
+
+
+def _lsh_incremental_oracle_sql() -> str:
+    """DuckDB reproduction of q_lsh_incremental_documents: the corpus
+    and the re-keyed batch sign with the SAME portable shingle/permutation
+    pipeline as _minhash_oracle_sql; the corpus-side hot-bucket cap
+    applies over corpus bands only (QUALIFY after the side filter, exactly
+    like the engine caps its corpus band frame); candidates are the
+    batch×corpus band join."""
+    from peri_spark.functions.dedup import _MERSENNE, _perm_coeffs
+    a, b = _perm_coeffs(64, 42)
+    A = "[" + ",".join(str(x) for x in a) + "]"
+    B = "[" + ",".join(str(x) for x in b) + "]"
+    return f"""
+    WITH keyed AS MATERIALIZED (
+      SELECT doc_id AS id, 'c' AS side, text AS content
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000, 'b', text
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+    sh AS MATERIALIZED (
+      SELECT id, side, list_distinct(list_transform(
+        range(0, greatest(length(lower(content)) - 5, 0) + 1),
+        i -> {_ph("substr(lower(content), i + 1, 5)")})) AS shs
+      FROM keyed),
+    sigs AS MATERIALIZED (
+      SELECT id, side, list_transform(list_zip({A}, {B}), p ->
+        list_min(list_transform(shs,
+          x -> (p[1] * (x % {_MERSENNE}) + p[2]) % {_MERSENNE}))) AS sig
+      FROM sh WHERE len(shs) > 0),
+    bands AS MATERIALIZED (
+      SELECT id, side, b AS band,
+        {_ph("array_to_string(list_transform(list_slice(sig, b*4 + 1, b*4 + 4), v -> CAST(v AS STRING)), ',')")}
+          AS band_hash
+      FROM sigs, LATERAL (SELECT unnest(range(16)) AS b) t),
+    bands_c AS (
+      SELECT id, band, band_hash FROM bands WHERE side = 'c'
+      QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+    cand AS (
+      SELECT DISTINCT c.id AS corpus_id, bb.id AS batch_id
+      FROM bands_c c JOIN (SELECT * FROM bands WHERE side = 'b') bb
+        ON c.band = bb.band AND c.band_hash = bb.band_hash),
+    ver AS (
+      SELECT cd.corpus_id, cd.batch_id,
+        len(list_filter(range(0, 64), j -> sa.sig[j+1] = sb.sig[j+1])) / 64.0
+          AS est_jaccard
+      FROM cand cd
+      JOIN sigs sa ON sa.id = cd.corpus_id AND sa.side = 'c'
+      JOIN sigs sb ON sb.id = cd.batch_id AND sb.side = 'b')
+    SELECT corpus_id, batch_id, round(est_jaccard, 6) AS est_jaccard
+    FROM ver WHERE est_jaccard >= 0.9
     """
 
 
@@ -1788,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
         "defaults_transform_orders": defaults_transform_orders,
         "either_customer": either_customer,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "lsh_incremental_documents": _lsh_incremental_oracle_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fp": _WINNOW_SQL,
         "knn_lsh": _knn_oracle_sql(),

@@ -9,7 +9,8 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 from .curation import (contamination_overlap, hash_split, pack_sequences,
                        redact_text, stratified_sample, weighted_mix)
 from .dedup import (exact_duplicates, minhash_signatures,
-                    lsh_duplicate_pairs, ngram_jaccard_pairs,
+                    lsh_duplicate_pairs, lsh_pairs_against,
+                    ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
                     near_dup_clusters, deduplicate_by_clusters,
                     dedup_chunks, portable_hash64)
@@ -25,6 +26,7 @@ from .textstats import (bm25_topk, language_id, quality_filter,
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
+    "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",

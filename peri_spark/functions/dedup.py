@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_duplicates", "shingles", "shingles_arrow",
            "minhash_signatures",
-           "lsh_duplicate_pairs", "ngram_jaccard_pairs",
+           "lsh_duplicate_pairs", "lsh_pairs_against",
+           "ngram_jaccard_pairs",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
            "dedup_chunks", "portable_hash64"]
@@ -436,6 +437,90 @@ def lsh_duplicate_pairs(df: DataFrame, text_col: str, id_col: str,
                     "id_a", "id_b",
                     (F.size(F.filter(
                         F.zip_with("sig_a", "sig_b",
+                                   lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1)) / F.lit(float(n_hashes)))
+                    .alias("est_jaccard")))
+    out = verified.where(F.col("est_jaccard") >= threshold)
+    return _release_or_hand_off(out, cached, release)
+
+
+def lsh_pairs_against(corpus: DataFrame, batch: DataFrame, text_col: str,
+                      id_col: str, threshold: float = 0.7,
+                      n_hashes: int = 64, bands: int = 16, k: int = 5,
+                      words: bool = False, seed: int = 42,
+                      max_bucket_size: int | None = 1000,
+                      dropped_counter: dict | None = None,
+                      hash_fn=None, corpus_sigs: DataFrame | None = None,
+                      release: bool = True) -> DataFrame:
+    """INCREMENTAL near-dedup: MinHash-LSH pairs between a NEW batch and
+    an EXISTING corpus — ``(corpus_id, batch_id, est_jaccard)``, one row
+    per cross-collision with signature agreement ≥ ``threshold``.
+
+    This is the daily-ingestion shape: instead of re-running the
+    corpus×corpus self-join on every arrival, the corpus signatures are
+    a REUSABLE INDEX — pass a previously stored ``(id, sig)`` frame as
+    ``corpus_sigs`` (as produced by :func:`minhash_signatures` with the
+    same ``n_hashes``/``k``/``words``/``seed``/``hash_fn``) and only
+    the batch is shingled and signed. Candidate generation is a plain
+    equi-join of the two band frames on ``(band, band_hash)`` — cost
+    O(batch collisions), never O(corpus²), and AQE broadcasts the batch
+    side at runtime when it measures small (no forced hint: a backfill
+    "batch" can be corpus-sized).
+
+    ``max_bucket_size`` caps CORPUS-side buckets exactly like
+    :func:`lsh_duplicate_pairs` (a boilerplate bucket with millions of
+    members would multiply every matching batch row by its size); batch
+    buckets are not capped — the batch is the probe side and its
+    per-bucket multiplicity is bounded by batch size. Dropped corpus
+    buckets report through ``dropped_counter``. The batch side keeps
+    its singleton buckets (a batch doc colliding with nothing in the
+    batch can still hit the corpus).
+
+    ``release`` follows the same persist-discipline contract as
+    :func:`lsh_duplicate_pairs`.
+    """
+    if corpus_sigs is not None:
+        # the stored-index contract is minhash_signatures' output shape
+        sig_c = corpus_sigs.select("id", "sig")
+    else:
+        sig_c = minhash_signatures(corpus, text_col, id_col, n_hashes, k,
+                                   words, seed, hash_fn)
+    sig_b = minhash_signatures(batch, text_col, id_col, n_hashes, k,
+                               words, seed, hash_fn)
+    sig_c, sig_b = sig_c.persist(), sig_b.persist()
+    cached = [sig_c, sig_b]
+    bands_c = _band_explode(sig_c, bands, hash_fn)
+    bands_b = _band_explode(sig_b, bands, hash_fn)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        sized = bands_c.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        if dropped_counter is not None:
+            hot = (sized.where(F.col("__bsz") > max_bucket_size)
+                   .agg(F.count_distinct("band", "band_hash").alias("b"),
+                        F.count(F.lit(1)).alias("r")).collect()[0])
+            dropped_counter["n_hot_buckets"] = hot["b"]
+            dropped_counter["n_dropped_rows"] = hot["r"]
+        bands_c = sized.where(F.col("__bsz") <= max_bucket_size) \
+                       .drop("__bsz")
+    cand = (bands_c.select(F.col("id").alias("corpus_id"),
+                           "band", "band_hash")
+            .join(bands_b.select(F.col("id").alias("batch_id"),
+                                 "band", "band_hash"),
+                  ["band", "band_hash"])
+            .select("corpus_id", "batch_id")
+            .dropDuplicates())
+    verified = (cand
+                .join(sig_c.select(F.col("id").alias("corpus_id"),
+                                   F.col("sig").alias("sig_c")),
+                      "corpus_id")
+                .join(sig_b.select(F.col("id").alias("batch_id"),
+                                   F.col("sig").alias("sig_b")),
+                      "batch_id")
+                .select(
+                    "corpus_id", "batch_id",
+                    (F.size(F.filter(
+                        F.zip_with("sig_c", "sig_b",
                                    lambda x, y: (x == y).cast("int")),
                         lambda v: v == 1)) / F.lit(float(n_hashes)))
                     .alias("est_jaccard")))
