@@ -306,6 +306,29 @@ def run_lsh(workers: int, input_path: str, runs: int) -> dict:
                        "rounds": cst.get("rounds"),
                        "converged": cst.get("converged"),
                        "wall_sec": round(time.perf_counter() - t0, 3)}
+    # incremental probe (lsh_pairs_against): sign the corpus ONCE as a
+    # reusable index, then probe a 1% arrival batch against it — the
+    # daily-ingestion cost, to compare with the full self-join above
+    from peri_spark.functions.dedup import (lsh_pairs_against,
+                                            minhash_signatures)
+    t0 = time.perf_counter()
+    index = minhash_signatures(df, "text", "fid").persist()
+    index.count()
+    idx_wall = time.perf_counter() - t0
+    batch = (df.where(F.pmod(F.col("fid"), F.lit(100)) == 0)
+             .select((F.col("fid") + 1).alias("fid"), "text"))
+    t0 = time.perf_counter()
+    inc = lsh_pairs_against(None, batch, "text", "fid", threshold=0.8,
+                            words=True, corpus_sigs=index)
+    n_inc = inc.count()
+    inc_wall = time.perf_counter() - t0
+    n_batch = batch.count()
+    index.unpersist()
+    out["incremental"] = {
+        "index_build_sec": round(idx_wall, 3),
+        "batch_rows": n_batch, "probe_pairs": n_inc,
+        "probe_sec": round(inc_wall, 3),
+        "probe_rows_per_sec": round(n_batch / inc_wall, 1)}
     spark.stop()
     return out
 
