@@ -225,6 +225,39 @@ def q_weighted_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "doc_id").select("doc_id", "lang")
 
 
+def q_upsample_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_mix(mode="up"): min-anchored rates ≥ 1 — no row drops,
+    over-weighted sources replicate with a numbered copy column (the
+    epochs-per-source mix). zh at weight 3 replicates ~3×."""
+    from peri_spark.functions import weighted_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_mix(docs, "lang", {"en": 1.0, "de": 1.0, "zh": 3.0},
+                        "doc_id", mode="up").select("doc_id", "lang", "copy")
+
+
+def q_clean_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering over documents with deterministically
+    staged multi-line text (boilerplate lines planted in both engines
+    identically: a too-short line, a JavaScript banner, a doc_id-keyed
+    good/short alternation, and an unterminated prefix)."""
+    from peri_spark.functions import clean_lines
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("click here"),
+            F.lit("Enable JavaScript to continue."),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("A fine second sentence!"))
+             .otherwise(F.lit("short.")),
+            F.substring("text", 1, 20)).alias("text"))
+    return clean_lines(staged, "text") \
+        .select("doc_id", F.col("text_clean").alias("clean"),
+                "n_lines", "n_kept")
+
+
 def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministically planted PII
     (every 3rd doc gets an email, an IPv4, and a 32-hex secret built
@@ -825,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "weighted_mix_documents": q_weighted_mix_documents,
+        "upsample_mix_documents": q_upsample_mix_documents,
+        "clean_lines_documents": q_clean_lines_documents,
         "redact_pii_documents": q_redact_pii_documents,
         "repetition_documents": q_repetition_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1570,6 +1605,52 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d JOIN rates USING (lang)
     WHERE {_coin42} < CAST(round(rate * 1000000) AS BIGINT)
     """
+    upsample_mix_docs = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 CASE lang WHEN 'en' THEN CAST(1.0 AS DOUBLE)
+                           WHEN 'de' THEN CAST(1.0 AS DOUBLE)
+                           WHEN 'zh' THEN CAST(3.0 AS DOUBLE) END
+                   / n AS ratio
+          FROM c WHERE lang IN ('en', 'de', 'zh')),
+    rates AS (SELECT lang, ratio / min(ratio) OVER () AS rate FROM r),
+    coined AS (
+      SELECT d.doc_id, d.lang,
+             CAST(floor(rate) AS BIGINT)
+             + CASE WHEN {_coin42}
+                         < CAST(round((rate - floor(rate)) * 1000000)
+                                AS BIGINT)
+                    THEN 1 ELSE 0 END AS c
+      FROM documents d JOIN rates USING (lang))
+    SELECT doc_id, lang, f AS copy
+    FROM coined CROSS JOIN UNNEST(generate_series(0, c - 1)) AS t(f)
+    WHERE c > 0
+    """
+    clean_lines_docs = r"""
+    WITH staged AS (
+      SELECT doc_id,
+             text || '.' || chr(10) || 'click here' || chr(10)
+               || 'Enable JavaScript to continue.' || chr(10)
+               || CASE WHEN doc_id % 2 = 0 THEN 'A fine second sentence!'
+                       ELSE 'short.' END
+               || chr(10) || substr(text, 1, 20) AS text
+      FROM documents),
+    kept AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls,
+             list_filter(string_split(text, chr(10)), x ->
+               len(regexp_extract_all(trim(x), '[^\s]+')) >= 3
+               AND regexp_matches(trim(x), '[.!?"]$')
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'cookie policy')
+               AND NOT contains(lower(x), 'terms of use')
+               AND NOT contains(lower(x), 'privacy policy')) AS kl
+      FROM staged)
+    SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS clean,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_kept
+    FROM kept
+    """
     redact_pii = r"""
     WITH staged AS (
       SELECT doc_id,
@@ -1875,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_documents": hash_split_docs,
         "stratified_sample_documents": stratified_docs,
         "weighted_mix_documents": weighted_mix_docs,
+        "upsample_mix_documents": upsample_mix_docs,
+        "clean_lines_documents": clean_lines_docs,
         "redact_pii_documents": redact_pii,
         "repetition_documents": repetition,
         "pack_sequences_documents": pack_docs,

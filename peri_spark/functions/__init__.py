@@ -6,8 +6,9 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
-from .curation import (contamination_overlap, hash_split, pack_sequences,
-                       redact_text, stratified_sample, weighted_mix)
+from .curation import (clean_lines, contamination_overlap, hash_split,
+                       pack_sequences, redact_text, stratified_sample,
+                       weighted_mix)
 from .dedup import (exact_duplicates, minhash_signatures,
                     lsh_duplicate_pairs, lsh_pairs_against,
                     ngram_jaccard_pairs,
@@ -37,5 +38,5 @@ __all__ = [
     "contamination_overlap", "hash_split", "stratified_sample",
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
-    "vocabulary", "unigram_logprob", "bm25_topk",
+    "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
 ]

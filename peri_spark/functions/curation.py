@@ -33,7 +33,8 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
-           "DEFAULT_PII_PATTERNS"]
+           "clean_lines", "DEFAULT_PII_PATTERNS",
+           "DEFAULT_DENY_SUBSTRINGS"]
 
 # Engine-portable regexes (no lookaround, ASCII classes): identical
 # semantics under Java regex (Spark) and RE2 (DuckDB oracle).
@@ -179,26 +180,44 @@ def stratified_sample(df: DataFrame, stratum_col: str,
 
 
 def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
-                 key_col: str, seed: int = 42) -> DataFrame:
-    """Downsample sources so the surviving mix matches target weights.
+                 key_col: str, seed: int = 42, mode: str = "down",
+                 copy_col: str = "copy") -> DataFrame:
+    """Re-weight a multi-source corpus to target proportions.
 
     ``weights`` maps source value -> target proportion (relative; they
-    are normalized internally). Sources not listed are DROPPED. The
-    per-source keep-rate is ``(w_s / n_s) / max_s(w_s / n_s)`` — the
-    most under-represented source keeps 100% of its rows and every other
-    source is deterministically thinned to match, which is the maximal-
-    retention mix with exact expected proportions.
+    are normalized internally). Sources not listed are DROPPED.
 
-    Scale shape: one tiny ``groupBy(source).count()`` aggregate (rows =
-    number of sources), rates derived IN-PLAN via a window over that
-    tiny frame (no driver collect), broadcast back onto the corpus, then
-    the same map-side hash coin as :func:`stratified_sample`. The corpus
-    itself never shuffles.
+    ``mode="down"`` (default): the per-source keep-rate is
+    ``(w_s / n_s) / max_s(w_s / n_s)`` — the most under-represented
+    source keeps 100% of its rows and every other source is
+    deterministically thinned to match, which is the maximal-retention
+    mix with exact expected proportions.
+
+    ``mode="up"``: rates anchor on the MINIMUM ratio instead —
+    ``(w_s / n_s) / min_s(w_s / n_s)`` ≥ 1 for every listed source — so
+    no row is dropped and over-weighted sources REPLICATE (the "epochs
+    per source" mix used when the scarce source must be seen more than
+    once per pass). Each row emits ``floor(rate)`` copies plus one more
+    when the hash coin lands under the fractional part; ``copy_col``
+    numbers the copies 0..c-1 so downstream packing/shuffling can
+    distinguish them. Expected per-source epoch counts equal the exact
+    rate, and the decision is a pure function of (key, seed) — stable
+    across runs, engines, and cluster layouts.
+
+    Scale shape (both modes): one tiny ``groupBy(source).count()``
+    aggregate (rows = number of sources), rates derived IN-PLAN via a
+    window over that tiny frame (no driver collect), broadcast back
+    onto the corpus, then the same map-side hash coin as
+    :func:`stratified_sample`. The corpus itself never shuffles; in
+    ``up`` mode the explode fan-out is map-side too.
     """
+    if mode not in ("down", "up"):
+        raise ValueError(f"mode must be 'down' or 'up', got {mode!r}")
     counts = (df.groupBy(F.col(source_col).alias("__src"))
                 .agg(F.count(F.lit(1)).alias("__n")))
-    # ratio/max window over a frame with one row per source — tiny by
-    # construction, so the single-partition window is not a bottleneck
+    anchor = F.max if mode == "down" else F.min
+    # ratio/extreme window over a frame with one row per source — tiny
+    # by construction, so the single-partition window is no bottleneck
     rates = (counts
              .withColumn("__w", reduce(
                  lambda acc, kv: F.when(F.col("__src") == kv[0],
@@ -207,14 +226,25 @@ def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
              .where(F.col("__w").isNotNull())
              .withColumn("__r", F.col("__w") / F.col("__n"))
              .withColumn("__rate", F.col("__r") /
-                         F.max("__r").over(Window.partitionBy(F.lit(1))))
+                         anchor("__r").over(Window.partitionBy(F.lit(1))))
              .select("__src", "__rate"))
     coin = _coin(F.col(key_col), seed)
-    return (df.join(F.broadcast(rates),
-                    df[source_col] == F.col("__src"))
-              .where(coin < F.round(F.col("__rate") * _COIN_M)
-                     .cast("long"))
-              .drop("__src", "__rate"))
+    joined = df.join(F.broadcast(rates), df[source_col] == F.col("__src"))
+    if mode == "down":
+        return (joined
+                .where(coin < F.round(F.col("__rate") * _COIN_M)
+                       .cast("long"))
+                .drop("__src", "__rate"))
+    whole = F.floor("__rate").cast("long")
+    frac_thr = F.round((F.col("__rate") - F.floor("__rate")) * _COIN_M) \
+        .cast("long")
+    copies = (whole + F.when(coin < frac_thr, 1).otherwise(0)).alias("__c")
+    out = (joined.select("*", copies)
+           .where(F.col("__c") > 0)
+           .select("*", F.explode(F.sequence(
+               F.lit(0).cast("long"),
+               F.col("__c") - 1)).alias(copy_col)))
+    return out.drop("__src", "__rate", "__c")
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,
@@ -290,6 +320,64 @@ def redact_text(df: DataFrame, text_col: str,
         tag = label.upper().replace("\\", "\\\\").replace("$", "\\$")
         red = F.regexp_replace(red, pat, f"[{tag}]")
     return df.select("*", red.alias(out_col), *counts)
+
+
+# C4's line-level deny list (Raffel et al. 2020 §2.2): boilerplate
+# markers whose presence drops the LINE. Lowercase substrings — matched
+# case-insensitively, no regex, so both engines compare identically.
+DEFAULT_DENY_SUBSTRINGS = ("javascript", "lorem ipsum", "cookie policy",
+                           "terms of use", "privacy policy")
+
+
+def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
+                require_terminal: bool = True,
+                deny_substrings: tuple[str, ...] = DEFAULT_DENY_SUBSTRINGS,
+                out_col: str | None = None) -> DataFrame:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2).
+
+    Splits ``text_col`` on newlines and keeps a line iff (after
+    trimming) it has at least ``min_words`` whitespace-delimited words,
+    ends in terminal punctuation (``. ! ? "`` — when
+    ``require_terminal``), and contains none of ``deny_substrings``
+    case-insensitively. Appends ``out_col`` (kept lines re-joined with
+    newlines; '' when nothing survives), ``n_lines`` (original line
+    count) and ``n_kept``.
+
+    Scale shape: one zero-shuffle codegen projection — split/filter/
+    join are JVM higher-order functions whose lambdas consume only the
+    line element itself (no captured non-attribute expressions, so the
+    HOF-lambda re-evaluation class documented in dedup.shingle_norm
+    can't bite: every predicate is linear in the line). Upstream
+    pushdown and column pruning are unaffected.
+
+    Oracle portability: word counting is ``regexp_count(line,
+    '[^\\s]+')`` and the terminal check anchors with ``$`` on a TRIMMED
+    line (which cannot end in a newline, so Java's $-before-final-
+    newline quirk is unreachable); DuckDB mirrors each predicate with
+    list_filter/regexp_matches and COALESCEs the empty-list join (its
+    ``array_to_string([])`` is NULL where Spark gives '').
+    """
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    out_col = out_col or f"{text_col}_clean"
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.regexp_count(t, F.lit(r"[^\s]+")) >= min_words
+        if require_terminal:
+            cond = cond & t.rlike('[.!?"]$')
+        low = F.lower(line)
+        for s in deny_substrings:
+            cond = cond & ~low.contains(s.lower())
+        return cond
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _keep)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"))
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str,

@@ -263,3 +263,102 @@ def test_quality_filter_arrow_parity(spark, docs):
         arr = quality_filter(df, "text", "doc_id", arrow=True)
         assert arr.exceptAll(hof).count() == 0
         assert hof.exceptAll(arr).count() == 0
+
+
+# -- clean_lines --------------------------------------------------------------
+
+def test_clean_lines_rules(spark):
+    from peri_spark.functions import clean_lines
+    text = "\n".join([
+        "A proper first sentence.",     # kept
+        "click here",                   # dropped: <3 words, no terminal
+        "Enable JavaScript to win.",    # dropped: deny substring (ci)
+        "no terminal punctuation here", # dropped: require_terminal
+        "  Trailing spaces count too!  ",  # kept: trimmed before checks
+        "",                             # dropped: empty
+    ])
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    r = clean_lines(df, "text").collect()[0]
+    assert r.n_lines == 6 and r.n_kept == 2
+    assert r.text_clean == ("A proper first sentence.\n"
+                            "  Trailing spaces count too!  ")
+
+
+def test_clean_lines_options(spark):
+    from peri_spark.functions import clean_lines
+    df = spark.createDataFrame(
+        [(1, "one two\nthree four five")], ["id", "text"])
+    # relax both knobs: everything survives
+    r = clean_lines(df, "text", min_words=2, require_terminal=False,
+                    deny_substrings=()).collect()[0]
+    assert r.n_kept == 2
+    r = clean_lines(df, "text", min_words=3,
+                    require_terminal=False).collect()[0]
+    assert r.n_kept == 1
+    with pytest.raises(ValueError):
+        clean_lines(df, "text", min_words=-1)
+
+
+def test_clean_lines_null_and_empty(spark):
+    from peri_spark.functions import clean_lines
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, text string")
+    out = {r.id: r for r in clean_lines(df, "text").collect()}
+    assert out[1].text_clean is None and out[1].n_lines is None
+    assert out[2].text_clean == "" and out[2].n_lines == 1 \
+        and out[2].n_kept == 0
+
+
+def test_clean_lines_zero_shuffle(spark):
+    from peri_spark.functions import clean_lines
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = clean_lines(df, "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -- weighted_mix mode="up" ---------------------------------------------------
+
+def test_upsample_mix_epochs_and_copies(docs):
+    from peri_spark.functions import weighted_mix
+    base = {r["lang"]: r["count"] for r in
+            docs.groupBy("lang").count().collect()}
+    out = weighted_mix(docs, "lang", {"en": 1.0, "zh": 4.0}, "doc_id",
+                       mode="up")
+    got = {r["lang"]: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    assert set(got) == {"en", "zh"}
+    # the min-ratio anchor keeps every row at least once
+    assert got["en"] >= base["en"] and got["zh"] >= base["zh"]
+    # OUTPUT proportions track the weights (zh:en = 4:1); per-source
+    # epochs are rate = (w/n)/min(w/n), so the zh epoch count exceeds
+    # en's by 4 * n_en/n_zh (hash-coin tolerance on both)
+    assert got["zh"] / got["en"] == pytest.approx(4.0, rel=0.15)
+    zh_ep, en_ep = got["zh"] / base["zh"], got["en"] / base["en"]
+    assert zh_ep / en_ep == pytest.approx(4.0 * base["en"] / base["zh"],
+                                          rel=0.15)
+    # copies are numbered 0..c-1 per doc: max copy == per-doc count - 1
+    per_doc = (out.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("c"), F.max("copy").alias("m"),
+                    F.min("copy").alias("lo")).collect())
+    assert all(r["m"] == r["c"] - 1 and r["lo"] == 0 for r in per_doc)
+
+
+def test_upsample_mix_no_row_dropped_and_deterministic(docs):
+    from peri_spark.functions import weighted_mix
+    out = weighted_mix(docs, "lang", {"en": 1.0, "de": 2.0}, "doc_id",
+                       mode="up")
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    orig = {r["doc_id"] for r in
+            docs.where(F.col("lang").isin("en", "de"))
+                .select("doc_id").collect()}
+    assert kept_ids == orig          # mode=up never drops a listed row
+    again = weighted_mix(docs, "lang", {"en": 1.0, "de": 2.0}, "doc_id",
+                         mode="up")
+    assert sorted((r["doc_id"], r["copy"]) for r in again.collect()) == \
+        sorted((r["doc_id"], r["copy"]) for r in out.collect())
+
+
+def test_weighted_mix_rejects_bad_mode(docs):
+    from peri_spark.functions import weighted_mix
+    with pytest.raises(ValueError):
+        weighted_mix(docs, "lang", {"en": 1.0}, "doc_id", mode="sideways")
