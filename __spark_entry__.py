@@ -394,6 +394,34 @@ def q_lsh_incremental_documents(spark: SparkSession,
                         F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_exact_incremental_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup (exact_dedup_against): an arrival batch —
+    genuinely new docs (+1e5), byte-copies of corpus docs (+2e5), and
+    within-batch repeats of the new docs (+3e5) — classified against
+    the standing corpus's sha256 digest index. Every verdict branch is
+    exercised; canonical ids resolve to the corpus min for dup_corpus
+    and the batch min for dup_batch."""
+    from peri_spark.functions.dedup import exact_dedup_against
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = (docs.where(F.col("doc_id") % 10 < 8)
+              .select(F.col("doc_id").alias("id"), "text"))
+    fresh = (docs.where(F.col("doc_id") % 10 >= 8)
+             .select((F.col("doc_id") + 100_000).alias("id"), "text"))
+    copies = (docs.where((F.col("doc_id") % 10 < 8)
+                         & (F.col("doc_id") % 7 == 0))
+              .select((F.col("doc_id") + 200_000).alias("id"), "text"))
+    repeats = (docs.where((F.col("doc_id") % 10 >= 8)
+                          & (F.col("doc_id") % 3 == 0))
+               .select((F.col("doc_id") + 300_000).alias("id"), "text"))
+    batch = fresh.unionAll(copies).unionAll(repeats)
+    out = exact_dedup_against(corpus, batch, "text", "id")
+    # a 'new' row is its own canonical — also keeps the compare column
+    # NULL-free (the driver hash sorts mixed tuples)
+    return out.select("id", "verdict",
+                      F.coalesce("canonical_id", "id").alias("canonical_id"))
+
+
 def q_dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection END-TO-END: unigram log-likelihood
     scoring (broadcast top-20 vocab, Laplace alpha=1) composed with the
@@ -870,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_scores_documents": q_unigram_scores_documents,
         "bm25_documents": q_bm25_documents,
         "lsh_incremental_documents": q_lsh_incremental_documents,
+        "exact_incremental_documents": q_exact_incremental_documents,
         "dsir_select_documents": q_dsir_select_documents,
         "top_k_per_source_documents": q_top_k_per_source_documents,
         "token_budget_documents": q_token_budget_documents,
@@ -1944,6 +1973,35 @@ def oracle_sql() -> dict[str, str]:
         "either_customer": either_customer,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "lsh_incremental_documents": _lsh_incremental_oracle_sql(),
+        "exact_incremental_documents": """
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 < 8),
+    batch AS (
+      SELECT doc_id + 100000 AS id, text FROM documents
+      WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id % 3 = 0),
+    idx AS (
+      SELECT sha256(text) AS d, min(id) AS corpus_canon
+      FROM corpus WHERE text IS NOT NULL GROUP BY 1),
+    bd AS (
+      SELECT sha256(text) AS d, id FROM batch WHERE text IS NOT NULL),
+    bmin AS (SELECT d, min(id) AS batch_canon FROM bd GROUP BY 1)
+    SELECT bd.id,
+           CASE WHEN idx.corpus_canon IS NOT NULL THEN 'dup_corpus'
+                WHEN bd.id <> bmin.batch_canon THEN 'dup_batch'
+                ELSE 'new' END AS verdict,
+           CASE WHEN idx.corpus_canon IS NOT NULL THEN idx.corpus_canon
+                WHEN bd.id <> bmin.batch_canon THEN bmin.batch_canon
+                ELSE bd.id
+           END AS canonical_id
+    FROM bd LEFT JOIN idx ON bd.d = idx.d
+    JOIN bmin ON bd.d = bmin.d
+    """,
         "simhash": _SIMHASH_SQL,
         "winnow_fp": _WINNOW_SQL,
         "knn_lsh": _knn_oracle_sql(),

@@ -9,7 +9,8 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 from .curation import (clean_lines, contamination_overlap, hash_split,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
-from .dedup import (exact_duplicates, minhash_signatures,
+from .dedup import (exact_duplicates, exact_digest_index,
+                    exact_dedup_against, minhash_signatures,
                     lsh_duplicate_pairs, lsh_pairs_against,
                     ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
@@ -26,7 +27,8 @@ from .textstats import (bm25_topk, language_id, quality_filter,
                         vocabulary, winnow_fingerprints)
 
 __all__ = [
-    "exact_duplicates", "minhash_signatures", "lsh_duplicate_pairs",
+    "exact_duplicates", "exact_digest_index", "exact_dedup_against",
+    "minhash_signatures", "lsh_duplicate_pairs",
     "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",

@@ -23,7 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_duplicates", "shingles", "shingles_arrow",
+__all__ = ["exact_duplicates", "exact_digest_index", "exact_dedup_against",
+           "shingles", "shingles_arrow",
            "minhash_signatures",
            "lsh_duplicate_pairs", "lsh_pairs_against",
            "ngram_jaccard_pairs",
@@ -104,6 +105,76 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str,
     return (h.join(agg, "__h")
             .where(F.col("dup_id") != F.col("canonical_id"))
             .select("canonical_id", "dup_id", "n"))
+
+
+def exact_digest_index(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Reusable exact-dedup index: ``(digest, canonical_id, n)`` per
+    distinct sha256 text digest (canonical = min id, deterministic).
+
+    Build once over the standing corpus, persist to parquet, and probe
+    every arriving batch with :func:`exact_dedup_against` — the
+    continuous-ingestion complement of :func:`exact_duplicates`' batch
+    self-join. One (digest, id) shuffle; streaming hash-agg, so a hot
+    digest with millions of members never buffers in a task.
+    """
+    return (df.where(F.col(text_col).isNotNull())
+            .groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def exact_dedup_against(corpus: DataFrame | None, batch: DataFrame,
+                        text_col: str, id_col: str,
+                        corpus_index: DataFrame | None = None) -> DataFrame:
+    """INCREMENTAL exact dedup: classify every batch row against an
+    existing corpus — ``(id, verdict, canonical_id)`` with verdict
+    ``dup_corpus`` (byte-identical text already in the corpus; canonical
+    is the corpus's min id), ``dup_batch`` (new to the corpus but
+    repeated within the batch; canonical is the batch's min id), or
+    ``new`` (canonical NULL). Rows with NULL text are dropped.
+
+    Pass a previously persisted :func:`exact_digest_index` frame as
+    ``corpus_index`` to skip re-hashing the corpus — the daily-ingestion
+    shape where the index is a standing table that only grows by the
+    batch's ``new`` digests.
+
+    Scale shape (100 TB corpus, bounded batch): the batch's (digest, id)
+    projection is hash-repartitioned ONCE and all three consumers — the
+    distinct probe-digest set, the within-batch min aggregate, and the
+    classification join — hang off that exchange (ReuseExchange). The
+    corpus/index side is probed with a plain equi-join and NO forced
+    broadcast: AQE broadcasts the probe set at runtime when it measures
+    small (the normal case), while a corpus-sized backfill "batch"
+    degrades gracefully to a shuffle join instead of OOMing the driver
+    (same policy as :func:`lsh_pairs_against`). Corpus bytes never
+    shuffle; only digests do.
+    """
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_index")
+        corpus_index = exact_digest_index(corpus, text_col, id_col)
+    bd = (batch.where(F.col(text_col).isNotNull())
+          .select(F.sha2(F.col(text_col), 256).alias("__d"),
+                  F.col(id_col).alias("id"))
+          .repartition("__d"))
+    hits = (corpus_index
+            .join(bd.select("__d").distinct(),
+                  corpus_index["digest"] == F.col("__d"))
+            .select("__d", F.col("canonical_id").alias("__corpus_canon")))
+    bmin = bd.groupBy("__d").agg(F.min("id").alias("__batch_canon"))
+    corpus_hit = F.col("__corpus_canon").isNotNull()
+    batch_dup = F.col("id") != F.col("__batch_canon")
+    return (bd.join(hits, "__d", "left")
+            .join(bmin, "__d")
+            .select(
+                "id",
+                F.when(corpus_hit, F.lit("dup_corpus"))
+                 .when(batch_dup, F.lit("dup_batch"))
+                 .otherwise(F.lit("new")).alias("verdict"),
+                F.when(corpus_hit, F.col("__corpus_canon"))
+                 .when(batch_dup, F.col("__batch_canon"))
+                 .alias("canonical_id")))
 
 
 def dedup_chunks(df: DataFrame, text_col: str, id_col: str,

@@ -86,3 +86,51 @@ def test_portable_hash_mode(spark, corpus):
                               hash_fn=portable_hash64)
     got = {(r.corpus_id, r.batch_id) for r in pairs.collect()}
     assert (0, 300) in got and (1, 301) in got
+
+
+# -- exact_dedup_against ------------------------------------------------------
+
+def test_exact_against_verdicts(spark):
+    from peri_spark.functions.dedup import exact_dedup_against
+    corpus = _texts(spark, ["alpha", "beta", "alpha"])        # ids 0,1,2
+    batch = _texts(spark, ["alpha",      # 10: corpus dup -> canonical 0
+                           "gamma",      # 11: new (first of two in batch)
+                           "gamma",      # 12: dup within batch -> 11
+                           "delta",      # 13: new, unique
+                           None],        # 14: null text dropped
+                   id_start=10)
+    out = {r["id"]: (r["verdict"], r["canonical_id"])
+           for r in exact_dedup_against(corpus, batch, "text", "id")
+           .collect()}
+    assert out == {10: ("dup_corpus", 0), 11: ("new", None),
+                   12: ("dup_batch", 11), 13: ("new", None)}
+
+
+def test_exact_against_prebuilt_index_matches(spark):
+    from peri_spark.functions.dedup import (exact_dedup_against,
+                                            exact_digest_index)
+    corpus = _texts(spark, ["a", "b", "c", "a"])
+    batch = _texts(spark, ["a", "z", "z"], id_start=100)
+    direct = exact_dedup_against(corpus, batch, "text", "id")
+    idx = exact_digest_index(corpus, "text", "id")
+    via_index = exact_dedup_against(None, batch, "text", "id",
+                                    corpus_index=idx)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via_index.collect()))
+    # index carries multiplicity for corpus hygiene checks
+    n = {r["digest"]: r["n"] for r in idx.collect()}
+    assert sorted(n.values()) == [1, 1, 2]
+    with pytest.raises(ValueError):
+        exact_dedup_against(None, batch, "text", "id")
+
+
+def test_exact_against_batch_exchange_reused(spark, corpus):
+    from peri_spark.functions.dedup import exact_dedup_against
+    batch = corpus.where(F.col("id") < 10).select(
+        (F.col("id") + 1000).alias("id"), "text")
+    out = exact_dedup_against(corpus, batch, "text", "id")
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    # the batch (digest, id) repartition feeds probe + min-agg + join
+    # off one exchange; AQE must reuse, not re-execute, it
+    assert "ReusedExchange" in final
