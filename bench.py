@@ -732,6 +732,47 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
     tf_rows = select_top_fraction(sel_in, "n_chars", 0.1, "fid").count()
     tf_wall = round(time.monotonic() - t0, 3)
 
+    # clean_lines over a synthesized multi-line corpus (a period +
+    # newline every ~8 words so both keep and drop branches exercise —
+    # code_files content is single-line, so staging is part of the
+    # measured wall and disclosed here)
+    from peri_spark.functions.curation import clean_lines, weighted_mix
+    staged = df.select(F.regexp_replace(
+        "content", r"((\S+\s+){8})", "$1.\n").alias("content"))
+    t0 = time.monotonic()
+    cl = (clean_lines(staged, "content")
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum("n_lines").alias("lines"),
+               F.sum("n_kept").alias("kept")).collect()[0])
+    cl_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    up_rows = weighted_mix(
+        df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                  "lang"),
+        "lang", {"en": 1.0, "zh": 2.0}, "fid", mode="up").count()
+    up_wall = round(time.monotonic() - t0, 3)
+
+    # incremental exact dedup: one-time digest-index build over the
+    # full corpus, then a 1/16-slice arrival batch probed against it
+    from peri_spark.functions.dedup import (exact_dedup_against,
+                                            exact_digest_index)
+    ex_in = df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
+                      "content")
+    t0 = time.monotonic()
+    idx = exact_digest_index(ex_in, "content", "fid").localCheckpoint()
+    idx_n = idx.count()
+    exi_wall = round(time.monotonic() - t0, 3)
+    batch = (ex_in.where(F.pmod(F.col("fid"), F.lit(16)) == 0)
+             .select((F.col("fid") + 1).alias("fid"), "content"))
+    nb_ex = batch.count()
+    t0 = time.monotonic()
+    exv = {r["verdict"]: r["count"] for r in
+           exact_dedup_against(None, batch, "content", "fid",
+                               corpus_index=idx)
+           .groupBy("verdict").count().collect()}
+    exp_wall = round(time.monotonic() - t0, 3)
+
     spark.stop()
     return {"workers": workers, "n_rows": n,
             "top_k_per_group": {"wall_sec": tk_wall, "kept": int(tk_rows),
@@ -782,7 +823,22 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
             "chunk_dedup": {"wall_sec": ck_wall,
                             "chunks": int(ck.chunks),
                             "kept": int(ck.kept),
-                            "rows_per_sec": round(n / ck_wall, 1)}}
+                            "rows_per_sec": round(n / ck_wall, 1)},
+            "clean_lines": {"wall_sec": cl_wall,
+                            "lines": int(cl.lines),
+                            "kept_lines": int(cl.kept),
+                            "rows_per_sec": round(n / cl_wall, 1)},
+            "upsample_mix": {"wall_sec": up_wall,
+                             "emitted_rows": int(up_rows),
+                             "rows_per_sec": round(n / up_wall, 1)},
+            "exact_index_build": {"wall_sec": exi_wall,
+                                  "distinct_digests": int(idx_n),
+                                  "rows_per_sec": round(n / exi_wall, 1)},
+            "exact_incremental_probe": {"wall_sec": exp_wall,
+                                        "batch_rows": int(nb_ex),
+                                        "verdicts": exv,
+                                        "rows_per_sec":
+                                            round(nb_ex / exp_wall, 1)}}
 
 
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
