@@ -352,6 +352,25 @@ def q_vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(docs, "text", "doc_id", top_k=200)
 
 
+def q_encode_tokens_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (Arrow dict-lookup path): documents → token-id
+    arrays under the top-20 vocab, OOV → 0. The id array hash-checks in
+    full via an md5 over the comma-joined ids (the driver compare
+    doesn't take array columns), plus n_tokens and the OOV count."""
+    from peri_spark.functions import encode_tokens, vocabulary
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    voc = vocabulary(docs, "text", "doc_id", top_k=20)
+    enc = encode_tokens(docs, "text", "doc_id", voc)
+    ids_str = F.array_join(
+        F.transform("token_ids", lambda x: x.cast("string")), ",")
+    return enc.select(
+        "id", "n_tokens",
+        F.size(F.filter("token_ids", lambda x: x == 0)).cast("long")
+        .alias("n_unk"),
+        F.md5(ids_str).alias("ids_md5"))
+
+
 def q_unigram_scores_documents(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DSIR-style per-document unigram log-likelihood under the corpus'
@@ -895,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "quality_filter_documents": q_quality_filter_documents,
         "vocabulary_documents": q_vocabulary_documents,
+        "encode_tokens_documents": q_encode_tokens_documents,
         "unigram_scores_documents": q_unigram_scores_documents,
         "bm25_documents": q_bm25_documents,
         "lsh_incremental_documents": q_lsh_incremental_documents,
@@ -2023,6 +2043,28 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
         "quality_filter_documents": quality_filter_docs,
         "vocabulary_documents": vocab_docs,
+        "encode_tokens_documents": r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    ex AS (SELECT unnest(ts) AS token FROM toks),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY token),
+    v AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS r
+          FROM c ORDER BY c DESC, token LIMIT 20),
+    m AS (SELECT map(array_agg(token), array_agg(r)) AS vm FROM v),
+    enc AS (
+      SELECT doc_id,
+             list_transform(ts, t -> CAST(coalesce(vm[t][1], 0)
+                                          AS BIGINT)) AS ids,
+             CAST(len(ts) AS BIGINT) AS n_tokens
+      FROM toks, m)
+    SELECT doc_id AS id, n_tokens,
+           CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_unk,
+           md5(array_to_string(list_transform(ids,
+             x -> CAST(x AS VARCHAR)), ',')) AS ids_md5
+    FROM enc
+    """,
         "unigram_scores_documents": unigram_docs,
         "bm25_documents": bm25_docs,
         "dsir_select_documents": dsir_select_docs,

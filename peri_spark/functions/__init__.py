@@ -21,7 +21,8 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
-from .textstats import (bm25_topk, language_id, quality_filter,
+from .textstats import (bm25_topk, encode_tokens, language_id,
+                        quality_filter,
                         quality_scores,
                         repetition_stats, token_counts, unigram_logprob,
                         vocabulary, winnow_fingerprints)
@@ -41,4 +42,5 @@ __all__ = [
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
+    "encode_tokens",
 ]

@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["language_id", "quality_scores", "token_counts",
+           "encode_tokens",
            "winnow_fingerprints", "repetition_stats", "quality_filter",
            "LANG_MARKERS", "DEFAULT_QUALITY_RULES"]
 
@@ -435,6 +436,72 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str,
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return voc.select("token", "count", "doc_freq",
                       F.row_number().over(w).cast("long").alias("rank"))
+
+
+def encode_tokens(df: DataFrame, text_col: str, id_col: str,
+                  vocab: DataFrame, unk_id: int = 0,
+                  arrow: bool = True) -> DataFrame:
+    """Encode each document as its vocabulary token-id array —
+    ``(id, token_ids, n_tokens)``, the tokenize step feeding
+    :func:`peri_spark.functions.curation.pack_sequences`.
+
+    ``vocab`` is a :func:`vocabulary` frame; a token's id is its
+    ``rank`` (1-based, deterministic), out-of-vocabulary tokens encode
+    to ``unk_id`` (default 0 — never a rank). Tokenization is the
+    shared corpus convention (lower → trim → split ``\\s+``); null and
+    blank documents are dropped exactly like :func:`vocabulary`.
+
+    ``arrow=True`` (default, the scale path): the vocab — bounded by
+    construction when built with ``top_k`` — collects to a plain dict
+    once at call time and ships inside an Arrow-batched pandas UDF:
+    true O(1) lookups, map-side only, ZERO shuffle at any corpus size.
+    The JVM-map-literal alternative is deliberately not used — Spark's
+    ``element_at`` on ``ArrayBasedMapData`` is a linear scan per token,
+    quadratic in vocab size across a document.
+
+    ``arrow=False``: pure-relational twin (parity-tested bit-identical)
+    — posexplode → broadcast hash join on token (a real O(1) hash
+    probe) → regroup by id with positional ``array_sort`` reassembly.
+    Costs one (id, pos, tid) shuffle; use it where Python workers are
+    unavailable.
+    """
+    import re as _re
+
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+    if arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        vmap = {r["token"]: r["rank"]
+                for r in vocab.select("token", "rank").collect()}
+        ws = _re.compile(r"\s+", _re.ASCII)
+
+        def _enc(txt: str) -> list[int]:
+            # strip(" ") — Spark trim strips 0x20 only (see
+            # dedup.shingles_arrow parity contract)
+            return [vmap.get(x, unk_id)
+                    for x in ws.split(txt.lower().strip(" "))]
+
+        f = pandas_udf(
+            lambda s: s.map(lambda v: None if v is None else _enc(v)),
+            "array<long>")
+        return (base.select(F.col(id_col).alias("id"),
+                            f(F.col(text_col)).alias("token_ids"))
+                .withColumn("n_tokens",
+                            F.size("token_ids").cast("long")))
+    ex = base.select(F.col(id_col).alias("id"),
+                     F.posexplode(F.split(t, r"\s+"))
+                     .alias("pos", "token"))
+    enc = ex.join(F.broadcast(vocab.select(
+        "token", F.col("rank").alias("__tid"))), "token", "left")
+    ordered = F.array_sort(F.collect_list(F.struct(
+        "pos", F.coalesce("__tid", F.lit(unk_id)).cast("long")
+        .alias("tid"))))
+    return (enc.groupBy("id").agg(ordered.alias("__a"))
+            .select("id",
+                    F.transform("__a", lambda s: s["tid"])
+                    .alias("token_ids"),
+                    F.size("__a").cast("long").alias("n_tokens")))
 
 
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str,

@@ -446,3 +446,45 @@ def test_winnow_arrow_parity_and_errors(spark, docs):
         from pyspark.sql import functions as SF
         winnow_fingerprints(edge, "text", "doc_id", hash_fn=SF.xxhash64,
                             arrow=True)
+
+
+# -- encode_tokens ------------------------------------------------------------
+
+def test_encode_tokens_ids_and_oov(spark):
+    from peri_spark.functions import encode_tokens, vocabulary
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a zz B"), (3, None), (4, "   ")],
+        ["doc_id", "text"])
+    voc = vocabulary(df, "text", "doc_id", top_k=2)
+    # counts: b=3, a=2, c=1, zz=1 -> vocab {b:1, a:2}; c/zz are OOV
+    out = {r["id"]: (list(r["token_ids"]), r["n_tokens"]) for r in
+           encode_tokens(df, "text", "doc_id", voc).collect()}
+    assert out == {1: ([1, 2, 1, 0], 4), 2: ([2, 0, 1], 3)}
+    # custom unk id
+    custom = {r["id"]: list(r["token_ids"]) for r in
+              encode_tokens(df, "text", "doc_id", voc,
+                            unk_id=-1).collect()}
+    assert custom[2] == [2, -1, 1]
+
+
+def test_encode_tokens_paths_bit_identical(spark):
+    from peri_spark.functions import encode_tokens, vocabulary
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    voc = vocabulary(docs, "text", "doc_id", top_k=10)
+    key = lambda r: (r["id"], tuple(r["token_ids"]), r["n_tokens"])
+    a = sorted(map(key, encode_tokens(docs, "text", "doc_id", voc,
+                                      arrow=True).collect()))
+    j = sorted(map(key, encode_tokens(docs, "text", "doc_id", voc,
+                                      arrow=False).collect()))
+    assert a == j and len(a) == 500
+
+
+def test_encode_tokens_arrow_zero_shuffle(spark):
+    from peri_spark.functions import encode_tokens, vocabulary
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    voc = vocabulary(docs, "text", "doc_id", top_k=10)
+    plan = encode_tokens(docs, "text", "doc_id", voc)._jdf \
+        .queryExecution().executedPlan().toString()
+    # the encode itself is map-side: the only work after the scan is
+    # the Arrow eval — no Exchange anywhere in the executed plan
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
