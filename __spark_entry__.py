@@ -242,17 +242,17 @@ def q_clean_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     good/short alternation, and an unterminated prefix)."""
     from peri_spark.functions import clean_lines
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # F.concat (NOT concat_ws — that skips NULL args where the SQL
+    # mirror's || chain NULL-propagates the whole staged text)
     staged = docs.select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.concat(F.col("text"), F.lit(".")),
-            F.lit("click here"),
-            F.lit("Enable JavaScript to continue."),
+        F.concat(
+            F.col("text"), F.lit(".\nclick here\n"),
+            F.lit("Enable JavaScript to continue.\n"),
             F.when(F.col("doc_id") % 2 == 0,
                    F.lit("A fine second sentence!"))
              .otherwise(F.lit("short.")),
-            F.substring("text", 1, 20)).alias("text"))
+            F.lit("\n"), F.substring("text", 1, 20)).alias("text"))
     return clean_lines(staged, "text") \
         .select("doc_id", F.col("text_clean").alias("clean"),
                 "n_lines", "n_kept")
@@ -1687,8 +1687,9 @@ def oracle_sql() -> dict[str, str]:
     kept AS (
       SELECT doc_id, string_split(text, chr(10)) AS ls,
              list_filter(string_split(text, chr(10)), x ->
-               len(regexp_extract_all(trim(x), '[^\s]+')) >= 3
-               AND regexp_matches(trim(x), '[.!?"]$')
+               len(regexp_extract_all(trim(x),
+                   '[^ \t\n\x0B\f\r]+')) >= 3
+               AND regexp_matches(trim(x), '[.!?"]\z')
                AND NOT contains(lower(x), 'javascript')
                AND NOT contains(lower(x), 'lorem ipsum')
                AND NOT contains(lower(x), 'cookie policy')

@@ -350,12 +350,16 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
     can't bite: every predicate is linear in the line). Upstream
     pushdown and column pruning are unaffected.
 
-    Oracle portability: word counting is ``regexp_count(line,
-    '[^\\s]+')`` and the terminal check anchors with ``$`` on a TRIMMED
-    line (which cannot end in a newline, so Java's $-before-final-
-    newline quirk is unreachable); DuckDB mirrors each predicate with
-    list_filter/regexp_matches and COALESCEs the empty-list join (its
-    ``array_to_string([])`` is NULL where Spark gives '').
+    Oracle portability: the word class is the EXPLICIT
+    ``[^ \\t\\n\\x0B\\f\\r]+`` (Java ``\\s`` includes vertical tab,
+    RE2's does not — ``\\S+`` would diverge on ``\\x0B``), and the
+    terminal check anchors with ``\\z``, not ``$`` (Java ``$`` matches
+    BEFORE a trailing ``\\r``/``\\u2028``/…, so a CRLF corpus would
+    keep lines the RE2 oracle drops — the project's documented
+    ``$``-vs-``\\z`` trap; ``\\z`` means end-of-text in both engines).
+    DuckDB mirrors each predicate with list_filter/regexp_matches and
+    COALESCEs the empty-list join (its ``array_to_string([])`` is NULL
+    where Spark gives '').
     """
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
@@ -363,9 +367,10 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
 
     def _keep(line: Column) -> Column:
         t = F.trim(line)
-        cond = F.regexp_count(t, F.lit(r"[^\s]+")) >= min_words
+        cond = F.regexp_count(
+            t, F.lit(r"[^ \t\n\x0B\f\r]+")) >= min_words
         if require_terminal:
-            cond = cond & t.rlike('[.!?"]$')
+            cond = cond & t.rlike('[.!?"]\\z')
         low = F.lower(line)
         for s in deny_substrings:
             cond = cond & ~low.contains(s.lower())

@@ -461,9 +461,11 @@ def encode_tokens(df: DataFrame, text_col: str, id_col: str,
 
     ``arrow=False``: pure-relational twin (parity-tested bit-identical)
     — posexplode → broadcast hash join on token (a real O(1) hash
-    probe) → regroup by id with positional ``array_sort`` reassembly.
-    Costs one (id, pos, tid) shuffle; use it where Python workers are
-    unavailable.
+    probe) → regroup with positional ``array_sort`` reassembly. The
+    regroup key includes a per-row uid, not just ``id_col``, so rows
+    sharing an id re-emit one row each instead of interleaving their
+    tokens into one garbage array. Costs one (uid, pos, tid) shuffle;
+    use it where Python workers are unavailable.
     """
     import re as _re
 
@@ -489,15 +491,19 @@ def encode_tokens(df: DataFrame, text_col: str, id_col: str,
                             f(F.col(text_col)).alias("token_ids"))
                 .withColumn("n_tokens",
                             F.size("token_ids").cast("long")))
-    ex = base.select(F.col(id_col).alias("id"),
-                     F.posexplode(F.split(t, r"\s+"))
-                     .alias("pos", "token"))
+    # the uid must materialize in its OWN projection: in the same
+    # select as the generator it lands post-explode and numbers tokens
+    withrow = base.select(F.col(id_col).alias("id"),
+                          F.monotonically_increasing_id().alias("__row"),
+                          F.split(t, r"\s+").alias("__toks"))
+    ex = withrow.select("id", "__row",
+                        F.posexplode("__toks").alias("pos", "token"))
     enc = ex.join(F.broadcast(vocab.select(
         "token", F.col("rank").alias("__tid"))), "token", "left")
     ordered = F.array_sort(F.collect_list(F.struct(
         "pos", F.coalesce("__tid", F.lit(unk_id)).cast("long")
         .alias("tid"))))
-    return (enc.groupBy("id").agg(ordered.alias("__a"))
+    return (enc.groupBy("__row", "id").agg(ordered.alias("__a"))
             .select("id",
                     F.transform("__a", lambda s: s["tid"])
                     .alias("token_ids"),

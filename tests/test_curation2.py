@@ -362,3 +362,33 @@ def test_weighted_mix_rejects_bad_mode(docs):
     from peri_spark.functions import weighted_mix
     with pytest.raises(ValueError):
         weighted_mix(docs, "lang", {"en": 1.0}, "doc_id", mode="sideways")
+
+
+def test_clean_lines_crlf_and_vtab_portability(spark):
+    # review findings: Java '$' matches before a trailing \r (CRLF
+    # corpora) and Java \s includes \x0B where RE2's does not — the
+    # operator must use \z and an explicit word class so the DuckDB
+    # oracle agrees
+    from peri_spark.functions import clean_lines
+    df = spark.createDataFrame(
+        [(1, "Good line number one.\r\nGood line number two."),
+         (2, "aa\x0bbb cc dd.")],
+        ["id", "text"])
+    out = {r.id: r for r in clean_lines(df, "text").collect()}
+    # line 1 of doc 1 ends in '\r' after the \n split -> NOT terminal
+    assert out[1].n_kept == 1
+    assert "\r" not in out[1].text_clean
+    # \x0B is a word separator in Java but not RE2: with the explicit
+    # class it must NOT split — 3 words ("aa\x0bbb", "cc", "dd.") keep
+    assert out[2].n_kept == 1
+    import duckdb
+    con = duckdb.connect()
+    ora = con.execute(r"""
+      SELECT len(list_filter(string_split(s, chr(10)), x ->
+        len(regexp_extract_all(trim(x), '[^ \t\n\x0B\f\r]+')) >= 3
+        AND regexp_matches(trim(x), '[.!?"]\z')))
+      FROM (VALUES ('Good line number one.' || chr(13) || chr(10)
+                    || 'Good line number two.'),
+                   ('aa' || chr(11) || 'bb cc dd.')) AS t(s)
+    """).fetchall()
+    assert [r[0] for r in ora] == [out[1].n_kept, out[2].n_kept]

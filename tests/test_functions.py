@@ -488,3 +488,15 @@ def test_encode_tokens_arrow_zero_shuffle(spark):
     # the encode itself is map-side: the only work after the scan is
     # the Arrow eval — no Exchange anywhere in the executed plan
     assert "Exchange" not in plan and "ArrowEvalPython" in plan
+
+
+def test_encode_tokens_jvm_path_duplicate_ids(spark):
+    # review finding: groupBy(id) alone interleaved rows sharing an id
+    from peri_spark.functions import encode_tokens, vocabulary
+    df = spark.createDataFrame(
+        [(1, "a b"), (1, "b b"), (2, "a")], ["doc_id", "text"])
+    voc = vocabulary(df, "text", "doc_id")  # b=3 -> rank 1, a=2 -> rank 2
+    out = sorted((r["id"], tuple(r["token_ids"])) for r in
+                 encode_tokens(df, "text", "doc_id", voc,
+                               arrow=False).collect())
+    assert out == [(1, (1, 1)), (1, (2, 1)), (2, (2,))]
