@@ -694,6 +694,14 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
         .collect()
     bm_wall = round(time.monotonic() - t0, 3)
 
+    # vocab-encoding (Arrow dict path): ids + packing feed, map-side
+    from peri_spark.functions import encode_tokens
+    t0 = time.monotonic()
+    et = (encode_tokens(qf_in, "content", "fid", vocab)
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum("n_tokens").alias("toks")).collect()[0])
+    et_wall = round(time.monotonic() - t0, 3)
+
     toks = df.select(
         F.xxhash64("repo", "path", "commit").alias("fid"),
         F.size(F.split(F.trim("content"), r"\s+")).alias("n_tok"))
@@ -816,6 +824,9 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                                 "rows_per_sec": round(n / ug_wall, 1)},
             "bm25_topk": {"wall_sec": bm_wall, "hits": len(bm),
                           "rows_per_sec": round(n / bm_wall, 1)},
+            "encode_tokens": {"wall_sec": et_wall,
+                              "tokens": int(et.toks),
+                              "rows_per_sec": round(n / et_wall, 1)},
             "pack_sequences": {"wall_sec": pk_wall,
                                "packed_rows": int(pk.rows),
                                "max_bin": int(pk.max_bin),
