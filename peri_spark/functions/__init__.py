@@ -10,7 +10,8 @@ from .curation import (clean_lines, contamination_overlap, hash_split,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
 from .dedup import (exact_duplicates, exact_digest_index,
-                    exact_dedup_against, minhash_signatures,
+                    exact_dedup_against, update_digest_index,
+                    minhash_signatures,
                     lsh_duplicate_pairs, lsh_pairs_against,
                     ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
@@ -29,6 +30,7 @@ from .textstats import (bm25_topk, encode_tokens, language_id,
 
 __all__ = [
     "exact_duplicates", "exact_digest_index", "exact_dedup_against",
+    "update_digest_index",
     "minhash_signatures", "lsh_duplicate_pairs",
     "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",

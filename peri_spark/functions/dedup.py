@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_duplicates", "exact_digest_index", "exact_dedup_against",
+           "update_digest_index",
            "shingles", "shingles_arrow",
            "minhash_signatures",
            "lsh_duplicate_pairs", "lsh_pairs_against",
@@ -122,6 +123,27 @@ def exact_digest_index(df: DataFrame, text_col: str,
             .groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count(F.lit(1)).alias("n")))
+
+
+def update_digest_index(index: DataFrame, batch: DataFrame,
+                        text_col: str, id_col: str) -> DataFrame:
+    """Fold an ingested batch into a standing :func:`exact_digest_index`
+    — the write-back half of the incremental loop: probe with
+    :func:`exact_dedup_against`, keep the ``new``/``dup_batch``
+    survivors, then persist ``update_digest_index(index, batch, ...)``
+    as the next day's index.
+
+    Semantics match rebuilding from scratch over corpus ∪ batch:
+    per digest, ``canonical_id`` is the min across both sides and ``n``
+    sums (associative, so daily folds compose). One batch-sized index
+    build + a groupBy over index ∪ batch-index — the merge shuffles
+    (digest, id, n) triples only, never text.
+    """
+    fresh = exact_digest_index(batch, text_col, id_col)
+    return (index.unionByName(fresh)
+            .groupBy("digest")
+            .agg(F.min("canonical_id").alias("canonical_id"),
+                 F.sum("n").alias("n")))
 
 
 def exact_dedup_against(corpus: DataFrame | None, batch: DataFrame,

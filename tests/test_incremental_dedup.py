@@ -134,3 +134,18 @@ def test_exact_against_batch_exchange_reused(spark, corpus):
     # the batch (digest, id) repartition feeds probe + min-agg + join
     # off one exchange; AQE must reuse, not re-execute, it
     assert "ReusedExchange" in final
+
+
+def test_update_digest_index_equals_rebuild(spark):
+    from peri_spark.functions.dedup import (exact_digest_index,
+                                            update_digest_index)
+    corpus = _texts(spark, ["a", "b", "a"])          # ids 0,1,2
+    batch = _texts(spark, ["a", "c", None], id_start=10)
+    idx = exact_digest_index(corpus, "text", "id")
+    merged = update_digest_index(idx, batch, "text", "id")
+    rebuilt = exact_digest_index(
+        corpus.unionByName(batch), "text", "id")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, rebuilt.collect()))
+    got = {r["canonical_id"]: r["n"] for r in merged.collect()}
+    assert got == {0: 3, 1: 1, 11: 1}   # 'a' n=3 canonical 0; 'c' new
