@@ -258,6 +258,23 @@ def q_clean_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_lines", "n_kept")
 
 
+def q_normalize_text_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + whitespace-collapse over documents
+    with planted mess: a decomposed combining accent (e + U+0301), a
+    BEL control, a vertical tab (whitespace — must become a space, not
+    glue words), tabs and space runs. Python unicodedata and DuckDB
+    nfc_normalize both implement UAX #15, so the outputs hash-match."""
+    from peri_spark.functions import normalize_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("  école\tde  "), F.col("text"),
+                 F.lit(" \x07bell\x0Bpage ")).alias("text"))
+    return normalize_text(staged, "text") \
+        .select("doc_id", F.col("text_norm").alias("normed"))
+
+
 def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministically planted PII
     (every 3rd doc gets an email, an IPv4, and a 32-hex secret built
@@ -907,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix_documents": q_weighted_mix_documents,
         "upsample_mix_documents": q_upsample_mix_documents,
         "clean_lines_documents": q_clean_lines_documents,
+        "normalize_text_documents": q_normalize_text_documents,
         "redact_pii_documents": q_redact_pii_documents,
         "repetition_documents": q_repetition_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1701,6 +1719,19 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(kl) AS BIGINT) AS n_kept
     FROM kept
     """
+    normalize_docs = r"""
+    WITH staged AS (
+      SELECT doc_id,
+             '  e' || chr(769) || 'cole' || chr(9) || 'de  ' || text
+             || ' ' || chr(7) || 'bell' || chr(11) || 'page ' AS text
+      FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS normed
+    FROM staged
+    """
     redact_pii = r"""
     WITH staged AS (
       SELECT doc_id,
@@ -2037,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix_documents": weighted_mix_docs,
         "upsample_mix_documents": upsample_mix_docs,
         "clean_lines_documents": clean_lines_docs,
+        "normalize_text_documents": normalize_docs,
         "redact_pii_documents": redact_pii,
         "repetition_documents": repetition,
         "pack_sequences_documents": pack_docs,

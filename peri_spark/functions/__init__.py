@@ -7,6 +7,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
 from .curation import (clean_lines, contamination_overlap, hash_split,
+                       normalize_text,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
 from .dedup import (exact_duplicates, exact_digest_index,
@@ -44,5 +45,5 @@ __all__ = [
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
-    "encode_tokens",
+    "encode_tokens", "normalize_text",
 ]

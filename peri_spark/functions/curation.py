@@ -33,7 +33,7 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
-           "clean_lines", "DEFAULT_PII_PATTERNS",
+           "clean_lines", "normalize_text", "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
 
 # Engine-portable regexes (no lookaround, ASCII classes): identical
@@ -383,6 +383,55 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
         F.array_join(kept, "\n").alias(out_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"))
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None,
+                   form: str | None = "NFC", strip_control: bool = True,
+                   collapse_ws: bool = True,
+                   lower: bool = False) -> DataFrame:
+    """Canonical text normalization — the first step of every text
+    pipeline, applied in a fixed order: Unicode normalization (``form``
+    ∈ NFC/NFKC/NFD/NFKD, or None to skip), control-character strip,
+    whitespace collapse (runs of space/tab/newline/VT/FF/CR → one
+    space, then trimmed), optional lowercasing. Appends ``out_col``;
+    NULL text null-propagates.
+
+    Scale shape: the Unicode step is ONE Arrow-batched pandas UDF
+    (Spark has no built-in normalizer; per-row Python is never used);
+    everything after stays in whole-stage codegen ``regexp_replace``.
+    With ``form=None`` the whole op is JVM-only. Zero shuffle either
+    way.
+
+    Oracle portability: Python's ``unicodedata.normalize`` and DuckDB's
+    ``nfc_normalize`` both implement UAX #15 (verified equal on
+    combining sequences); the control class and the EXPLICIT whitespace
+    class (not ``\\s`` — Java and RE2 disagree on ``\\x0B``) mirror
+    byte-for-byte.
+    """
+    if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unsupported normalization form: {form!r}")
+    out_col = out_col or f"{text_col}_norm"
+    col: Column = F.col(text_col)
+    if form is not None:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        norm = pandas_udf(
+            lambda s: s.map(lambda v: None if v is None
+                            else unicodedata.normalize(form, v)),
+            "string")
+        col = norm(col)
+    if strip_control:
+        # \x0B/\x0C deliberately NOT stripped — they are whitespace and
+        # must collapse to a space, not glue their neighbors together
+        col = F.regexp_replace(
+            col, r"[\x00-\x08\x0E-\x1F\x7F]", "")
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", " "))
+    if lower:
+        col = F.lower(col)
+    return df.select("*", col.alias(out_col))
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str,

@@ -392,3 +392,38 @@ def test_clean_lines_crlf_and_vtab_portability(spark):
                    ('aa' || chr(11) || 'bb cc dd.')) AS t(s)
     """).fetchall()
     assert [r[0] for r in ora] == [out[1].n_kept, out[2].n_kept]
+
+
+# -- normalize_text -----------------------------------------------------------
+
+def test_normalize_text_nfc_control_ws(spark):
+    from peri_spark.functions import normalize_text
+    df = spark.createDataFrame(
+        [(1, "  école\tde \x07bell\x0bpage  "),
+         (2, None),
+         (3, "a  b")],
+        "id long, text string")
+    out = {r.id: r.text_norm for r in
+           normalize_text(df, "text").collect()}
+    # decomposed e+U+0301 -> precomposed é; BEL stripped; vertical tab
+    # is whitespace -> single space; runs collapse; ends trim
+    assert out[1] == "école de bell page"
+    assert out[2] is None
+    assert out[3] == "a b"
+
+
+def test_normalize_text_options(spark):
+    from peri_spark.functions import normalize_text
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "ﬁne  Stuff")],
+                               "id long, text string")
+    # NFKC folds the fi ligature; lower applies last
+    r = normalize_text(df, "text", form="NFKC", lower=True).collect()[0]
+    assert r.text_norm == "fine stuff"
+    # form=None skips the Arrow step entirely: plan must be pure JVM
+    jvm = normalize_text(df, "text", form=None)
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert jvm.collect()[0].text_norm == "ﬁne Stuff"
+    with _pytest.raises(ValueError):
+        normalize_text(df, "text", form="NFX")
