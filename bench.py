@@ -754,6 +754,14 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                F.sum("n_kept").alias("kept")).collect()[0])
     cl_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions import normalize_text
+    t0 = time.monotonic()
+    nm = (normalize_text(df, "content")
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum(F.length("content_norm")).alias("chars"))
+          .collect()[0])
+    nm_wall = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     up_rows = weighted_mix(
         df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
@@ -835,6 +843,9 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                             "chunks": int(ck.chunks),
                             "kept": int(ck.kept),
                             "rows_per_sec": round(n / ck_wall, 1)},
+            "normalize_text": {"wall_sec": nm_wall,
+                               "chars": int(nm.chars),
+                               "rows_per_sec": round(n / nm_wall, 1)},
             "clean_lines": {"wall_sec": cl_wall,
                             "lines": int(cl.lines),
                             "kept_lines": int(cl.kept),
