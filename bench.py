@@ -681,7 +681,9 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
 
     from peri_spark.functions import bm25_topk, unigram_logprob, vocabulary
     t0 = time.monotonic()
-    vocab = vocabulary(qf_in, "content", "fid", top_k=65536)
+    # persist: unigram/bm25/encode all consume the vocab — without it
+    # each section re-runs the corpus-wide vocab build inside its timer
+    vocab = vocabulary(qf_in, "content", "fid", top_k=65536).persist()
     n_vocab = vocab.count()
     vb_wall = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
@@ -701,6 +703,7 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
           .agg(F.count(F.lit(1)).alias("rows"),
                F.sum("n_tokens").alias("toks")).collect()[0])
     et_wall = round(time.monotonic() - t0, 3)
+    vocab.unpersist()
 
     toks = df.select(
         F.xxhash64("repo", "path", "commit").alias("fid"),

@@ -33,7 +33,8 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
-           "clean_lines", "normalize_text", "DEFAULT_PII_PATTERNS",
+           "clean_lines", "normalize_text", "PORTABLE_WS_CHARS",
+           "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
 
 # Engine-portable regexes (no lookaround, ASCII classes): identical
@@ -43,6 +44,12 @@ DEFAULT_PII_PATTERNS = {
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "secret": r"\b[0-9a-f]{32,}\b",
 }
+
+# The engine-portable whitespace character set, kept in ONE place:
+# Java \s includes \x0B (vertical tab) where RE2's does not, so every
+# Spark-side class AND its DuckDB oracle mirror must spell the set out
+# explicitly. Oracle SQL in __spark_entry__ mirrors these characters.
+PORTABLE_WS_CHARS = r" \t\n\x0B\f\r"
 
 # one-in-a-million resolution for hash coins: thresholds become exact
 # integers, so engine-portable comparisons never hinge on float equality
@@ -364,11 +371,14 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
     if min_words < 0:
         raise ValueError(f"min_words must be >= 0, got {min_words}")
     out_col = out_col or f"{text_col}_clean"
+    clash = {out_col, "n_lines", "n_kept"} & set(df.columns)
+    if clash:
+        raise ValueError(f"output columns already exist: {sorted(clash)}")
 
     def _keep(line: Column) -> Column:
         t = F.trim(line)
         cond = F.regexp_count(
-            t, F.lit(r"[^ \t\n\x0B\f\r]+")) >= min_words
+            t, F.lit(f"[^{PORTABLE_WS_CHARS}]+")) >= min_words
         if require_terminal:
             cond = cond & t.rlike('[.!?"]\\z')
         low = F.lower(line)
@@ -411,6 +421,9 @@ def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None,
     if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unsupported normalization form: {form!r}")
     out_col = out_col or f"{text_col}_norm"
+    if out_col in df.columns:
+        # fail at call time, not with a downstream AMBIGUOUS_REFERENCE
+        raise ValueError(f"output column already exists: {out_col!r}")
     col: Column = F.col(text_col)
     if form is not None:
         import unicodedata
@@ -428,7 +441,8 @@ def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None,
         col = F.regexp_replace(
             col, r"[\x00-\x08\x0E-\x1F\x7F]", "")
     if collapse_ws:
-        col = F.trim(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", " "))
+        col = F.trim(F.regexp_replace(
+            col, f"[{PORTABLE_WS_CHARS}]+", " "))
     if lower:
         col = F.lower(col)
     return df.select("*", col.alias(out_col))
