@@ -200,3 +200,82 @@ def test_time_matches_duckdb_verdicts(spark, duck, vals):
         f"regexp_matches(t, '{_TIME_GRAMMAR}') "
         "AND NOT regexp_matches(t, '-00(:?00)?$'))").fetchall()}
     assert got == want, f"vals={vals!r}"
+
+
+# --- curation-op differential fuzz ------------------------------------------
+# clean_lines and normalize_text ship hand-mirrored DuckDB SQL in
+# __spark_entry__; fuzz the exact divergence surfaces the r4 review hit
+# (CRLF line ends, vertical tab vs Java \s, deny substrings, control
+# bytes, combining accents, whitespace runs).
+
+_line_frag = st.sampled_from(
+    ["Good words here.", "click here", "javaScript rules!", "x y z",
+     "tab\tsep words.", "  padded words !  ", "", "no terminal words",
+     "aa\x0bbb cc.", "one two three?", 'quoted words end"', "p q r\r",
+     "lorem ipsum dolor sit."])
+_line_docs = st.lists(_line_frag, min_size=1, max_size=6) \
+    .map(lambda ls: "\n".join(ls))
+
+_CLEAN_ORACLE = r"""
+SELECT row_id,
+       COALESCE(array_to_string(list_filter(string_split(t, chr(10)), x ->
+         len(regexp_extract_all(trim(x), '[^ \t\n\x0B\f\r]+')) >= 3
+         AND regexp_matches(trim(x), '[.!?"]\z')
+         AND NOT contains(lower(x), 'javascript')
+         AND NOT contains(lower(x), 'lorem ipsum')
+         AND NOT contains(lower(x), 'cookie policy')
+         AND NOT contains(lower(x), 'terms of use')
+         AND NOT contains(lower(x), 'privacy policy')), chr(10)), '')
+FROM clean_t ORDER BY row_id
+"""
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_line_docs, min_size=1, max_size=6))
+def test_clean_lines_matches_duckdb(spark, duck, vals):
+    from peri_spark.functions import clean_lines
+    df = spark.createDataFrame(list(enumerate(vals)),
+                               "row_id long, t string")
+    got = {r["row_id"]: r["t_clean"] for r in
+           clean_lines(df, "t").collect()}
+    duck.register("clean_t",
+                  pd.DataFrame({"row_id": range(len(vals)), "t": vals}))
+    want = dict(duck.execute(_CLEAN_ORACLE).fetchall())
+    assert got == want, f"vals={vals!r}"
+
+
+# \x00 excluded: DuckDB's nfc_normalize (utf8proc) treats NUL as a
+# C-string terminator ('\x00x' -> ''), while Spark strips it like
+# any control byte -- an ORACLE-ENGINE limitation, not an operator
+# bug (probed: duckdb length() stores NUL fine, nfc_normalize not).
+_norm_frag = st.sampled_from(
+    ["école", "ﬁne", "  ", "\t\t", "a\x0bb", "\x07", "\x01\x1f",
+     "plain", "\r\n", "Ώ", "x  y", "\x7f", "ﬀ"])
+_norm_docs = st.lists(_norm_frag, min_size=0, max_size=8).map("".join)
+
+_NORM_ORACLE = r"""
+SELECT row_id,
+       trim(regexp_replace(
+         regexp_replace(nfc_normalize(t),
+           '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+         '[ \t\n\x0B\f\r]+', ' ', 'g'))
+FROM norm_t ORDER BY row_id
+"""
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_norm_docs, min_size=1, max_size=8))
+def test_normalize_text_matches_duckdb(spark, duck, vals):
+    from peri_spark.functions import normalize_text
+    df = spark.createDataFrame(list(enumerate(vals)),
+                               "row_id long, t string")
+    got = {r["row_id"]: r["t_norm"] for r in
+           normalize_text(df, "t").collect()}
+    duck.register("norm_t",
+                  pd.DataFrame({"row_id": range(len(vals)), "t": vals}))
+    want = dict(duck.execute(_NORM_ORACLE).fetchall())
+    assert got == want, f"vals={vals!r}"
