@@ -258,6 +258,16 @@ def q_clean_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_lines", "n_kept")
 
 
+def q_sample_k_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform sample: 10 documents per lang,
+    chosen by the portable hash coin (key-ascending tiebreak) — a
+    BINOMIAL-free sampler whose picks DuckDB reproduces exactly."""
+    from peri_spark.functions import sample_k_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_k_per_group(docs, "lang", 10, "doc_id") \
+        .select("doc_id", "lang")
+
+
 def q_normalize_text_documents(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Unicode NFC + control-strip + whitespace-collapse over documents
@@ -925,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mix_documents": q_upsample_mix_documents,
         "clean_lines_documents": q_clean_lines_documents,
         "normalize_text_documents": q_normalize_text_documents,
+        "sample_k_documents": q_sample_k_documents,
         "redact_pii_documents": q_redact_pii_documents,
         "repetition_documents": q_repetition_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1719,6 +1730,14 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(kl) AS BIGINT) AS n_kept
     FROM kept
     """
+    sample_k_docs = f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_coin42}, doc_id) AS r
+      FROM documents)
+    WHERE r <= 10
+    """
     normalize_docs = r"""
     WITH staged AS (
       SELECT doc_id,
@@ -2069,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "upsample_mix_documents": upsample_mix_docs,
         "clean_lines_documents": clean_lines_docs,
         "normalize_text_documents": normalize_docs,
+        "sample_k_documents": sample_k_docs,
         "redact_pii_documents": redact_pii,
         "repetition_documents": repetition,
         "pack_sequences_documents": pack_docs,

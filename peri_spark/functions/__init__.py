@@ -7,6 +7,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
 from .curation import (clean_lines, contamination_overlap, hash_split,
+                       sample_k_per_group,
                        normalize_text,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
@@ -45,5 +46,5 @@ __all__ = [
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
-    "encode_tokens", "normalize_text",
+    "encode_tokens", "normalize_text", "sample_k_per_group",
 ]

@@ -33,6 +33,7 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
+           "sample_k_per_group",
            "clean_lines", "normalize_text", "PORTABLE_WS_CHARS",
            "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
@@ -393,6 +394,29 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
         F.array_join(kept, "\n").alias(out_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"))
+
+
+def sample_k_per_group(df: DataFrame, group_col: str, k: int,
+                       key_col: str, seed: int = 42) -> DataFrame:
+    """Exact uniform sample of ``k`` rows per group, deterministically.
+
+    Unlike rate-based sampling (:func:`stratified_sample`, which yields
+    a BINOMIAL count per stratum), this returns exactly ``min(k, n_g)``
+    rows for every group — the "k exemplars per domain" shape — and the
+    selection is a pure function of (key, seed): the portable hash coin
+    orders each group and the first ``k`` win (key ascending breaks
+    coin ties). Re-runs, engines, and cluster layouts all pick the
+    same rows, and DuckDB reproduces the choice bit-for-bit.
+
+    Scale shape: delegates to :func:`top_k_per_group` — one hash
+    exchange on the group key, in-partition rank, no global sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    return (top_k_per_group(
+        df.withColumn("__coin", _coin(F.col(key_col), seed)),
+        group_col, "__coin", k, key_col, descending=False)
+        .drop("__coin"))
 
 
 def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None,

@@ -427,3 +427,25 @@ def test_normalize_text_options(spark):
     assert jvm.collect()[0].text_norm == "ﬁne Stuff"
     with _pytest.raises(ValueError):
         normalize_text(df, "text", form="NFX")
+
+
+# -- sample_k_per_group -------------------------------------------------------
+
+def test_sample_k_exact_counts_and_deterministic(docs):
+    from peri_spark.functions import sample_k_per_group
+    base = {r["lang"]: r["count"] for r in
+            docs.groupBy("lang").count().collect()}
+    out = sample_k_per_group(docs, "lang", 7, "doc_id")
+    got = {r["lang"]: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    # exactly min(k, n_g) per group — never binomial
+    assert got == {g: min(7, n) for g, n in base.items()}
+    again = sample_k_per_group(docs, "lang", 7, "doc_id")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+    # different seed -> (almost surely) different picks, same counts
+    other = sample_k_per_group(docs, "lang", 7, "doc_id", seed=7)
+    assert sorted(r["doc_id"] for r in other.collect()) != \
+        sorted(r["doc_id"] for r in out.collect())
+    with pytest.raises(ValueError):
+        sample_k_per_group(docs, "lang", 0, "doc_id")
