@@ -258,6 +258,28 @@ def q_clean_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_lines", "n_kept")
 
 
+def q_cluster_split_code_files(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting end-to-end: n-gram-Jaccard pairs →
+    connected components → hash_split keyed on the CLUSTER id, so a
+    test file can never have a near-copy in train. Singletons key on
+    their own id. The oracle walks the same edges with the recursive
+    CTE and applies the identical coin to coalesce(cluster, id)."""
+    from peri_spark.functions import (cluster_safe_split,
+                                      near_dup_clusters,
+                                      ngram_jaccard_pairs, portable_hash64)
+    df = _code_files(spark, sf_dir)
+    keyed = df.select(
+        portable_hash64(F.concat_ws("|", "repo", "path", "commit"))
+        .alias("id"), "content").where(F.col("content").isNotNull())
+    p = ngram_jaccard_pairs(keyed, "content", "id", threshold=0.5, k=3,
+                            words=True, max_candidates_per_token=200)
+    labels = near_dup_clusters(p)
+    return cluster_safe_split(keyed, "id", labels,
+                              {"train": 0.8, "test": 0.2}) \
+        .select("id", "split")
+
+
 def q_sample_k_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-k uniform sample: 10 documents per lang,
     chosen by the portable hash coin (key-ascending tiebreak) — a
@@ -936,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines_documents": q_clean_lines_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "sample_k_documents": q_sample_k_documents,
+        "cluster_split_code_files": q_cluster_split_code_files,
         "redact_pii_documents": q_redact_pii_documents,
         "repetition_documents": q_repetition_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1165,6 +1188,28 @@ def _dedup_by_clusters_oracle_sql() -> str:
     SELECT k.id FROM keyed k
     WHERE NOT EXISTS (SELECT 1 FROM cl
                       WHERE cl.id = k.id AND cl.id <> cl.cluster_id)
+    """
+
+
+def _cluster_split_oracle_sql() -> str:
+    """DuckDB reproduction of q_cluster_split_code_files: recursive-CTE
+    clusters, split coin on coalesce(cluster_id, id) — the same
+    portable md5 coin as hash_split with {train: .8, test: .2}."""
+    key_expr = _ph('repo || \'|\' || path || \'|\' || "commit"')
+    cluster_sql = _near_dup_clusters_oracle_sql()
+    coin = _ph("CAST(skey AS VARCHAR) || chr(31) || '42'") + " % 1000000"
+    return f"""
+    WITH keyed AS (
+      SELECT {key_expr} AS id
+      FROM {_CF} AS code_files WHERE content IS NOT NULL),
+    cl AS MATERIALIZED ({cluster_sql}),
+    k2 AS (
+      SELECT keyed.id, COALESCE(cl.cluster_id, keyed.id) AS skey
+      FROM keyed LEFT JOIN cl ON cl.id = keyed.id)
+    SELECT id,
+           CASE WHEN {coin} < 800000 THEN 'train'
+                WHEN {coin} < 1000000 THEN 'test' END AS split
+    FROM k2
     """
 
 
@@ -2080,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
         "dedup_by_clusters": _dedup_by_clusters_oracle_sql(),
+        "cluster_split_code_files": _cluster_split_oracle_sql(),
         "embedding_dups": _embedding_dups_oracle_sql(),
         "decontaminate_documents": decontaminate,
         "hash_split_documents": hash_split_docs,

@@ -6,7 +6,8 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
-from .curation import (clean_lines, contamination_overlap, hash_split,
+from .curation import (clean_lines, cluster_safe_split,
+                       contamination_overlap, hash_split,
                        sample_k_per_group,
                        normalize_text,
                        pack_sequences, redact_text, stratified_sample,
@@ -47,4 +48,5 @@ __all__ = [
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
     "encode_tokens", "normalize_text", "sample_k_per_group",
+    "cluster_safe_split",
 ]

@@ -33,7 +33,7 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
-           "sample_k_per_group",
+           "sample_k_per_group", "cluster_safe_split",
            "clean_lines", "normalize_text", "PORTABLE_WS_CHARS",
            "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
@@ -394,6 +394,36 @@ def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,
         F.array_join(kept, "\n").alias(out_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"))
+
+
+def cluster_safe_split(df: DataFrame, id_col: str, labels: DataFrame,
+                       splits: dict[str, float], seed: int = 42,
+                       split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test assignment: every near-duplicate
+    CLUSTER lands in exactly one split, so a test document can never
+    have a near-copy in train.
+
+    ``labels`` is an ``(id, cluster_id)`` frame as produced by
+    :func:`peri_spark.functions.dedup.near_dup_clusters`; rows absent
+    from it (singletons — the labels frame only holds clustered ids)
+    key on their own id. The split coin hashes the CLUSTER id, so all
+    members agree by construction, and — like :func:`hash_split` — the
+    assignment is a pure function of (cluster key, seed): stable across
+    re-runs, engines, and growing corpora (new members of an existing
+    cluster join its split).
+
+    Scale shape: one hash join attaching labels (labels carry only
+    clustered ids — typically a small fraction of the corpus, AQE
+    broadcasts when small) + the map-side coin. No other shuffle.
+    """
+    lab = labels.select(F.col("id").alias("__lid"),
+                        F.col("cluster_id").alias("__label"))
+    keyed = (df.join(lab, df[id_col] == F.col("__lid"), "left")
+             .withColumn("__skey",
+                         F.coalesce(F.col("__label"), df[id_col]))
+             .drop("__lid", "__label"))
+    return hash_split(keyed, "__skey", splits, seed, split_col) \
+        .drop("__skey")
 
 
 def sample_k_per_group(df: DataFrame, group_col: str, k: int,

@@ -449,3 +449,26 @@ def test_sample_k_exact_counts_and_deterministic(docs):
         sorted(r["doc_id"] for r in out.collect())
     with pytest.raises(ValueError):
         sample_k_per_group(docs, "lang", 0, "doc_id")
+
+
+def test_cluster_safe_split_members_share_split(spark):
+    from peri_spark.functions import cluster_safe_split
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], ["doc_id", "text"])
+    # clusters: {0,1,2} -> 0 and {7,8} -> 7; rest singletons
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (7, 7), (8, 7)], ["id", "cluster_id"])
+    out = cluster_safe_split(df, "doc_id", labels,
+                             {"train": 0.5, "test": 0.5})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 20 and all(v in ("train", "test")
+                                  for v in got.values())
+    # every cluster member agrees with its canonical
+    assert got[0] == got[1] == got[2]
+    assert got[7] == got[8]
+    # singletons key on their own id == plain hash_split of the id
+    from peri_spark.functions import hash_split
+    plain = {r["doc_id"]: r["split"] for r in hash_split(
+        df, "doc_id", {"train": 0.5, "test": 0.5}).collect()}
+    for i in (3, 4, 5, 6, 9, 10):
+        assert got[i] == plain[i]
