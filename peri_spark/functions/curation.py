@@ -408,14 +408,20 @@ def cluster_safe_split(df: DataFrame, id_col: str, labels: DataFrame,
     from it (singletons — the labels frame only holds clustered ids)
     key on their own id. The split coin hashes the CLUSTER id, so all
     members agree by construction, and — like :func:`hash_split` — the
-    assignment is a pure function of (cluster key, seed): stable across
-    re-runs, engines, and growing corpora (new members of an existing
-    cluster join its split).
+    assignment is a pure function of (cluster key, seed): identical
+    across re-runs and engines. Stability under corpus GROWTH holds
+    only while a cluster's canonical (min) id is unchanged: a new
+    member below the current min, or an edge merging two clusters,
+    re-keys the component and can move it wholesale — re-split (or
+    freeze the labels frame) when clusters evolve.
 
     Scale shape: one hash join attaching labels (labels carry only
     clustered ids — typically a small fraction of the corpus, AQE
     broadcasts when small) + the map-side coin. No other shuffle.
     """
+    clash = {"__lid", "__label", "__skey"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has columns: {sorted(clash)}")
     lab = labels.select(F.col("id").alias("__lid"),
                         F.col("cluster_id").alias("__label"))
     keyed = (df.join(lab, df[id_col] == F.col("__lid"), "left")
@@ -443,8 +449,14 @@ def sample_k_per_group(df: DataFrame, group_col: str, k: int,
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "__coin" in df.columns:
+        raise ValueError("input already has a __coin column")
+    # null keys are dropped (the _coin contract): a NULL coin would
+    # otherwise sort NULLS FIRST in Spark but NULLS LAST in the DuckDB
+    # mirror, and tie arbitrarily among themselves — nondeterministic
     return (top_k_per_group(
-        df.withColumn("__coin", _coin(F.col(key_col), seed)),
+        df.where(F.col(key_col).isNotNull())
+          .withColumn("__coin", _coin(F.col(key_col), seed)),
         group_col, "__coin", k, key_col, descending=False)
         .drop("__coin"))
 

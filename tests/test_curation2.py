@@ -472,3 +472,21 @@ def test_cluster_safe_split_members_share_split(spark):
         df, "doc_id", {"train": 0.5, "test": 0.5}).collect()}
     for i in (3, 4, 5, 6, 9, 10):
         assert got[i] == plain[i]
+
+
+def test_sample_k_null_keys_dropped_and_guards(spark):
+    from peri_spark.functions import cluster_safe_split, sample_k_per_group
+    df = spark.createDataFrame(
+        [(1, "g"), (None, "g"), (2, "g"), (None, "g")],
+        "doc_id long, grp string")
+    out = sample_k_per_group(df, "grp", 3, "doc_id").collect()
+    # null keys never win slots (NULL coin would sort NULLS FIRST in
+    # Spark but NULLS LAST in the oracle, and tie nondeterministically)
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    with pytest.raises(ValueError):
+        sample_k_per_group(df.withColumn("__coin", F.lit(1)),
+                           "grp", 1, "doc_id")
+    labels = spark.createDataFrame([(1, 1)], ["id", "cluster_id"])
+    with pytest.raises(ValueError):
+        cluster_safe_split(df.withColumn("__skey", F.lit(1)),
+                           "doc_id", labels, {"train": 1.0})
