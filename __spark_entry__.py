@@ -307,6 +307,79 @@ def q_normalize_text_documents(spark: SparkSession,
         .select("doc_id", F.col("text_norm").alias("normed"))
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream: per-user 1-based
+    session numbers split on >30 min inactivity. One hash exchange on
+    user_id; the lag flag and the running counter share the sort. The
+    oracle replays the identical lag/sum window in DuckDB."""
+    from peri_spark.functions import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, "user_id", "ts", 1800.0,
+                      order_cols=("event_id",)) \
+        .select("event_id", "user_id", "session_seq")
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join WITHOUT a range join: attach each
+    non-purchase event's most recent purchase (same user, ts <= event
+    ts, 12 h tolerance) via union + single ordered window — one
+    exchange, no BroadcastNestedLoopJoin. The oracle is DuckDB's native
+    ASOF LEFT JOIN with the tolerance applied post-match. Matched
+    timestamps surface as epoch micros (engine-portable integers);
+    misses coalesce to -1 so the compare harness never sorts NULLs."""
+    from peri_spark.functions import asof_join, epoch_micros
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") != "purchase") \
+        .select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    out = asof_join(left, right, "user_id", "ts", ["purchase_value"],
+                    tolerance_seconds=43200.0, matched_ts_col="__mt")
+    return out.select(
+        "event_id",
+        F.coalesce("purchase_value", F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce(epoch_micros(out, "__mt"),
+                   F.lit(-1).cast("long")).alias("purchase_us"))
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment as a bucketed equi-join: clicks landing in
+    the 24 h window after a purchase by the same user. Each interval
+    explodes into the daily buckets it covers, each point maps to one
+    bucket, so the plan is a plain hash join on (user, bucket) — the
+    oracle is the direct inequality join DuckDB can afford at sf0.01."""
+    from peri_spark.functions import range_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = ev.where(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+    intervals = ev.where(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("start_ts"),
+                (F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+                .alias("end_ts"))
+    out = range_join(points, intervals, point_ts_col="click_ts",
+                     start_col="start_ts", end_col="end_ts",
+                     key_col="user_id", bucket_seconds=86400.0)
+    return out.select("click_id", "purchase_id")
+
+
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample events to 15-minute bars per event_type with dense
+    gap-filled spines (filled buckets coalesce to n=0). Sums run over
+    floor(value*100) integers so the cross-engine totals are exact —
+    double summation order differs between Spark partials and DuckDB."""
+    from peri_spark.functions import resample
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    aggs = [F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_cents")]
+    out = resample(ev, "event_type", "ts", 900.0, aggs, fill=True)
+    return out.select(
+        "event_type", "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"))
+
+
 def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministically planted PII
     (every 3rd doc gets an email, an IPv4, and a 32-hex secret built
@@ -975,6 +1048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_source_documents": q_top_k_per_source_documents,
         "token_budget_documents": q_token_budget_documents,
         "top_fraction_documents": q_top_fraction_documents,
+        "sessionize_events": q_sessionize_events,
+        "asof_events": q_asof_events,
+        "range_join_events": q_range_join_events,
+        "resample_events": q_resample_events,
     })
     return out
 
@@ -2170,5 +2247,66 @@ def oracle_sql() -> dict[str, str]:
         "top_k_per_source_documents": top_k_per_source,
         "token_budget_documents": token_budget_docs,
         "top_fraction_documents": top_fraction_docs,
+        # temporal operators (timeseries.py): window/lag mirrors, DuckDB
+        # native ASOF JOIN, direct inequality join, spine via range()
+        "sessionize_events": """
+    WITH flags AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flags
+    """,
+        "asof_events": """
+    WITH l AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT l.event_id,
+           CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts) <= 43200000000
+                THEN r.value ELSE -1.0 END AS purchase_value,
+           CASE WHEN r.ts IS NOT NULL
+                     AND epoch_us(l.ts) - epoch_us(r.ts) <= 43200000000
+                THEN epoch_us(r.ts) ELSE CAST(-1 AS BIGINT)
+           END AS purchase_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+        "range_join_events": """
+    WITH p AS (SELECT event_id AS click_id, user_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+         i AS (SELECT event_id AS purchase_id, user_id, ts AS sts,
+                      ts + INTERVAL 24 HOUR AS ets
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.click_id, i.purchase_id
+    FROM p JOIN i
+      ON p.user_id = i.user_id AND p.cts >= i.sts AND p.cts < i.ets
+    """,
+        "resample_events": """
+    WITH g AS (
+      SELECT event_type, epoch_us(ts) // 900000000 AS bucket,
+             count(*) AS n,
+             SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM g GROUP BY event_type),
+    spine AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM bounds)
+    SELECT s.event_type, s.bucket,
+           CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(g.sum_cents, 0) AS BIGINT) AS sum_cents
+    FROM spine s LEFT JOIN g
+      ON s.event_type = g.event_type AND s.bucket = g.bucket
+    """,
     })
     return out

@@ -25,6 +25,8 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
+from .timeseries import (asof_join, epoch_micros, range_join, resample,
+                         sessionize)
 from .textstats import (bm25_topk, encode_tokens, language_id,
                         quality_filter,
                         quality_scores,
@@ -49,4 +51,5 @@ __all__ = [
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
     "encode_tokens", "normalize_text", "sample_k_per_group",
     "cluster_safe_split",
+    "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
 ]

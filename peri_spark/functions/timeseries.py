@@ -1,0 +1,286 @@
+"""Time-series / temporal-relational operators.
+
+Beyond-reference ops (the Elixir reference validates rows one at a time
+and has no temporal layer; an events table being validated at 100 TB
+needs the temporal joins its consumers run next):
+
+* :func:`sessionize` — gap-based session assignment per key: one hash
+  exchange on the key, two window passes in the same sort, no join.
+* :func:`asof_join` — "most recent right row at or before each left
+  row" WITHOUT a range join: both sides union into ONE exchange on the
+  key and a single ordered window carries the last right payload
+  forward.  Spark has no ASOF JOIN; the naive inequality join is a
+  BroadcastNestedLoop/Cartesian trap at scale.
+* :func:`range_join` — interval × point join via time-bucket
+  equi-join: intervals explode into the fixed-width buckets they cover,
+  points map to exactly one bucket, so the join is a plain hash join on
+  (key, bucket) and each qualifying pair appears exactly once.  The
+  direct inequality predicate would be O(n·m) per key.
+* :func:`resample` — fixed-width time-bucket aggregation with optional
+  gap filling (dense per-key spines via `sequence`), the downsampling
+  step before drift/quality checks on event streams.
+
+All bucket/gap arithmetic is integer microseconds (`unix_micros` /
+DuckDB `epoch_us`), so oracles reproduce every boundary exactly —
+no float epoch seconds, no timezone-dependent truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "asof_join", "range_join", "resample"]
+
+
+def _gap_us(seconds: float) -> int:
+    us = int(round(seconds * 1_000_000))
+    if us <= 0:
+        raise ValueError(f"gap/bucket must be positive, got {seconds}s")
+    return us
+
+
+def _us_sql(df: DataFrame, col_name: str) -> str:
+    """SQL text for the epoch-microsecond value of a timestamp column.
+
+    TIMESTAMP_NTZ (what plain parquet timestamps decode to) has no
+    ``unix_micros``; ``timestampdiff`` from the NTZ epoch is the tz-FREE
+    equivalent — it matches DuckDB's ``epoch_us`` on the stored value
+    regardless of ``spark.sql.session.timeZone``, where a cast to
+    TIMESTAMP would shift by the session offset.
+    """
+    if dict(df.dtypes).get(col_name) == "timestamp_ntz":
+        return ("timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)")
+    return f"unix_micros(`{col_name}`)"
+
+
+def epoch_micros(df: DataFrame, col_name: str) -> Column:
+    """Epoch microseconds of ``col_name`` (TIMESTAMP or TIMESTAMP_NTZ,
+    tz-free for NTZ — see :func:`_us_sql`)."""
+    return F.expr(_us_sql(df, col_name))
+
+
+def _bucket_of(df: DataFrame, col_name: str, bus: int) -> Column:
+    """Exact integer bucket index ``epoch_us(col) div bus``.
+
+    Integer ``div`` (not float ``/`` + cast) so the index is exact at any
+    bucket width and any epoch magnitude, and DuckDB's ``//`` reproduces
+    it bit-for-bit on the non-negative epochs the engine targets
+    (both truncate/floor identically for ``epoch_us >= 0``).
+    """
+    return F.expr(f"({_us_sql(df, col_name)}) div {bus}")
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_seconds: float, *, order_cols: tuple[str, ...] = (),
+               session_col: str = "session_seq") -> DataFrame:
+    """Assign 1-based per-key session numbers split on inactivity gaps.
+
+    A row starts a new session when it is the key's first row or when
+    more than ``gap_seconds`` elapsed since the previous row (strictly
+    greater: a gap of exactly ``gap_seconds`` stays in-session).  Pass
+    ``order_cols`` (e.g. an id) to break ties between equal timestamps
+    deterministically.
+
+    Scale shape: ONE hash exchange on ``key_col``; the lag flag and the
+    running session counter ride the same sort.  Hot keys serialize in
+    one task — sessionization is inherently sequential per key, so at
+    100 TB the key must be the entity (user/repo), never a constant.
+
+    NULL keys group together (SQL window semantics); NULL timestamps
+    sort first and each start a session — filter them upstream if that
+    is not wanted.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = epoch_micros(df, ts_col)
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > F.lit(_gap_us(gap_seconds))),
+        F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_new).over(run))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str,
+              ts_col: str, value_cols: list[str], *,
+              right_ts_col: str | None = None,
+              tolerance_seconds: float | None = None,
+              matched_ts_col: str | None = None) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts <= left_ts`` for the same key (DuckDB/pandas
+    ``ASOF JOIN`` / ``merge_asof`` semantics; equal timestamps match).
+
+    Spark-first plan: instead of a range join (BroadcastNestedLoop at
+    scale), both sides union into ONE dataset, hash-partition on the
+    key, and a single ordered window carries the most recent right
+    payload (struct of ``value_cols`` + its timestamp) forward onto the
+    left rows.  Cost: one exchange + one sort — the same as the
+    sessionize pass, independent of how many right rows precede each
+    left row.
+
+    Right rows should be unique per (key, ts); at duplicate timestamps
+    the payload of the last row in the (ts, input) sort order wins —
+    pre-aggregate the right side for a deterministic contract.
+
+    ``tolerance_seconds`` nulls the payload when the match is older
+    than the tolerance (strictly greater), like ``merge_asof``'s
+    ``tolerance``.  ``matched_ts_col`` optionally exposes the matched
+    right timestamp.
+    """
+    rt = right_ts_col or ts_col
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"value_cols clash with left columns: {clash}")
+    payload = F.struct(
+        F.col(rt).alias("__ts"),
+        *[F.col(c).alias(c) for c in value_cols]).alias("__asof_payload")
+    r = right.select(F.col(key_col), F.col(rt).alias(ts_col), payload) \
+        .withColumn("__asof_side", F.lit(0))
+    l = left.withColumn("__asof_side", F.lit(1))
+    both = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows (side 0) sort before left rows at equal ts, so an
+    # equal-timestamp right row is visible to the left row (>= match)
+    w = Window.partitionBy(key_col) \
+        .orderBy(F.col(ts_col).asc(), F.col("__asof_side").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = F.last("__asof_payload", ignorenulls=True).over(w)
+    out = both.withColumn("__asof_match", carried) \
+        .where(F.col("__asof_side") == 1)
+
+    match = F.col("__asof_match")
+    if tolerance_seconds is not None:
+        # timestampdiff works uniformly on TIMESTAMP and TIMESTAMP_NTZ
+        age = F.expr("timestampdiff(MICROSECOND, "
+                     f"`__asof_match`.`__ts`, `{ts_col}`)")
+        match = F.when(age <= F.lit(_gap_us(tolerance_seconds)), match)
+    for c in value_cols:
+        out = out.withColumn(c, match[c])
+    if matched_ts_col is not None:
+        out = out.withColumn(matched_ts_col, match["__ts"])
+    return out.drop("__asof_side", "__asof_payload", "__asof_match")
+
+
+def range_join(points: DataFrame, intervals: DataFrame, *,
+               point_ts_col: str, start_col: str, end_col: str,
+               key_col: str | None = None, bucket_seconds: float = 600.0,
+               closed: str = "left",
+               max_buckets_per_interval: int = 10_000) -> DataFrame:
+    """Join points to the intervals containing them via bucketed
+    equi-join (columns from both inputs are kept; name clashes other
+    than ``key_col`` must be resolved by the caller).
+
+    ``closed``: ``"left"`` = [start, end) half-open (default),
+    ``"both"`` = [start, end] inclusive.
+
+    Scale shape: each interval explodes into the fixed-width time
+    buckets it covers; each point maps to exactly ONE bucket, so the
+    join is a plain shuffled hash join on (key, bucket) and every
+    qualifying (interval, point) pair is produced exactly once — no
+    dedup pass, no BroadcastNestedLoopJoin, no per-key O(n·m) scan.
+    Pick ``bucket_seconds`` near the typical interval length: too small
+    explodes intervals into many rows, too large packs unrelated points
+    into each bucket and shifts work to the post-join filter.
+
+    Intervals longer than ``max_buckets_per_interval`` buckets fail the
+    job with an explicit error (a single year-long interval at 1-minute
+    buckets is almost always a data bug, and `sequence` would
+    otherwise materialize it silently).  Intervals with
+    ``end < start`` (or NULL bounds) match nothing and are dropped.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    bus = _gap_us(bucket_seconds)
+    iv = intervals.where(F.col(start_col).isNotNull()
+                         & F.col(end_col).isNotNull()
+                         & (F.col(end_col) >= F.col(start_col)))
+    first_b = _bucket_of(intervals, start_col, bus)
+    last_b = _bucket_of(intervals, end_col, bus)
+    # the guard must be load-bearing (a dropped assert_true column gets
+    # pruned by the optimizer): the sequence upper bound itself raises
+    span = last_b - first_b + 1
+    guarded_last = F.when(span <= F.lit(max_buckets_per_interval), last_b) \
+        .otherwise(F.raise_error(F.lit(
+            "range_join: interval spans more than "
+            f"{max_buckets_per_interval} buckets — raise bucket_seconds "
+            "or split the interval")).cast("long"))
+    # explicit aliases: points and intervals often derive from the SAME
+    # source table (a self-join), where bare attribute references are
+    # ambiguous until Spark's plan-id disambiguation kicks in
+    iv = iv.withColumn("__rj_bucket",
+                       F.explode(F.sequence(first_b, guarded_last))) \
+        .alias("__rj_iv")
+    pt = points.withColumn("__rj_bucket",
+                           _bucket_of(points, point_ts_col, bus)) \
+        .alias("__rj_pt")
+
+    def _p(c: str) -> Column:
+        return F.col(f"__rj_pt.`{c}`")
+
+    def _i(c: str) -> Column:
+        return F.col(f"__rj_iv.`{c}`")
+
+    cond = _p("__rj_bucket") == _i("__rj_bucket")
+    if key_col is not None:
+        cond = cond & (_p(key_col) == _i(key_col))
+    cond = cond & (_i(start_col) <= _p(point_ts_col))
+    if closed == "left":
+        cond = cond & (_p(point_ts_col) < _i(end_col))
+    else:
+        cond = cond & (_p(point_ts_col) <= _i(end_col))
+
+    joined = pt.join(iv, cond, "inner")
+    keep = [_p(c) for c in points.columns] + \
+        [_i(c) for c in intervals.columns
+         if c != key_col or key_col is None]
+    return joined.select(*keep)
+
+
+def resample(df: DataFrame, key_col: str, ts_col: str,
+             bucket_seconds: float, aggs: list[Column], *,
+             fill: bool = False, bucket_col: str = "bucket",
+             bucket_ts_col: str | None = None) -> DataFrame:
+    """Fixed-width time-bucket aggregation per key ("downsample to
+    10-minute bars").  ``aggs`` are aggregate Columns with aliases,
+    e.g. ``[F.count('*').alias('n'), F.round(F.sum('value'), 6)...]``.
+
+    ``bucket_col`` is the integer bucket index
+    ``floor(epoch_us / bucket_us)`` — integer, engine-portable, and
+    timezone-free; ``bucket_ts_col`` optionally adds the bucket start
+    as a timestamp.  With ``fill=True``, missing buckets between each
+    key's first and last bucket appear with NULL aggregates (the dense
+    spine a gap-aware drift check or charting layer needs): the spine
+    derives from a per-key min/max re-aggregate of the ALREADY
+    aggregated frame (tiny) and left-joins back on (key, bucket) —
+    the raw input is scanned exactly once either way.
+    """
+    bus = _gap_us(bucket_seconds)
+    is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    grouped = df.withColumn(bucket_col, _bucket_of(df, ts_col, bus)) \
+        .groupBy(key_col, bucket_col).agg(*aggs)
+    if fill:
+        spine = grouped.groupBy(key_col).agg(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        spine = spine.select(
+            key_col,
+            F.explode(F.sequence("__lo", "__hi")).alias(bucket_col))
+        grouped = spine.join(grouped, [key_col, bucket_col], "left")
+    if bucket_ts_col is not None:
+        if is_ntz:
+            # NTZ epoch + exact day-time interval (decimal micros) keeps
+            # the output type NTZ without a session-tz-dependent cast;
+            # timestampadd is avoided (its amount is 32-bit).
+            grouped = grouped.withColumn(
+                bucket_ts_col,
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
+                       "make_dt_interval(0, 0, 0, "
+                       f"CAST(`{bucket_col}` * {bus} AS DECIMAL(26, 6))"
+                       " / 1000000)"))
+        else:
+            grouped = grouped.withColumn(
+                bucket_ts_col,
+                F.timestamp_micros(F.col(bucket_col) * F.lit(bus)))
+    return grouped
