@@ -866,9 +866,115 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                                             round(nb_ex / exp_wall, 1)}}
 
 
+def prepare_events(mult: int) -> str:
+    """Fan the sf events stream by ``mult`` user-shards (deterministic,
+    cached): each copy offsets user_id/event_id, so per-user density
+    and timestamp pattern are preserved while KEY CARDINALITY scales —
+    the dimension that actually grows at 100 TB for sessionize/asof
+    (per-key work is inherently sequential; more keys = more
+    parallelism, which is the claim to evidence)."""
+    path = os.path.join(CACHE, f"events_{_sf_name()}_x{mult}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("bench-prepare-events")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fanned = (ev.withColumn("__c", F.explode(
+        F.sequence(F.lit(0), F.lit(mult - 1))))
+        .withColumn("user_id",
+                    F.col("user_id") + F.col("__c") * F.lit(1_000_000))
+        .withColumn("event_id",
+                    F.col("event_id") + F.col("__c") * F.lit(10_000_000_000))
+        .drop("__c"))
+    fanned.repartition(32).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_timeseries(workers: int, input_path: str, runs: int) -> dict:
+    """Temporal-operator throughput over the fanned events stream:
+    sessionize (one exchange + window), asof_join (union + single
+    ordered window — the no-range-join plan), range_join (bucketed
+    equi-join) and resample with gap-fill. Fresh every run — no
+    history merge."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    sys.path.insert(0, REPO)
+    from peri_spark.functions.timeseries import (asof_join, range_join,
+                                                 resample, sessionize)
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-timeseries-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    ev = spark.read.parquet(input_path)
+    n = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+
+    t0 = time.monotonic()
+    sess = sessionize(ev, "user_id", "ts", 1800.0,
+                      order_cols=("event_id",)) \
+        .agg(F.max("session_seq").alias("mx"),
+             F.count(F.lit(1)).alias("n")).collect()[0]
+    se_wall = round(time.monotonic() - t0, 3)
+
+    left = ev.where(F.col("event_type") != "purchase") \
+        .select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value").alias("px"))
+    t0 = time.monotonic()
+    aj = asof_join(left, right, "user_id", "ts", ["px"],
+                   tolerance_seconds=43200.0) \
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count("px").alias("matched")).collect()[0]
+    aj_wall = round(time.monotonic() - t0, 3)
+
+    pts = ev.where(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("pt"))
+    iv = ev.where(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("e"))
+    t0 = time.monotonic()
+    n_pairs = range_join(pts, iv, point_ts_col="pt", start_col="s",
+                         end_col="e", key_col="user_id",
+                         bucket_seconds=86400.0).count()
+    rj_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_bars = resample(ev, "user_id", "ts", 3600.0,
+                      [F.count(F.lit(1)).alias("n"),
+                       F.sum("value").alias("sv")], fill=True).count()
+    rs_wall = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    return {"workers": workers, "rows": int(n), "users": int(n_users),
+            "sessionize": {"wall_sec": se_wall,
+                           "max_session": int(sess.mx),
+                           "rows_per_sec": round(n / se_wall, 1)},
+            "asof_join": {"wall_sec": aj_wall, "left_rows": int(aj.n),
+                          "matched": int(aj.matched),
+                          "rows_per_sec": round(aj.n / aj_wall, 1)},
+            "range_join": {"wall_sec": rj_wall, "pairs": int(n_pairs),
+                           "rows_per_sec": round(n / rj_wall, 1)},
+            "resample_fill": {"wall_sec": rs_wall, "bars": int(n_bars),
+                              "rows_per_sec": round(n / rs_wall, 1)}}
+
+
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
                  "viol": run_violations_write, "ann": run_ann_recall,
-                 "media": run_media, "curation": run_curation}
+                 "media": run_media, "curation": run_curation,
+                 "timeseries": run_timeseries}
 
 
 def child_main() -> None:
@@ -1093,6 +1199,12 @@ def main() -> None:
                                 runs=1, mode="curation")
     except Exception as e:
         out["curation"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    try:
+        # temporal-operator throughput: fresh every run, no history
+        out["timeseries"] = spawn(HEADLINE_WORKERS, prepare_events(50),
+                                  runs=1, mode="timeseries")
+    except Exception as e:
+        out["timeseries"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact
