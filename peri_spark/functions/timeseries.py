@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "asof_join", "range_join", "resample"]
+__all__ = ["sessionize", "asof_join", "range_join", "resample",
+           "epoch_micros"]
 
 
 def _gap_us(seconds: float) -> int:
@@ -127,17 +128,30 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
 
     ``tolerance_seconds`` nulls the payload when the match is older
     than the tolerance (strictly greater), like ``merge_asof``'s
-    ``tolerance``.  ``matched_ts_col`` optionally exposes the matched
-    right timestamp.
+    ``tolerance``; ``0.0`` is legal and means equal-timestamp matches
+    only.  ``matched_ts_col`` optionally exposes the matched right
+    timestamp.
+
+    JOIN semantics for NULLs (matching SQL ASOF JOIN, not window
+    semantics): right rows with a NULL key or NULL timestamp can never
+    match and are dropped up front; left rows with a NULL key simply
+    get no match (they are preserved, payload NULL — ASOF LEFT JOIN).
     """
     rt = right_ts_col or ts_col
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols clash with left columns: {clash}")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError(
+            f"tolerance_seconds must be >= 0, got {tolerance_seconds}")
     payload = F.struct(
         F.col(rt).alias("__ts"),
         *[F.col(c).alias(c) for c in value_cols]).alias("__asof_payload")
-    r = right.select(F.col(key_col), F.col(rt).alias(ts_col), payload) \
+    # NULL-key/NULL-ts right rows never match under join semantics; a
+    # NULL-ts row would otherwise sort FIRST in the window and its
+    # (non-null) struct payload would be carried onto every left row
+    r = right.where(F.col(key_col).isNotNull() & F.col(rt).isNotNull()) \
+        .select(F.col(key_col), F.col(rt).alias(ts_col), payload) \
         .withColumn("__asof_side", F.lit(0))
     l = left.withColumn("__asof_side", F.lit(1))
     both = l.unionByName(r, allowMissingColumns=True)
@@ -153,10 +167,12 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str,
 
     match = F.col("__asof_match")
     if tolerance_seconds is not None:
-        # timestampdiff works uniformly on TIMESTAMP and TIMESTAMP_NTZ
+        # timestampdiff works uniformly on TIMESTAMP and TIMESTAMP_NTZ;
+        # age >= 0 always, so tolerance 0 keeps equal-ts matches only
         age = F.expr("timestampdiff(MICROSECOND, "
                      f"`__asof_match`.`__ts`, `{ts_col}`)")
-        match = F.when(age <= F.lit(_gap_us(tolerance_seconds)), match)
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        match = F.when(age <= F.lit(tol_us), match)
     for c in value_cols:
         out = out.withColumn(c, match[c])
     if matched_ts_col is not None:
@@ -242,7 +258,8 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
 def resample(df: DataFrame, key_col: str, ts_col: str,
              bucket_seconds: float, aggs: list[Column], *,
              fill: bool = False, bucket_col: str = "bucket",
-             bucket_ts_col: str | None = None) -> DataFrame:
+             bucket_ts_col: str | None = None,
+             max_fill_buckets: int = 10_000_000) -> DataFrame:
     """Fixed-width time-bucket aggregation per key ("downsample to
     10-minute bars").  ``aggs`` are aggregate Columns with aliases,
     e.g. ``[F.count('*').alias('n'), F.round(F.sum('value'), 6)...]``.
@@ -256,6 +273,13 @@ def resample(df: DataFrame, key_col: str, ts_col: str,
     derives from a per-key min/max re-aggregate of the ALREADY
     aggregated frame (tiny) and left-joins back on (key, bucket) —
     the raw input is scanned exactly once either way.
+
+    ``max_fill_buckets`` caps each key's spine width: one corrupt
+    epoch-0 (or year-9999) timestamp would otherwise widen that key's
+    min..max span to billions of `sequence` elements and OOM the
+    executor silently — the same trap :func:`range_join` guards with
+    ``max_buckets_per_interval``.  Exceeding keys fail the job with an
+    explicit error.
     """
     bus = _gap_us(bucket_seconds)
     is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
@@ -264,9 +288,18 @@ def resample(df: DataFrame, key_col: str, ts_col: str,
     if fill:
         spine = grouped.groupBy(key_col).agg(
             F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        # load-bearing guard in the sequence bound (a dropped
+        # assert_true column would be optimizer-pruned)
+        guarded_hi = F.when(
+            F.col("__hi") - F.col("__lo") < F.lit(max_fill_buckets),
+            F.col("__hi")) \
+            .otherwise(F.raise_error(F.lit(
+                f"resample: a key's fill spine exceeds {max_fill_buckets}"
+                " buckets — raise bucket_seconds, filter outlier"
+                " timestamps, or raise max_fill_buckets")).cast("long"))
         spine = spine.select(
             key_col,
-            F.explode(F.sequence("__lo", "__hi")).alias(bucket_col))
+            F.explode(F.sequence("__lo", guarded_hi)).alias(bucket_col))
         grouped = spine.join(grouped, [key_col, bucket_col], "left")
     if bucket_ts_col is not None:
         if is_ntz:

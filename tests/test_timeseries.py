@@ -179,6 +179,48 @@ def test_resample_bucket_ts_col(spark):
     assert out["n"] == 1
 
 
+def test_asof_join_null_ts_right_row_never_matches(spark):
+    """A NULL-ts right row sorts FIRST in the window; its struct
+    payload must not be carried onto left rows (ASOF semantics: it can
+    never match)."""
+    left = spark.createDataFrame([("u", ts(10), 1)],
+                                 "k string, t timestamp, id long")
+    right = spark.createDataFrame([("u", None, 5.0)],
+                                  "k string, t timestamp, px double")
+    out = asof_join(left, right, "k", "t", ["px"]).collect()
+    assert out[0]["px"] is None
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL = NULL never matches in join semantics (window PARTITION BY
+    would group them); NULL-key left rows are preserved unmatched."""
+    left = spark.createDataFrame([(None, ts(100), 1)],
+                                 "k string, t timestamp, id long")
+    right = spark.createDataFrame([(None, ts(50), 9.0)],
+                                  "k string, t timestamp, px double")
+    out = asof_join(left, right, "k", "t", ["px"]).collect()
+    assert len(out) == 1 and out[0]["px"] is None
+
+
+def test_asof_join_zero_tolerance_is_equal_ts_only(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "k", "t", ["px"], tolerance_seconds=0.0)
+    got = {r["id"]: r["px"] for r in out.collect()}
+    # only id=5 sits exactly on a right timestamp
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: 20.0}
+    with pytest.raises(ValueError, match=">= 0"):
+        asof_join(left, right, "k", "t", ["px"], tolerance_seconds=-1.0)
+
+
+def test_resample_fill_spine_guard(spark):
+    rows = [("a", ts(0), 1.0), ("a", ts(10_000_000), 2.0)]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    out = resample(df, "k", "t", 1.0, [F.count("*").alias("n")],
+                   fill=True, max_fill_buckets=1000)
+    with pytest.raises(Exception, match="fill spine exceeds"):
+        out.collect()
+
+
 def test_ntz_timestamps_all_ops(spark):
     """Parquet timestamps decode as TIMESTAMP_NTZ — every operator must
     accept them, and the bucket/epoch math must be session-tz-free."""
