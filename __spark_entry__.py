@@ -380,6 +380,67 @@ def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"))
 
 
+def q_merge_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten each user's 24 h post-purchase windows into maximal
+    disjoint spans (coverage analysis): one exchange + one ordered
+    window (running-max-end stab test) + a groupBy reusing the
+    partitioning. Bounds surface as epoch micros so both engines hash
+    identical integers."""
+    from peri_spark.functions import epoch_micros, merge_intervals
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id",
+                epoch_micros(ev, "ts").alias("start_us"),
+                (epoch_micros(ev, "ts") + F.lit(86_400_000_000))
+                .alias("end_us"))
+    return merge_intervals(iv, "user_id", "start_us", "end_us")
+
+
+def q_streaming_sessions_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation (native session_window via
+    peri_spark.streaming.session_stats) drained append-mode under
+    availableNow: the sink receives exactly the sessions finalized by
+    the watermark — end (= last event + gap) <= max(event time) -
+    delay — which the DuckDB oracle replays with the identical
+    lag/sum sessionization (delta > gap splits; exact-gap deltas merge,
+    verified empirically in tests), the same +gap end arithmetic, and
+    the explicit cutoff. Session tz pinned UTC around the stream;
+    boundaries emitted as epoch micros; sums over floor(value*100)
+    integers so totals are order-independent."""
+    from peri_spark.streaming import session_stats
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .option("maxFilesPerTrigger", 1).parquet(sf_dir)
+                  # watermarks require TIMESTAMP; the table stores NTZ
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        sess = session_stats(
+            stream, "user_id", "ts", gap="30 minutes",
+            watermark="101 minutes",
+            aggs=[F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.floor(F.col("value") * 100)).alias("sum_cents")])
+        out = sess.select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events", "sum_cents")
+        sink = "stream_sessions_sink"
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        return spark.table(sink).orderBy("user_id", "session_start_us")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def q_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with deterministically planted PII
     (every 3rd doc gets an email, an IPv4, and a 32-hex secret built
@@ -1052,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "resample_events": q_resample_events,
+        "merge_intervals_events": q_merge_intervals_events,
+        "streaming_sessions_events": q_streaming_sessions_events,
     })
     return out
 
@@ -2307,6 +2370,58 @@ def oracle_sql() -> dict[str, str]:
            CAST(coalesce(g.sum_cents, 0) AS BIGINT) AS sum_cents
     FROM spine s LEFT JOIN g
       ON s.event_type = g.event_type AND s.bucket = g.bucket
+    """,
+        "merge_intervals_events": """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 86400000000 AS e
+      FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+      WINDOW pw AS (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM f)
+    SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM g GROUP BY user_id, grp
+    """,
+        # mirrors q_streaming_sessions_events: lag/sum sessionization
+        # (delta > gap splits — exact-gap deltas merge, the verified
+        # session_window convention), end = last event + gap, and the
+        # watermark-finalization cutoff end <= max(ts) - delay
+        "streaming_sessions_events": """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flags),
+    agg AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS session_start_us,
+             max(epoch_us(ts)) + 1800000000 AS session_end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM sess GROUP BY user_id, sid)
+    SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
+    FROM agg, mx
+    WHERE session_end_us <= mx.m - 6060000000
     """,
     })
     return out

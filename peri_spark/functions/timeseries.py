@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["sessionize", "asof_join", "range_join", "resample",
-           "epoch_micros"]
+           "merge_intervals", "epoch_micros"]
 
 
 def _gap_us(seconds: float) -> int:
@@ -253,6 +253,47 @@ def range_join(points: DataFrame, intervals: DataFrame, *,
         [_i(c) for c in intervals.columns
          if c != key_col or key_col is None]
     return joined.select(*keep)
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str, *, merge_touching: bool = True,
+                    count_col: str = "n_merged") -> DataFrame:
+    """Coalesce overlapping intervals per key into maximal disjoint
+    spans (the flatten step before coverage/gap analysis on sessions,
+    outages, or validity windows).
+
+    ``merge_touching=True`` (default) also merges back-to-back
+    intervals where one starts exactly where another ends; ``False``
+    keeps them separate (half-open reading).
+
+    Scale shape: ONE hash exchange on ``key_col``; a single ordered
+    window carries the running max end over preceding rows (the stab
+    test), the new-group flag and the running group counter ride the
+    same sort, and the final groupBy re-uses the partitioning.  Rows
+    with NULL bounds or ``end < start`` match nothing and are dropped
+    (same contract as :func:`range_join`).
+
+    Output: (key, start, end, ``count_col``) — one row per merged span,
+    ``count_col`` = how many input intervals it absorbed.
+    """
+    clean = df.where(F.col(start_col).isNotNull()
+                     & F.col(end_col).isNotNull()
+                     & (F.col(end_col) >= F.col(start_col)))
+    w = Window.partitionBy(key_col) \
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    gap = (F.col(start_col) > prev_max_end) if merge_touching \
+        else (F.col(start_col) >= prev_max_end)
+    is_new = F.when(prev_max_end.isNull() | gap, F.lit(1)).otherwise(F.lit(0))
+    grp = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (clean.withColumn("__mi_grp", grp)
+            .groupBy(key_col, "__mi_grp")
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count(F.lit(1)).alias(count_col))
+            .drop("__mi_grp"))
 
 
 def resample(df: DataFrame, key_col: str, ts_col: str,

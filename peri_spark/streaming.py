@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .engine import VIOLATIONS_COLUMN, validate
 
 __all__ = ["validate_stream", "split_stream", "violation_rates",
-           "streaming_dedup"]
+           "streaming_dedup", "session_stats"]
 
 
 def validate_stream(stream_df: DataFrame, schema, mode: str = "strict"):
@@ -58,6 +58,39 @@ def violation_rates(stream_df: DataFrame, schema, ts_col: str,
                     "n_rows", "n_bad_rows",
                     (F.col("n_bad_rows") / F.col("n_rows"))
                     .alias("bad_ratio")))
+
+
+def session_stats(stream_df: DataFrame, key_col: str, ts_col: str,
+                  gap: str = "30 minutes", watermark: str = "60 minutes",
+                  aggs: list | None = None) -> DataFrame:
+    """Watermarked per-key SESSION-window aggregation via Spark's native
+    ``session_window`` (state-store backed; one open session per key in
+    state, merged as events arrive).
+
+    Semantics (what the state store implements — verified empirically,
+    and what an oracle must mirror): an event EXTENDS the session while
+    ``delta <= gap`` (touching windows merge; only ``delta > gap``
+    splits — the same convention as the batch
+    :func:`peri_spark.functions.sessionize`); the window range is
+    ``[first, last + gap)``.  In append mode a session emits
+    only once the watermark passes its end (``last event + gap``), so a
+    drained ``availableNow`` run yields exactly the sessions with
+    ``session_end <= max(event time) - watermark delay`` — the batch-
+    reproducible contract the entry oracle checks.
+
+    Default agg is an event count; pass ``aggs`` (aliased Columns) for
+    more.  Output: (key, session_start, session_end, *agg aliases).
+    """
+    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    grouped = (stream_df.withWatermark(ts_col, watermark)
+               .groupBy(F.col(key_col),
+                        F.session_window(F.col(ts_col), gap).alias("__sw"))
+               .agg(*aggs))
+    agg_cols = [c for c in grouped.columns if c not in (key_col, "__sw")]
+    return grouped.select(
+        key_col,
+        F.col("__sw.start").alias("session_start"),
+        F.col("__sw.end").alias("session_end"), *agg_cols)
 
 
 def streaming_dedup(stream_df: DataFrame, keys: list[str], ts_col: str,

@@ -252,6 +252,58 @@ def test_ntz_timestamps_all_ops(spark):
     assert {(r["id"], r["iid"]) for r in rj.collect()} == {(1, 1), (2, 2)}
 
 
+def test_merge_intervals_basic(spark):
+    from peri_spark.functions import merge_intervals
+    rows = [("u", 0, 10), ("u", 5, 20),      # overlap -> [0,20]
+            ("u", 20, 30),                    # touching -> absorbed
+            ("u", 40, 50),                    # separate
+            ("u", 42, 44),                    # contained
+            ("v", 0, 1),                      # other key
+            ("u", None, 5), ("u", 7, 3)]      # invalid: dropped
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, "k", "s", "e")
+    got = {(r["k"], r["s"], r["e"]): r["n_merged"] for r in out.collect()}
+    assert got == {("u", 0, 30): 3, ("u", 40, 50): 2, ("v", 0, 1): 1}
+
+
+def test_merge_intervals_half_open(spark):
+    from peri_spark.functions import merge_intervals
+    df = spark.createDataFrame([("u", 0, 10), ("u", 10, 20)],
+                               "k string, s long, e long")
+    out = merge_intervals(df, "k", "s", "e", merge_touching=False)
+    assert out.count() == 2   # [0,10) and [10,20) stay separate
+
+
+def test_merge_intervals_timestamps(spark):
+    from peri_spark.functions import merge_intervals
+    df = spark.createDataFrame(
+        [("u", ts(0), ts(100)), ("u", ts(50), ts(200)), ("u", ts(300), ts(310))],
+        "k string, s timestamp, e timestamp")
+    out = merge_intervals(df, "k", "s", "e").orderBy("s").collect()
+    assert [(r["s"], r["e"], r["n_merged"]) for r in out] == \
+        [(ts(0), ts(200), 2), (ts(300), ts(310), 1)]
+
+
+def test_session_stats_batch_semantics(spark):
+    """session_window works on batch frames too — probe the exact-gap
+    convention the oracle mirrors: delta == gap still EXTENDS (touching
+    windows merge; only delta > gap splits), same as batch sessionize."""
+    from peri_spark.streaming import session_stats
+    df = spark.createDataFrame(
+        [("u", ts(0)), ("u", ts(59)),      # delta 59 < 60 -> extends
+         ("u", ts(119)),                    # delta 60 == gap -> extends
+         ("u", ts(180)),                    # delta 61 > gap -> NEW
+         ("v", ts(0))],
+        "k string, t timestamp")
+    out = session_stats(df, "k", "t", gap="60 seconds",
+                        watermark="60 seconds")
+    rows = {(r["k"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in out.collect()}
+    assert rows == {("u", ts(0), ts(179)): 3,    # end = last(119) + 60
+                    ("u", ts(180), ts(240)): 1,
+                    ("v", ts(0), ts(60)): 1}
+
+
 def test_bad_args(spark):
     df = spark.createDataFrame([("a", ts(0), 1.0)],
                                "k string, t timestamp, v double")
