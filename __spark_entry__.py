@@ -380,6 +380,20 @@ def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"))
 
 
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantile stage over lineitem's numeric measures —
+    exact mode for the oracle (Spark `percentile` and DuckDB
+    `quantile_cont` share (n-1)*p linear interpolation bit-for-bit);
+    the suite's 100 TB default is the approx_percentile sketch."""
+    from peri_spark.constraints.stats import column_quantiles
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = column_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        (0.01, 0.25, 0.5, 0.75, 0.99), exact=True)
+    return out.select("column", F.round("p", 6).alias("p"),
+                      F.round("value", 6).alias("value"))
+
+
 def q_merge_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flatten each user's 24 h post-purchase windows into maximal
     disjoint spans (coverage analysis): one exchange + one ordered
@@ -1115,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events": q_resample_events,
         "merge_intervals_events": q_merge_intervals_events,
         "streaming_sessions_events": q_streaming_sessions_events,
+        "quantiles_lineitem": q_quantiles_lineitem,
     })
     return out
 
@@ -2422,6 +2437,32 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
     FROM agg, mx
     WHERE session_end_us <= mx.m - 6060000000
+    """,
+        # parallel unnests zip positionally in DuckDB, aligning each
+        # probability with its quantile_cont output element
+        "quantiles_lineitem": """
+    SELECT col AS "column", CAST(p AS DOUBLE) AS p,
+           round(v, 6) AS value FROM (
+      SELECT 'l_quantity' AS col,
+             unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS p,
+             unnest(quantile_cont(l_quantity,
+                    [0.01, 0.25, 0.5, 0.75, 0.99])) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice',
+             unnest([0.01, 0.25, 0.5, 0.75, 0.99]),
+             unnest(quantile_cont(l_extendedprice,
+                    [0.01, 0.25, 0.5, 0.75, 0.99])) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             unnest([0.01, 0.25, 0.5, 0.75, 0.99]),
+             unnest(quantile_cont(l_discount,
+                    [0.01, 0.25, 0.5, 0.75, 0.99])) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax',
+             unnest([0.01, 0.25, 0.5, 0.75, 0.99]),
+             unnest(quantile_cont(l_tax,
+                    [0.01, 0.25, 0.5, 0.75, 0.99])) FROM lineitem
+    )
     """,
     })
     return out

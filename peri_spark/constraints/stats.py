@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "stats_violations"]
+__all__ = ["column_stats", "column_quantiles", "stats_violations"]
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None,
@@ -58,6 +58,48 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
             .select("column", "n_rows", "n_null",
                     (F.col("n_null") / F.col("n_rows")).alias("null_rate"),
                     "min_value", "max_value", "avg_len", "n_distinct"))
+
+
+def column_quantiles(df: DataFrame, columns: list[str],
+                     probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                     *, exact: bool = False,
+                     accuracy: int = 10_000) -> DataFrame:
+    """Per-column quantiles in ONE aggregate pass, unpivoted to
+    ``(column, p, value)`` so thresholds validate relationally.
+
+    Default is ``approx_percentile`` — a mergeable sketch (map-side
+    partials, one scan, no sort), the 100 TB path; ``accuracy`` trades
+    memory for error (1/accuracy relative rank error).  ``exact=True``
+    uses ``percentile``: per-group sort state, only for modest groups /
+    oracle tests — its ``(n-1)*p`` linear interpolation is
+    bit-identical to DuckDB's ``quantile_cont`` (verified), which is
+    what makes the stage oracle-checkable.
+
+    NULLs are ignored per column (both engines); an all-NULL column
+    yields NULL values.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in columns:
+        if not isinstance(by_name.get(c), T.NumericType):
+            raise ValueError(f"column {c!r} is not numeric "
+                             f"({by_name.get(c)})")
+    plist = list(probs)
+    if exact:
+        aggs = [F.percentile(F.col(c), F.lit(plist)).alias(c)
+                for c in columns]
+    else:
+        aggs = [F.percentile_approx(F.col(c), plist, accuracy).alias(c)
+                for c in columns]
+    wide = df.agg(*aggs)
+    # unpivot stays on the single aggregated row (driver-cheap)
+    cells = [F.struct(F.lit(c).alias("column"),
+                      F.lit(p).alias("p"),
+                      F.col(c)[i].cast("double").alias("value"))
+             for c in columns for i, p in enumerate(plist)]
+    return (wide.select(F.explode(F.array(*cells)).alias("q"))
+            .select("q.column", "q.p", "q.value"))
 
 
 def stats_violations(stats: DataFrame, thresholds: dict[str, dict]) -> DataFrame:
