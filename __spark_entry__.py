@@ -380,6 +380,36 @@ def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"))
 
 
+def q_rolling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing 6 h window over each user's events (count + sum
+    of floor(value*100) cents): one exchange + one sort, integer-micros
+    RANGE frame — DuckDB mirrors it with the identical RANGE BETWEEN
+    over epoch_us."""
+    from peri_spark.functions import rolling_agg
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = ev.select("event_id", "user_id", "ts",
+                       F.floor(F.col("value") * 100).alias("cents"))
+    out = rolling_agg(staged, "user_id", "ts", 21600.0,
+                      [(F.count(F.lit(1)), "n_6h"),
+                       (F.sum("cents"), "cents_6h")])
+    return out.select("event_id", "n_6h", "cents_6h")
+
+
+def q_staleness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feed-freshness verdicts (largest inter-event gap + gap
+    to the corpus max event time, both vs a 6 h SLA) — the check that
+    catches a silently-stopped stream. Self-contained as-of makes it
+    deterministic for the oracle."""
+    from peri_spark.functions import staleness
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = staleness(ev, "user_id", "ts", 21600.0)
+    return out.select(
+        "user_id", "n_events",
+        F.round("max_gap_seconds", 6).alias("max_gap_seconds"),
+        F.round("tail_gap_seconds", 6).alias("tail_gap_seconds"),
+        "stale")
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column quantile stage over lineitem's numeric measures —
     exact mode for the oracle (Spark `percentile` and DuckDB
@@ -1130,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals_events": q_merge_intervals_events,
         "streaming_sessions_events": q_streaming_sessions_events,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "rolling_events": q_rolling_events,
+        "staleness_events": q_staleness_events,
     })
     return out
 
@@ -2437,6 +2469,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, session_start_us, session_end_us, n_events, sum_cents
     FROM agg, mx
     WHERE session_end_us <= mx.m - 6060000000
+    """,
+        "rolling_events": """
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_6h,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cents_6h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+    """,
+        "staleness_events": """
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE ts IS NOT NULL),
+    g AS (
+      SELECT user_id, us,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+      FROM base),
+    pk AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             max(us) AS last_us, coalesce(max(gap), 0) AS max_gap_us
+      FROM g GROUP BY user_id),
+    mx AS (SELECT max(us) AS m FROM base)
+    SELECT user_id, n_events,
+           round(max_gap_us / 1e6, 6) AS max_gap_seconds,
+           round((m - last_us) / 1e6, 6) AS tail_gap_seconds,
+           (max_gap_us > 21600000000 OR (m - last_us) > 21600000000)
+             AS stale
+    FROM pk, mx
     """,
         # parallel unnests zip positionally in DuckDB, aligning each
         # probability with its quantile_cont output element

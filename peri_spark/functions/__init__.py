@@ -26,7 +26,8 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
-                         range_join, resample, sessionize)
+                         range_join, resample, rolling_agg, sessionize,
+                         staleness)
 from .textstats import (bm25_topk, encode_tokens, language_id,
                         quality_filter,
                         quality_scores,
@@ -52,5 +53,5 @@ __all__ = [
     "encode_tokens", "normalize_text", "sample_k_per_group",
     "cluster_safe_split",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
-    "merge_intervals",
+    "merge_intervals", "rolling_agg", "staleness",
 ]

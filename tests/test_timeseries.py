@@ -304,6 +304,56 @@ def test_session_stats_batch_semantics(spark):
                     ("v", ts(0), ts(60)): 1}
 
 
+def test_rolling_agg_trailing_window(spark):
+    from peri_spark.functions import rolling_agg
+    rows = [("u", ts(0), 1.0, 1), ("u", ts(50), 2.0, 2),
+            ("u", ts(60), 4.0, 3),      # exactly 60s after id=1
+            ("u", ts(200), 8.0, 4), ("v", ts(55), 16.0, 5)]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double, id long")
+    out = rolling_agg(df, "k", "t", 60.0,
+                      [(F.sum("v"), "sv"), (F.count(F.lit(1)), "n")])
+    got = {r["id"]: (r["sv"], r["n"]) for r in out.collect()}
+    # (row_ts - 60s, row_ts]: id=3 sees 50s and 60s rows but NOT 0s
+    assert got == {1: (1.0, 1), 2: (3.0, 2), 3: (6.0, 2),
+                   4: (8.0, 1), 5: (16.0, 1)}
+
+
+def test_rolling_agg_exclude_current(spark):
+    from peri_spark.functions import rolling_agg
+    rows = [("u", ts(0), 1.0, 1), ("u", ts(30), 2.0, 2),
+            ("u", ts(30), 4.0, 3)]     # equal-ts peer
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double, id long")
+    out = rolling_agg(df, "k", "t", 60.0, [(F.count(F.lit(1)), "n")],
+                      include_current=False)
+    got = {r["id"]: r["n"] for r in out.collect()}
+    # strictly-before frame: equal-ts peers excluded from each other
+    # (count over an empty frame is 0)
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_staleness_verdicts(spark):
+    from peri_spark.functions import staleness
+    rows = [("a", ts(0)), ("a", ts(100)), ("a", ts(130)),
+            ("b", ts(0)), ("b", ts(20)),   # stale: silent since ts(20)
+            ("c", ts(125))]                # single event, recent
+    df = spark.createDataFrame(rows, "k string, t timestamp")
+    out = staleness(df, "k", "t", 60.0)    # as_of = corpus max = ts(130)
+    got = {r["k"]: (r["n_events"], r["max_gap_seconds"],
+                    r["tail_gap_seconds"], r["stale"])
+           for r in out.collect()}
+    assert got["a"] == (3, 100.0, 0.0, True)     # internal 100s gap
+    assert got["b"] == (2, 20.0, 110.0, True)    # tail gap 110s
+    assert got["c"] == (1, 0.0, 5.0, False)
+
+
+def test_staleness_explicit_as_of(spark):
+    from peri_spark.functions import staleness
+    df = spark.createDataFrame([("a", ts(0))], "k string, t timestamp")
+    out = staleness(df, "k", "t", 3600.0,
+                    as_of="2024-01-01 13:00:00+00:00").collect()[0]
+    assert out["tail_gap_seconds"] == 3600.0 and not out["stale"]
+
+
 def test_bad_args(spark):
     df = spark.createDataFrame([("a", ts(0), 1.0)],
                                "k string, t timestamp, v double")
