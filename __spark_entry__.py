@@ -410,6 +410,29 @@ def q_staleness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stale")
 
 
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Daily cohort-retention matrix over events: two hash aggregates
+    (user×day pre-reduce, then cohort×offset), the raw stream shuffles
+    once pre-reduced. Integer-micros day buckets mirror exactly in
+    DuckDB."""
+    from peri_spark.functions import cohort_retention
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, "user_id", "ts", 86400.0)
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel (7-day journey window):
+    earliest-at-or-after step matching via per-step aggregates joined
+    to the shrinking matched-user frame — never a self-join of the
+    full stream. The oracle chains the identical min/join logic."""
+    from peri_spark.functions import funnel
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["signup", "click", "purchase"],
+                  within_seconds=7 * 86400.0)
+
+
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column quantile stage over lineitem's numeric measures —
     exact mode for the oracle (Spark `percentile` and DuckDB
@@ -1162,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_lineitem": q_quantiles_lineitem,
         "rolling_events": q_rolling_events,
         "staleness_events": q_staleness_events,
+        "cohort_retention_events": q_cohort_retention_events,
+        "funnel_events": q_funnel_events,
     })
     return out
 
@@ -2498,6 +2523,42 @@ def oracle_sql() -> dict[str, str]:
            (max_gap_us > 21600000000 OR (m - last_us) > 21600000000)
              AS stale
     FROM pk, mx
+    """,
+        "cohort_retention_events": """
+    WITH pb AS (
+      SELECT DISTINCT user_id AS u,
+             epoch_us(ts) - epoch_us(ts) % 86400000000 AS b
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    m AS (SELECT u, b, min(b) OVER (PARTITION BY u) AS c FROM pb)
+    SELECT c // 86400000000 AS cohort,
+           (b - c) // 86400000000 AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM m GROUP BY 1, 2
+    """,
+        # chains the identical earliest-at-or-after min/join logic;
+        # the deadline (min signup + 7 days) is constant per user
+        "funnel_events": """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('signup', 'click', 'purchase')),
+    m0 AS (SELECT u, min(us) AS m, min(us) + 604800000000 AS dl
+           FROM ev WHERE t = 'signup' GROUP BY u),
+    m1 AS (SELECT e.u, min(e.us) AS m, min(m0.dl) AS dl
+           FROM ev e JOIN m0 ON e.u = m0.u
+           WHERE e.t = 'click' AND e.us >= m0.m AND e.us <= m0.dl
+           GROUP BY e.u),
+    m2 AS (SELECT e.u, min(e.us) AS m
+           FROM ev e JOIN m1 ON e.u = m1.u
+           WHERE e.t = 'purchase' AND e.us >= m1.m AND e.us <= m1.dl
+           GROUP BY e.u)
+    SELECT 'signup' AS step, 0 AS step_index,
+           CAST((SELECT count(*) FROM m0) AS BIGINT) AS n_users
+    UNION ALL SELECT 'click', 1,
+           CAST((SELECT count(*) FROM m1) AS BIGINT)
+    UNION ALL SELECT 'purchase', 2,
+           CAST((SELECT count(*) FROM m2) AS BIGINT)
     """,
         # parallel unnests zip positionally in DuckDB, aligning each
         # probability with its quantile_cont output element

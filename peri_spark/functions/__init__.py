@@ -25,6 +25,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .probe import probe_media, probe_metadata
+from .eventlog import cohort_retention, funnel
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
                          range_join, resample, rolling_agg, sessionize,
                          staleness)
@@ -54,4 +55,5 @@ __all__ = [
     "cluster_safe_split",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
     "merge_intervals", "rolling_agg", "staleness",
+    "cohort_retention", "funnel",
 ]
