@@ -80,6 +80,11 @@ def column_quantiles(df: DataFrame, columns: list[str],
     """
     if not columns:
         raise ValueError("columns must be non-empty")
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    bad = [p for p in probs if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"probs must be in [0, 1], got {bad}")
     by_name = {f.name: f.dataType for f in df.schema.fields}
     for c in columns:
         if not isinstance(by_name.get(c), T.NumericType):

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .timeseries import _gap_us, epoch_micros
+from .timeseries import _bucket_of, _gap_us, epoch_micros
 
 __all__ = ["cohort_retention", "funnel"]
 
@@ -44,18 +44,16 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
     NULL users/timestamps are dropped.
     """
     bus = _gap_us(bucket_seconds)
-    us = epoch_micros(df, ts_col)
     per_bucket = (df.where(F.col(user_col).isNotNull()
                            & F.col(ts_col).isNotNull())
                   .select(F.col(user_col).alias("__u"),
-                          (us - (us % F.lit(bus))).alias("__b_us"))
-                  .groupBy("__u", "__b_us").agg(F.lit(1).alias("__one")))
-    cohort = F.min("__b_us").over(Window.partitionBy("__u"))
-    mat = per_bucket.withColumn("__cohort_us", cohort)
+                          _bucket_of(df, ts_col, bus).alias("__b"))
+                  .distinct())
+    cohort = F.min("__b").over(Window.partitionBy("__u"))
+    mat = per_bucket.withColumn("__c", cohort)
     return (mat.groupBy(
-                F.expr(f"__cohort_us div {bus}").alias("cohort"),
-                F.expr(f"(__b_us - __cohort_us) div {bus}")
-                .alias("bucket_offset"))
+                F.col("__c").alias("cohort"),
+                (F.col("__b") - F.col("__c")).alias("bucket_offset"))
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
@@ -82,6 +80,16 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    for a, b in zip(steps, steps[1:]):
+        if a == b:
+            # the >= match would let ONE event satisfy both copies of a
+            # repeated step (same-event self-match); timestamps alone
+            # can't distinguish "the same event" from "another event at
+            # the same instant", so repeat-engagement funnels must
+            # pre-derive distinct step labels (e.g. click#1/click#2 via
+            # a row_number) instead
+            raise ValueError(
+                f"adjacent funnel steps must differ, got {a!r} twice")
     us = epoch_micros(df, ts_col)
     ev = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
                   & F.col(type_col).isin(steps)) \

@@ -62,6 +62,19 @@ def epoch_micros(df: DataFrame, col_name: str) -> Column:
     return F.expr(_us_sql(df, col_name))
 
 
+def _micros_to_ts(df: DataFrame, src_ts_col: str, micros: Column) -> Column:
+    """Timestamp column from epoch micros, PRESERVING the source
+    column's TIMESTAMP vs TIMESTAMP_NTZ type.  For NTZ the value is
+    rebuilt tz-free (NTZ epoch + exact decimal day-time interval) — a
+    ``timestamp_micros`` result would shift wall-clock by the session
+    offset; ``timestampadd`` is avoided (32-bit amount)."""
+    if dict(df.dtypes).get(src_ts_col) == "timestamp_ntz":
+        secs = micros.cast("decimal(26, 6)") / F.lit(1_000_000)
+        return (F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+                + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+    return F.timestamp_micros(micros)
+
+
 def _bucket_of(df: DataFrame, col_name: str, bus: int) -> Column:
     """Exact integer bucket index ``epoch_us(col) div bus``.
 
@@ -269,8 +282,10 @@ def rolling_agg(df: DataFrame, key_col: str, ts_col: str,
     over integer epoch micros so the bound arithmetic is exact and
     engine-portable.  All aggs share the single window pass.
 
-    NULL timestamps sort first and see an empty/NULL frame — filter
-    upstream if they matter.
+    NULL timestamps form a PEER GROUP: RANGE frames treat all NULL
+    ordering values as equal, so each NULL-ts row aggregates over ALL
+    of its key's NULL-ts rows (SQL RANGE semantics, same in DuckDB) —
+    filter them upstream if that is not wanted.
     """
     wus = _gap_us(window_seconds)
     out = df.withColumn("__ra_us", epoch_micros(df, ts_col))
@@ -302,6 +317,7 @@ def staleness(df: DataFrame, key_col: str, ts_col: str,
     """
     lim_us = _gap_us(max_gap_seconds)
     us = epoch_micros(df, ts_col)
+    src = df  # dtype carrier for the micros->timestamp round-trip
     base = df.select(F.col(key_col), us.alias("__st_us")) \
         .where(F.col("__st_us").isNotNull())
     w = Window.partitionBy(key_col).orderBy("__st_us")
@@ -327,8 +343,8 @@ def staleness(df: DataFrame, key_col: str, ts_col: str,
     tail = asof_col - F.col("last_us")
     return per_key.select(
         key_col, "n_events",
-        F.timestamp_micros(F.col("first_us")).alias("first_ts"),
-        F.timestamp_micros(F.col("last_us")).alias("last_ts"),
+        _micros_to_ts(src, ts_col, F.col("first_us")).alias("first_ts"),
+        _micros_to_ts(src, ts_col, F.col("last_us")).alias("last_ts"),
         (F.coalesce(F.col("max_gap_us"), F.lit(0)) / 1e6)
         .alias("max_gap_seconds"),
         (tail / 1e6).alias("tail_gap_seconds"),
@@ -404,7 +420,6 @@ def resample(df: DataFrame, key_col: str, ts_col: str,
     explicit error.
     """
     bus = _gap_us(bucket_seconds)
-    is_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
     grouped = df.withColumn(bucket_col, _bucket_of(df, ts_col, bus)) \
         .groupBy(key_col, bucket_col).agg(*aggs)
     if fill:
@@ -424,18 +439,7 @@ def resample(df: DataFrame, key_col: str, ts_col: str,
             F.explode(F.sequence("__lo", guarded_hi)).alias(bucket_col))
         grouped = spine.join(grouped, [key_col, bucket_col], "left")
     if bucket_ts_col is not None:
-        if is_ntz:
-            # NTZ epoch + exact day-time interval (decimal micros) keeps
-            # the output type NTZ without a session-tz-dependent cast;
-            # timestampadd is avoided (its amount is 32-bit).
-            grouped = grouped.withColumn(
-                bucket_ts_col,
-                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
-                       "make_dt_interval(0, 0, 0, "
-                       f"CAST(`{bucket_col}` * {bus} AS DECIMAL(26, 6))"
-                       " / 1000000)"))
-        else:
-            grouped = grouped.withColumn(
-                bucket_ts_col,
-                F.timestamp_micros(F.col(bucket_col) * F.lit(bus)))
+        grouped = grouped.withColumn(
+            bucket_ts_col,
+            _micros_to_ts(df, ts_col, F.col(bucket_col) * F.lit(bus)))
     return grouped

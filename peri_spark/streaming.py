@@ -81,7 +81,11 @@ def session_stats(stream_df: DataFrame, key_col: str, ts_col: str,
     Default agg is an event count; pass ``aggs`` (aliased Columns) for
     more.  Output: (key, session_start, session_end, *agg aliases).
     """
-    aggs = aggs or [F.count(F.lit(1)).alias("n_events")]
+    if aggs is not None and not aggs:
+        raise ValueError("aggs must be non-empty (or None for the "
+                         "default event count)")
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
     grouped = (stream_df.withWatermark(ts_col, watermark)
                .groupBy(F.col(key_col),
                         F.session_window(F.col(ts_col), gap).alias("__sw"))

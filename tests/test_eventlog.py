@@ -59,3 +59,14 @@ def test_funnel_requires_two_steps(spark):
                                "u long, et string, t timestamp")
     with pytest.raises(ValueError, match="at least 2"):
         funnel(df, "u", "t", "et", ["a"])
+
+
+def test_funnel_rejects_repeated_adjacent_steps(spark):
+    """A single event would satisfy both copies of a repeated step via
+    the >= match (same-event self-match) — rejected explicitly."""
+    df = spark.createDataFrame([(1, "a", ts(0))],
+                               "u long, et string, t timestamp")
+    with pytest.raises(ValueError, match="must differ"):
+        funnel(df, "u", "t", "et", ["a", "a"])
+    # non-adjacent repeats are fine
+    funnel(df, "u", "t", "et", ["a", "b", "a"])

@@ -44,3 +44,7 @@ def test_rejects_non_numeric_and_empty(spark):
         column_quantiles(df, ["s"])
     with pytest.raises(ValueError, match="non-empty"):
         column_quantiles(df, [])
+    with pytest.raises(ValueError, match="probs must be non-empty"):
+        column_quantiles(df, ["v"], ())
+    with pytest.raises(ValueError, match=r"in \[0, 1\]"):
+        column_quantiles(df, ["v"], (0.5, 1.5))

@@ -251,6 +251,30 @@ def test_ntz_timestamps_all_ops(spark):
                     key_col="k", bucket_seconds=60.0)
     assert {(r["id"], r["iid"]) for r in rj.collect()} == {(1, 1), (2, 2)}
 
+    from peri_spark.functions import (cohort_retention, funnel,
+                                      merge_intervals, rolling_agg,
+                                      staleness)
+    st = staleness(df, "k", "t", 60.0)
+    dt = dict(st.dtypes)
+    # NTZ in -> NTZ out, value NOT shifted by session tz
+    assert dt["first_ts"] == "timestamp_ntz" and dt["last_ts"] == "timestamp_ntz"
+    row = st.collect()[0]
+    assert row["first_ts"] == ts(0) and row["last_ts"] == ts(3000)
+
+    ra = rolling_agg(df, "k", "t", 60.0, [(F.count(F.lit(1)), "n")])
+    assert {r["id"]: r["n"] for r in ra.collect()} == {1: 1, 2: 1}
+
+    mi = merge_intervals(iv, "k", "s", "e")
+    assert mi.count() == 2
+
+    cr = cohort_retention(df, "id", "t", 60.0)   # ids as users
+    assert cr.count() == 2
+
+    fv = df.withColumn("et", F.when(F.col("id") == 1, "a").otherwise("b"))
+    fn = {r["step"]: r["n_users"]
+          for r in funnel(fv, "k", "t", "et", ["a", "b"]).collect()}
+    assert fn == {"a": 1, "b": 1}
+
 
 def test_merge_intervals_basic(spark):
     from peri_spark.functions import merge_intervals
@@ -352,6 +376,25 @@ def test_staleness_explicit_as_of(spark):
     out = staleness(df, "k", "t", 3600.0,
                     as_of="2024-01-01 13:00:00+00:00").collect()[0]
     assert out["tail_gap_seconds"] == 3600.0 and not out["stale"]
+
+
+def test_session_stats_rejects_empty_aggs(spark):
+    from peri_spark.streaming import session_stats
+    df = spark.createDataFrame([("u", ts(0))], "k string, t timestamp")
+    with pytest.raises(ValueError, match="non-empty"):
+        session_stats(df, "k", "t", aggs=[])
+
+
+def test_rolling_agg_null_ts_peer_group(spark):
+    """Documented contract: NULL-ts rows are a RANGE peer group — each
+    aggregates over ALL of its key's NULL-ts rows."""
+    from peri_spark.functions import rolling_agg
+    df = spark.createDataFrame(
+        [("u", None, 1.0, 1), ("u", None, 2.0, 2), ("u", ts(0), 4.0, 3)],
+        "k string, t timestamp, v double, id long")
+    out = rolling_agg(df, "k", "t", 60.0, [(F.sum("v"), "sv")])
+    got = {r["id"]: r["sv"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 3.0, 3: 4.0}
 
 
 def test_bad_args(spark):
