@@ -957,6 +957,28 @@ def run_timeseries(workers: int, input_path: str, runs: int) -> dict:
                        F.sum("value").alias("sv")], fill=True).count()
     rs_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions import (cohort_retention, funnel,
+                                      merge_intervals, staleness)
+    t0 = time.monotonic()
+    n_spans = merge_intervals(iv, "user_id", "s", "e").count()
+    mi_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_stale = staleness(ev, "user_id", "ts", 21600.0) \
+        .where("stale").count()
+    st_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_cohort = cohort_retention(ev, "user_id", "ts", 86400.0).count()
+    cr_wall = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    fun = {r["step"]: r["n_users"]
+           for r in funnel(ev, "user_id", "ts", "event_type",
+                           ["signup", "click", "purchase"],
+                           within_seconds=7 * 86400.0).collect()}
+    fu_wall = round(time.monotonic() - t0, 3)
+
     spark.stop()
     return {"workers": workers, "rows": int(n), "users": int(n_users),
             "sessionize": {"wall_sec": se_wall,
@@ -968,7 +990,17 @@ def run_timeseries(workers: int, input_path: str, runs: int) -> dict:
             "range_join": {"wall_sec": rj_wall, "pairs": int(n_pairs),
                            "rows_per_sec": round(n / rj_wall, 1)},
             "resample_fill": {"wall_sec": rs_wall, "bars": int(n_bars),
-                              "rows_per_sec": round(n / rs_wall, 1)}}
+                              "rows_per_sec": round(n / rs_wall, 1)},
+            "merge_intervals": {"wall_sec": mi_wall,
+                                "spans": int(n_spans),
+                                "rows_per_sec": round(n / 5 / mi_wall, 1)},
+            "staleness": {"wall_sec": st_wall, "stale_keys": int(n_stale),
+                          "rows_per_sec": round(n / st_wall, 1)},
+            "cohort_retention": {"wall_sec": cr_wall,
+                                 "cells": int(n_cohort),
+                                 "rows_per_sec": round(n / cr_wall, 1)},
+            "funnel": {"wall_sec": fu_wall, "steps": fun,
+                       "rows_per_sec": round(n / fu_wall, 1)}}
 
 
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
