@@ -24,6 +24,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
+from .codescan import SECRET_PATTERNS, code_shape_stats, scan_secrets
 from .probe import probe_media, probe_metadata
 from .eventlog import cohort_retention, funnel
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
@@ -56,4 +57,5 @@ __all__ = [
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
     "merge_intervals", "rolling_agg", "staleness",
     "cohort_retention", "funnel",
+    "SECRET_PATTERNS", "scan_secrets", "code_shape_stats",
 ]

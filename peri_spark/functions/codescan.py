@@ -1,0 +1,121 @@
+"""Source-code corpus scanning operators.
+
+The north-rule input is an Iceberg table of source-code repositories
+``(repo, path, commit, lang, content)``; before that corpus is usable
+as training data, a pipeline scans every file for (a) leaked
+credentials — which must never reach a training set — and (b) file
+"shape" signals (minified/generated blobs, indentation style, line
+statistics) that drive keep/drop decisions. The Elixir reference has no
+corpus layer (single-record validation only, lib/peri.ex:360); these
+extend SURVEY §2.6's table-level stages the same way the curation and
+textstats modules do.
+
+Both operators are pure map-side projections built from ``pyspark.sql``
+functions only — whole-stage codegen, zero shuffle, zero Python — so at
+10^12 files they cost exactly one columnar scan of the pruned
+``content`` column and scale linearly with executors.
+
+All regexes are engine-portable (no lookaround, no \\b ambiguity,
+ASCII classes; identical under Java regex and RE2) so the DuckDB
+oracle reproduces every count and flag bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["SECRET_PATTERNS", "scan_secrets", "code_shape_stats"]
+
+# label -> engine-portable regex. Deliberately high-precision shapes
+# (provider-prefixed token formats, PEM armor) — a corpus-scale scan
+# wants near-zero false positives because every hit quarantines a file.
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed AKIA prefix + 16 uppercase base32-ish
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    # GitHub fine-grained / classic personal access tokens
+    "github_token": r"gh[ps]_[A-Za-z0-9]{36}",
+    # Slack bot/app/legacy tokens
+    "slack_token": r"xox[abpr]-[0-9A-Za-z-]{10,48}",
+    # PEM private-key armor (RSA/EC/OPENSSH/blank algorithm tag)
+    "private_key": r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    # three dot-separated base64url segments opening with {"... ("eyJ")
+    "jwt": r"eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{4,}",
+    # quoted literal assigned to a password-ish identifier
+    "password": r"(?i)(password|passwd|pwd)['\"]? *[:=] *['\"][^'\"]{6,64}['\"]",
+}
+
+
+def scan_secrets(df: DataFrame, text_col: str,
+                 patterns: dict[str, str] | None = None) -> DataFrame:
+    """Count credential-pattern hits per row.
+
+    Appends one ``n_<label>`` long column per pattern (match counts on
+    the raw text), plus ``n_secrets`` (their sum) and ``has_secret``.
+    Composes with :func:`peri_spark.functions.curation.redact_text`
+    (pass ``patterns=SECRET_PATTERNS``) when the remediation is
+    scrubbing rather than quarantining.
+
+    Plan shape: one ``regexp_count`` chain inside a single projection —
+    no shuffle, no Python, and Catalyst prunes the scan to ``text_col``
+    plus whatever downstream selects.
+    """
+    patterns = SECRET_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{label}")
+              for label, pat in patterns.items()]
+    out = df.select("*", *counts)
+    total = sum((F.col(f"n_{label}") for label in patterns),
+                F.lit(0).cast("long"))
+    return out.select("*", total.alias("n_secrets")) \
+              .withColumn("has_secret", F.col("n_secrets") > 0)
+
+
+def code_shape_stats(df: DataFrame, content_col: str,
+                     minified_line_len: int = 500) -> DataFrame:
+    """Per-file line-shape statistics for a source-code corpus.
+
+    Appends:
+
+    * ``n_lines`` — 1 + newline count (empty string counts 1 line;
+      NULL content yields NULL metrics, mirroring the suite's
+      null-content violation path which handles those rows).
+    * ``max_line_len`` / ``avg_line_len`` — longest line and mean line
+      length (2dp; the sum of line lengths is ``length - (n_lines-1)``,
+      so no per-line aggregation is needed for the mean).
+    * ``blank_lines`` — lines that are empty or whitespace-only.
+    * ``indent_tab_lines`` / ``indent_space_lines`` — leading-tab vs
+      leading-space line counts (indentation-style signal).
+    * ``alnum_fraction`` — [A-Za-z0-9] chars / total chars (4dp);
+      low values flag binary-ish or symbol-soup blobs.
+    * ``is_minified`` — ``max_line_len >= minified_line_len``: the
+      single strongest generated/minified-file signal (a human-written
+      source line virtually never reaches 500 chars).
+
+    Plan shape: ``split`` + array HOFs (``transform``/``filter``/
+    ``array_max``) in one codegen'd projection — the line array exists
+    only inside the stage, never in a shuffle.
+    """
+    c = F.col(content_col)
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    line_lens = F.transform(lines, lambda s: F.length(s))
+    max_len = F.array_max(line_lens).cast("long")
+    avg_len = F.round((F.length(c) - (n_lines - F.lit(1)))
+                      / n_lines.cast("double"), 2)
+    blank = F.size(F.filter(lines, lambda s: F.trim(s) == "")).cast("long")
+    tabbed = F.size(F.filter(lines, lambda s: s.startswith("\t"))).cast("long")
+    spaced = F.size(F.filter(lines, lambda s: s.startswith(" "))).cast("long")
+    alnum = F.length(F.regexp_replace(c, r"[^A-Za-z0-9]", ""))
+    frac = F.round(alnum / F.greatest(F.length(c), F.lit(1)).cast("double"), 4)
+    return df.select(
+        "*",
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        avg_len.alias("avg_line_len"),
+        blank.alias("blank_lines"),
+        tabbed.alias("indent_tab_lines"),
+        spaced.alias("indent_space_lines"),
+        frac.alias("alnum_fraction"),
+        (max_len >= minified_line_len).alias("is_minified"),
+    )
