@@ -1137,6 +1137,15 @@ WHERE content IS NOT NULL
 """
 
 
+def q_top_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: top-5 most frequent lang and source values
+    in one shared scan (stacked explode → one distinct-value-bounded
+    shuffle → rank window on the aggregated frame)."""
+    from peri_spark.constraints import top_values
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_values(docs, ["lang", "source"], k=5)
+
+
 def q_secrets_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Credential scan over the code corpus with deterministically
     planted AWS keys, GitHub tokens, PEM armor and password literals
@@ -1248,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "secrets_code_files": q_secrets_code_files,
         "code_shape_code_files": q_code_shape_code_files,
+        "top_values_documents": q_top_values_documents,
     })
     return out
 
@@ -2649,6 +2659,22 @@ def oracle_sql() -> dict[str, str]:
     """,
         "secrets_code_files": _secrets_oracle_sql(),
         "code_shape_code_files": _code_shape_oracle_sql(),
+        # rank ties break by value ascending in both engines; DuckDB
+        # row_number is BIGINT where Spark's is INT — cast to match
+        "top_values_documents": """
+    WITH pairs AS (
+      SELECT 'lang' AS "column", lang AS value
+      FROM documents WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT 'source', source FROM documents WHERE source IS NOT NULL),
+    c AS (SELECT "column", value, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY "column"
+                                       ORDER BY n DESC, value) AS rank
+          FROM c)
+    SELECT "column", value, n, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
     })
     return out
 

@@ -5,7 +5,8 @@ stages reuse Peri's violation row shape (path/key/message/content) so
 row-level and table-level violations union into one frame.
 """
 
-from .stats import column_quantiles, column_stats, stats_violations
+from .stats import (column_quantiles, column_stats, stats_violations,
+                    top_values)
 from .uniqueness import uniqueness_violations
 from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, histogram
@@ -13,7 +14,8 @@ from .verdicts import partition_verdicts
 from .fidelity import fidelity_violations
 
 __all__ = [
-    "column_stats", "column_quantiles", "stats_violations", "uniqueness_violations",
+    "column_stats", "column_quantiles", "top_values",
+    "stats_violations", "uniqueness_violations",
     "referential_violations", "chi_square_drift", "ks_drift", "histogram",
     "partition_verdicts", "fidelity_violations",
 ]

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "column_quantiles", "stats_violations"]
+__all__ = ["column_stats", "column_quantiles", "top_values",
+           "stats_violations"]
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None,
@@ -105,6 +106,45 @@ def column_quantiles(df: DataFrame, columns: list[str],
              for c in columns for i, p in enumerate(plist)]
     return (wide.select(F.explode(F.array(*cells)).alias("q"))
             .select("q.column", "q.p", "q.value"))
+
+
+def top_values(df: DataFrame, columns: list[str], k: int = 10,
+               include_nulls: bool = False) -> DataFrame:
+    """Exact per-column top-``k`` most frequent values (heavy hitters),
+    unpivoted to ``(column, value, n, rank)``.
+
+    All columns share ONE scan: each row explodes to (column, value)
+    pairs (values cast to string), one partial-aggregated
+    ``groupBy(column, value).count()`` shuffles only per-partition
+    distinct (column, value) pairs (map-side combine collapses the
+    heavy hitters before the exchange — the skewed case is exactly the
+    cheap case), and the rank window runs on the already-aggregated
+    frame whose partition key has |columns| groups. Ties break by value
+    ascending, so output is deterministic and engine-portable.
+
+    Exact by design: the shuffle is bounded by the distinct-value
+    count, not the row count. A column whose distinct count approaches
+    the row count (ids, digests) is not a heavy-hitter question — track
+    it with column_stats' HLL distinct instead of forcing it through
+    here.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])).alias("p")).select("p.column", "p.value")
+    if not include_nulls:
+        pairs = pairs.where(F.col("value").isNotNull())
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), "value")
+    return (counts.select("column", "value", "n",
+                          F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))
 
 
 def stats_violations(stats: DataFrame, thresholds: dict[str, dict]) -> DataFrame:

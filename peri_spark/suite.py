@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .engine import VIOLATIONS_COLUMN, ValidationResult, validate
 from .constraints import (chi_square_drift, column_stats, ks_drift,
+                          top_values,
                           partition_verdicts, referential_violations,
                           uniqueness_violations)
 
@@ -72,6 +73,7 @@ class _LazyValidation:
 class SuiteResult:
     validation: ValidationResult
     stats: DataFrame | None = None
+    top_values: DataFrame | None = None
     duplicate_keys: DataFrame | None = None  # last keyset (compat alias)
     duplicates: dict[str, DataFrame] = field(default_factory=dict)
     referential: dict[str, DataFrame] = field(default_factory=dict)
@@ -126,6 +128,7 @@ class ValidationSuite:
         self._refs: list[tuple] = []
         self._drift: tuple | None = None
         self._partition: list[str] | None = None
+        self._top_values: tuple[list[str], int] | None = None
         self._stats = True
         self._max_bad_ratio = 0.0
         # above this many (partition × bucket) groups the fused derivation
@@ -204,6 +207,15 @@ class ValidationSuite:
         self._stats = False
         return self
 
+    def with_top_values(self, columns: list[str], k: int = 10):
+        """Track the exact top-``k`` most frequent values of low-
+        cardinality ``columns`` (enum-ish fields: lang, source, repo
+        org). One extra scan + one distinct-value-bounded shuffle; see
+        :func:`peri_spark.constraints.stats.top_values` for why the
+        skewed (heavy-hitter) case is the cheap case."""
+        self._top_values = (list(columns), k)
+        return self
+
     def run(self, df: DataFrame, eager: bool = True, persist: bool = False,
             concurrent: bool = True) -> SuiteResult:
         """Execute all configured stages.
@@ -249,6 +261,13 @@ class ValidationSuite:
                                            False))
                 counters["n_stat_cols"] = out.stats.count()
             thunks.append(("stats", st))
+
+        if self._top_values:
+            def tv():
+                cols, k = self._top_values
+                out.top_values = top_values(df, cols, k)
+                counters["n_top_values"] = out.top_values.count()
+            thunks.append(("top_values", tv))
 
         for i, (keys, salt, pre) in enumerate(self._uniq):
             kname = ",".join(keys)
@@ -755,6 +774,14 @@ class ValidationSuite:
             if eager:
                 counters["n_stat_cols"] = out.stats.count()
             timings["stats"] = time.perf_counter() - t
+
+        if self._top_values:
+            t = time.perf_counter()
+            cols, k = self._top_values
+            out.top_values = top_values(df, cols, k)
+            if eager:
+                counters["n_top_values"] = out.top_values.count()
+            timings["top_values"] = time.perf_counter() - t
 
         for keys, salt, pre in self._uniq:
             kname = ",".join(keys)
