@@ -1137,6 +1137,18 @@ WHERE content IS NOT NULL
 """
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference evidence (peri_spark.profile.profile): one
+    aggregate pass per documents column — null counts, exact distinct,
+    string-length extremes, min/max rendered as strings, enum
+    candidacy. suggest_schema's round-trip guarantee (inferred schema
+    validates its own frame with zero violations) is pytest-verified;
+    the oracle checks the evidence frame itself."""
+    from peri_spark.profile import profile
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile(docs)
+
+
 def q_top_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters: top-5 most frequent lang and source values
     in one shared scan (stacked explode → one distinct-value-bounded
@@ -1258,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_code_files": q_secrets_code_files,
         "code_shape_code_files": q_code_shape_code_files,
         "top_values_documents": q_top_values_documents,
+        "profile_documents": q_profile_documents,
     })
     return out
 
@@ -2657,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
                     [0.01, 0.25, 0.5, 0.75, 0.99])) FROM lineitem
     )
     """,
+        "profile_documents": _profile_oracle_sql(),
         "secrets_code_files": _secrets_oracle_sql(),
         "code_shape_code_files": _code_shape_oracle_sql(),
         # rank ties break by value ascending in both engines; DuckDB
@@ -2677,6 +2691,39 @@ def oracle_sql() -> dict[str, str]:
     """,
     })
     return out
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB reproduction of q_profile_documents: one UNION ALL branch
+    per documents column mirroring profile()'s aggregate (len() is
+    BIGINT in DuckDB, INT in Spark — cast; enum candidacy = string
+    column with exact distinct ≤ 20)."""
+    def branch(col, base, is_str):
+        if is_str:
+            minlen = f"CAST(min(length({col})) AS INT)"
+            maxlen = f"CAST(max(length({col})) AS INT)"
+            enum = f"count(DISTINCT {col}) <= 20"
+        else:
+            minlen = maxlen = "CAST(NULL AS INT)"
+            enum = "false"
+        return f"""
+      SELECT '{col}' AS "column", '{base}' AS base_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (WHERE {col} IS NULL) AS BIGINT)
+               AS n_null,
+             count(*) FILTER (WHERE {col} IS NULL) = 0 AS required,
+             CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+             {enum} AS is_enum_candidate,
+             {minlen} AS min_len, {maxlen} AS max_len,
+             CAST(min({col}) AS STRING) AS min_value,
+             CAST(max({col}) AS STRING) AS max_value
+      FROM documents"""
+    branches = [branch("doc_id", "integer", False),
+                branch("text", "string", True),
+                branch("lang", "string", True),
+                branch("source", "string", True),
+                branch("n_chars", "integer", False)]
+    return " UNION ALL ".join(branches)
 
 
 def _secrets_oracle_sql() -> str:
