@@ -1137,6 +1137,36 @@ WHERE content IS NOT NULL
 """
 
 
+def q_verdict_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-regression diff between two verdict runs: the "previous"
+    run used a looser n_chars bound and skipped src3; the "current" run
+    tightens the bound and skips src5 — producing regressed/fixed/
+    still_*/added/removed statuses. NULL-side counts are projected to
+    -1 sentinels (query-level only) so the value-hash compare stays
+    total-ordered."""
+    from peri_spark import validate
+    from peri_spark.constraints import compare_verdicts, partition_verdicts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prev_run = validate(
+        docs.where(F.col("source") != "src3"),
+        {"doc_id": ("required", "integer"),
+         "n_chars": ("integer", ("lt", 400))}, mode="permissive")
+    cur_run = validate(
+        docs.where(F.col("source") != "src5"),
+        {"doc_id": ("required", "integer"),
+         "n_chars": ("integer", ("lt", 350))}, mode="permissive")
+    prev = partition_verdicts(prev_run.annotated, "source",
+                              max_bad_ratio=0.3)
+    cur = partition_verdicts(cur_run.annotated, "source",
+                             max_bad_ratio=0.3)
+    d = compare_verdicts(cur, prev, "source")
+    return d.select(
+        "source", "status",
+        F.coalesce("n_bad_rows", F.lit(-1)).alias("n_bad_rows"),
+        F.coalesce("prev_n_bad_rows", F.lit(-1)).alias("prev_n_bad_rows"),
+        F.coalesce("bad_delta", F.lit(-1)).alias("bad_delta"))
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-inference evidence (peri_spark.profile.profile): one
     aggregate pass per documents column — null counts, exact distinct,
@@ -1271,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_shape_code_files": q_code_shape_code_files,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
+        "verdict_diff_documents": q_verdict_diff_documents,
     })
     return out
 
@@ -2671,6 +2702,39 @@ def oracle_sql() -> dict[str, str]:
     )
     """,
         "profile_documents": _profile_oracle_sql(),
+        # mirrors q_verdict_diff_documents: the n_chars<bound violation
+        # is the only one either schema can raise; passed = bad_rows <=
+        # 0.3*n_rows; full-outer statuses with -1 sentinels for the
+        # absent side
+        "verdict_diff_documents": """
+    WITH prev AS (
+      SELECT source, count(*) AS n_rows,
+             CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 400
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM documents WHERE source <> 'src3' GROUP BY source),
+    cur AS (
+      SELECT source, count(*) AS n_rows,
+             CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 350
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM documents WHERE source <> 'src5' GROUP BY source),
+    j AS (
+      SELECT coalesce(c.source, p.source) AS source,
+             c.n_bad AS cb, c.n_bad <= 0.3 * c.n_rows AS cp,
+             p.n_bad AS pb, p.n_bad <= 0.3 * p.n_rows AS pp,
+             c.source IS NOT NULL AS in_c, p.source IS NOT NULL AS in_p
+      FROM cur c FULL OUTER JOIN prev p ON c.source = p.source)
+    SELECT source,
+           CASE WHEN NOT in_c THEN 'removed'
+                WHEN NOT in_p THEN 'added'
+                WHEN pp AND NOT cp THEN 'regressed'
+                WHEN NOT pp AND cp THEN 'fixed'
+                WHEN NOT cp THEN 'still_failing'
+                ELSE 'still_passing' END AS status,
+           coalesce(cb, -1) AS n_bad_rows,
+           coalesce(pb, -1) AS prev_n_bad_rows,
+           coalesce(cb - pb, -1) AS bad_delta
+    FROM j
+    """,
         "secrets_code_files": _secrets_oracle_sql(),
         "code_shape_code_files": _code_shape_oracle_sql(),
         # rank ties break by value ascending in both engines; DuckDB

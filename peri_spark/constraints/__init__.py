@@ -10,12 +10,12 @@ from .stats import (column_quantiles, column_stats, stats_violations,
 from .uniqueness import uniqueness_violations
 from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, histogram
-from .verdicts import partition_verdicts
+from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
 
 __all__ = [
     "column_stats", "column_quantiles", "top_values",
     "stats_violations", "uniqueness_violations",
     "referential_violations", "chi_square_drift", "ks_drift", "histogram",
-    "partition_verdicts", "fidelity_violations",
+    "partition_verdicts", "compare_verdicts", "fidelity_violations",
 ]
