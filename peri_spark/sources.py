@@ -28,7 +28,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["load_table", "current_snapshot_id", "is_table_identifier"]
+__all__ = ["load_table", "current_snapshot_id", "is_table_identifier",
+           "write_clustered"]
 
 # dotted word-char parts: `db.table`, `catalog.db.table`, `t`. Anything
 # else (spaces, quotes, parens, semicolons) is NOT an identifier — it
@@ -109,6 +110,38 @@ def load_table(spark: SparkSession, ref: str,
     if ext == "txt":
         return spark.read.text(ref)
     return spark.read.parquet(ref)
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: list[str] | str,
+                    sort_by: list[str] | str | None = None,
+                    num_files: int | None = None,
+                    mode: str = "error") -> None:
+    """Write ``df`` as range-clustered, sorted parquet.
+
+    ``repartitionByRange(cluster_by)`` gives every output file a
+    CONTIGUOUS, (nearly) disjoint slice of the cluster-key space and
+    ``sortWithinPartitions`` orders rows inside each file — so parquet
+    row-group min/max statistics prune point/range scans on those keys
+    to a handful of files, and a downstream sort-merge join on the
+    cluster key skips its sort. This is the layout step a validation
+    pipeline runs once so every nightly query after it reads less.
+
+    Scale notes: repartitionByRange samples the key distribution
+    (reservoir per partition) to build balanced range bounds, so a
+    skewed key still yields even file sizes — the shuffle is the price
+    of the layout and is paid once. ``num_files`` defaults to the
+    session's shuffle parallelism. Rows with NULL cluster keys sort
+    first into the lowest range (Spark NULLS FIRST), keeping them
+    co-located rather than scattered.
+    """
+    cb = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if not cb:
+        raise ValueError("cluster_by must be non-empty")
+    sb = ([sort_by] if isinstance(sort_by, str) else list(sort_by or [])) \
+        or cb
+    out = (df.repartitionByRange(num_files, *cb) if num_files
+           else df.repartitionByRange(*cb))
+    out.sortWithinPartitions(*sb).write.mode(mode).parquet(path)
 
 
 def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
