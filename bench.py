@@ -765,6 +765,24 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
           .collect()[0])
     nm_wall = round(time.monotonic() - t0, 3)
 
+    # codescan: both are zero-shuffle projections, so these rates ARE
+    # the per-executor scan throughput a 100 TB sweep gets
+    from peri_spark.functions import code_shape_stats, scan_secrets
+    t0 = time.monotonic()
+    sc = (scan_secrets(df, "content")
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum("n_secrets").alias("hits"),
+               F.sum(F.length("content")).alias("chars"))
+          .collect()[0])
+    sc_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    sh = (code_shape_stats(df, "content")
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum("n_lines").alias("lines"),
+               F.sum(F.col("is_minified").cast("int")).alias("minified"))
+          .collect()[0])
+    sh_wall = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     up_rows = weighted_mix(
         df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
@@ -853,6 +871,15 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                             "lines": int(cl.lines),
                             "kept_lines": int(cl.kept),
                             "rows_per_sec": round(n / cl_wall, 1)},
+            "scan_secrets": {"wall_sec": sc_wall,
+                             "secret_hits": int(sc.hits),
+                             "mb_per_sec": round(int(sc.chars) / sc_wall
+                                                 / 1e6, 1),
+                             "rows_per_sec": round(n / sc_wall, 1)},
+            "code_shape_stats": {"wall_sec": sh_wall,
+                                 "lines": int(sh.lines),
+                                 "minified": int(sh.minified),
+                                 "rows_per_sec": round(n / sh_wall, 1)},
             "upsample_mix": {"wall_sec": up_wall,
                              "emitted_rows": int(up_rows),
                              "rows_per_sec": round(n / up_wall, 1)},

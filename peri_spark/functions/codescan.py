@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["SECRET_PATTERNS", "scan_secrets", "code_shape_stats"]
+__all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
+           "code_shape_stats"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -46,6 +47,22 @@ SECRET_PATTERNS: dict[str, str] = {
 }
 
 
+# label -> literal substrings, at least one of which every match of the
+# pattern must contain. `contains` is a plain substring scan (~10×
+# cheaper than the regex), so guarding the regex behind it makes the
+# common case — a clean file — cost one memchr-style pass per anchor
+# instead of six regex engines. Semantics-preserving by construction:
+# the anchor is a literal inside the regex itself.
+SECRET_ANCHORS: dict[str, list[str]] = {
+    "aws_key": ["AKIA"],
+    "github_token": ["ghp_", "ghs_"],
+    "slack_token": ["xox"],
+    "private_key": ["PRIVATE KEY-----"],
+    "jwt": ["eyJ"],
+    # "password" has no case-sensitive literal anchor ((?i) identifier)
+}
+
+
 def scan_secrets(df: DataFrame, text_col: str,
                  patterns: dict[str, str] | None = None) -> DataFrame:
     """Count credential-pattern hits per row.
@@ -60,10 +77,32 @@ def scan_secrets(df: DataFrame, text_col: str,
     no shuffle, no Python, and Catalyst prunes the scan to ``text_col``
     plus whatever downstream selects.
     """
-    patterns = SECRET_PATTERNS if patterns is None else patterns
+    use_defaults = patterns is None
+    patterns = SECRET_PATTERNS if use_defaults else patterns
     t = F.col(text_col)
-    counts = [F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{label}")
-              for label, pat in patterns.items()]
+    counts = []
+    for label, pat in patterns.items():
+        subject, anchors = t, None
+        if use_defaults:
+            anchors = SECRET_ANCHORS.get(label)
+            if label == "password":
+                # (?i) over the whole text is the one regex with no
+                # case-sensitive anchor; matching the case-sensitive
+                # lowercase pattern against lower(text) counts the same
+                # matches (the identifier is the only cased literal)
+                # and lets 'passw'/'pwd' anchors guard it
+                subject = F.lower(t)
+                pat = pat.removeprefix("(?i)")
+                anchors = ["passw", "pwd"]
+        cnt = F.regexp_count(subject, F.lit(pat)).cast("long")
+        if anchors:
+            guard = subject.contains(anchors[0])
+            for a in anchors[1:]:
+                guard = guard | subject.contains(a)
+            # NULL text must stay NULL (not 0) through the guard
+            cnt = (F.when(t.isNull(), F.lit(None).cast("long"))
+                   .when(guard, cnt).otherwise(F.lit(0).cast("long")))
+        counts.append(cnt.alias(f"n_{label}"))
     out = df.select("*", *counts)
     total = sum((F.col(f"n_{label}") for label in patterns),
                 F.lit(0).cast("long"))
