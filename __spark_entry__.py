@@ -1137,6 +1137,44 @@ WHERE content IS NOT NULL
 """
 
 
+def q_zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (doc_id, n_chars) at 8 bits/dim — the layout
+    key write_clustered consumes for multi-dimensional file pruning.
+    Pure integer/double column arithmetic (floor-quantize then bit
+    interleave), bit-identical in DuckDB."""
+    from peri_spark.sources import with_zorder
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_zorder(docs, ["doc_id", "n_chars"], bits=8,
+                        out_col="z")
+            .select("doc_id", "z"))
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB reproduction of q_zorder_documents: identical min-max
+    quantization (floor — NOT cast, which rounds in DuckDB) and the
+    same bit-position layout b*ncols+i."""
+    top = 255
+    q = ("CAST(least(greatest(floor((CAST({c} AS DOUBLE) - lo{i}) "
+         "* ({top}.0 / (hi{i} - lo{i}))), 0), {top}) AS BIGINT)")
+    q1 = q.format(c="doc_id", i=1, top=top)
+    q2 = q.format(c="n_chars", i=2, top=top)
+    terms = []
+    for b in range(8):
+        terms.append(f"(((q1 >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((q2 >> {b}) & 1) << {2 * b + 1})")
+    z = " | ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(doc_id) AS DOUBLE) AS lo1,
+             CAST(max(doc_id) AS DOUBLE) AS hi1,
+             CAST(min(n_chars) AS DOUBLE) AS lo2,
+             CAST(max(n_chars) AS DOUBLE) AS hi2
+      FROM documents),
+    qv AS (SELECT doc_id, {q1} AS q1, {q2} AS q2 FROM documents, b)
+    SELECT doc_id, CAST({z} AS BIGINT) AS z FROM qv
+    """
+
+
 def q_verdict_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nightly-regression diff between two verdict runs: the "previous"
     run used a looser n_chars bound and skipped src3; the "current" run
@@ -1302,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
+        "zorder_documents": q_zorder_documents,
     })
     return out
 
@@ -2702,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
     )
     """,
         "profile_documents": _profile_oracle_sql(),
+        "zorder_documents": _zorder_oracle_sql(),
         # mirrors q_verdict_diff_documents: the n_chars<bound violation
         # is the only one either schema can raise; passed = bad_rows <=
         # 0.3*n_rows; full-outer statuses with -1 sentinels for the

@@ -27,9 +27,10 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = ["load_table", "current_snapshot_id", "is_table_identifier",
-           "write_clustered"]
+           "write_clustered", "with_zorder"]
 
 # dotted word-char parts: `db.table`, `catalog.db.table`, `t`. Anything
 # else (spaces, quotes, parens, semicolons) is NOT an identifier — it
@@ -142,6 +143,61 @@ def write_clustered(df: DataFrame, path: str, cluster_by: list[str] | str,
     out = (df.repartitionByRange(num_files, *cb) if num_files
            else df.repartitionByRange(*cb))
     out.sortWithinPartitions(*sb).write.mode(mode).parquet(path)
+
+
+def with_zorder(df: DataFrame, cols: list[str], bits: int = 12,
+                out_col: str = "__z",
+                bounds: dict[str, tuple[float, float]] | None = None
+                ) -> DataFrame:
+    """Append a Z-order (Morton) key interleaving ``bits`` bits of each
+    numeric column in ``cols`` — the multi-dimensional companion to
+    :func:`write_clustered`: range-clustering on ONE key gives perfect
+    pruning on that key and none on others; clustering on the Z key
+    gives good pruning on EVERY participating column at once (each
+    file's rows are close in all dimensions), which is what a table
+    queried by both `repo` activity and `n_chars` ranges needs.
+
+    Each value is min-max normalized to ``[0, 2^bits)`` (bounds from
+    one tiny agg unless supplied — supply them for stability across
+    incremental writes, else tomorrow's new max reshuffles today's
+    keys), then bit b of column i lands at position ``b*len(cols)+i``.
+    Everything is integer/double Column arithmetic inside whole-stage
+    codegen: no UDF, no shuffle; the shuffle happens (once) in the
+    write_clustered call that consumes the key. NULLs map to slot 0,
+    co-locating them with the lowest range.
+
+    ``bits * len(cols)`` must fit a signed long (≤ 62).
+    """
+    if not cols or len(cols) < 1:
+        raise ValueError("cols must be non-empty")
+    if bits * len(cols) > 62:
+        raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds 62")
+    if bounds is None:
+        row = df.agg(*[f for c in cols for f in
+                       (F.min(F.col(c).cast("double")).alias(f"{c}__lo"),
+                        F.max(F.col(c).cast("double")).alias(f"{c}__hi"))]
+                     ).collect()[0]
+        bounds = {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols}
+    top = (1 << bits) - 1
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        if lo is None or hi is None or hi <= lo:
+            q = F.lit(0).cast("long")  # constant/NULL column: no bits
+        else:
+            scaled = ((F.col(c).cast("double") - F.lit(float(lo)))
+                      * F.lit(top / (float(hi) - float(lo))))
+            # floor, not cast: CAST(double AS BIGINT) truncates in Spark
+            # but rounds in DuckDB — floor() agrees everywhere
+            q = F.coalesce(
+                F.least(F.greatest(F.floor(scaled), F.lit(0)),
+                        F.lit(top)),
+                F.lit(0)).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return df.withColumn(out_col, z)
 
 
 def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
