@@ -213,6 +213,8 @@ class ValidationSuite:
         org). One extra scan + one distinct-value-bounded shuffle; see
         :func:`peri_spark.constraints.stats.top_values` for why the
         skewed (heavy-hitter) case is the cheap case."""
+        if not columns:
+            raise ValueError("with_top_values needs at least one column")
         self._top_values = (list(columns), k)
         return self
 
@@ -494,7 +496,17 @@ class ValidationSuite:
         # slots (at local[1] they serialize on the single slot — same
         # total work; at N slots the overlap hides each job's driver
         # planning/submission gaps behind the other's compute)
-        n_side = len(self._uniq) + (1 if self._stats and not fuse_stats else 0)
+        exact_nd_early = fuse_stats and getattr(
+            self, "_stats_exact_distinct", False)
+        # top_values derives FREE from the exact-distinct value groups
+        # (each distinct value is a GROUPING-SETS group whose n_rows is
+        # its frequency); otherwise it is one more overlapped side scan
+        tv_from_groups = bool(
+            self._top_values and exact_nd_early
+            and set(self._top_values[0]) <= set(stat_cols or []))
+        n_side = (len(self._uniq)
+                  + (1 if self._stats and not fuse_stats else 0)
+                  + (1 if self._top_values and not tv_from_groups else 0))
         pool = ThreadPoolExecutor(max_workers=n_side) if n_side else None
         uniq_futures = []
         stats_future = None
@@ -514,12 +526,23 @@ class ValidationSuite:
             n = s.count()
             return s, n, time.perf_counter() - t0
 
+        tv_future = None
+
+        def _tv_job():
+            t0 = time.perf_counter()
+            cols_tv, k = self._top_values
+            tv = top_values(df, cols_tv, k)
+            n = tv.count()
+            return tv, n, time.perf_counter() - t0
+
         for keys, salt, pre in self._uniq:
             kname = ",".join(keys)
             uniq_futures.append(
                 pool.submit(_uniq_count, keys, salt, pre, kname))
         if self._stats and not fuse_stats:
             stats_future = pool.submit(_stats_job)
+        if self._top_values and not tv_from_groups:
+            tv_future = pool.submit(_tv_job)
 
         # Truncate lineage by round-tripping the tiny grouped frame
         # (≤ partitions × buckets rows) through the driver: every derived
@@ -609,6 +632,36 @@ class ValidationSuite:
                 "avg_len double, n_distinct bigint")
             out.counters["n_stat_cols"] = len(srows)
             out_timings["stats"] = time.perf_counter() - t
+
+        if tv_from_groups:
+            # heavy-hitter derivation while the grouped frame is still
+            # persisted: each stat column's value groups carry their
+            # frequency in n_rows, so top-k costs one tiny window over
+            # ≤ sum(n_distinct) already-aggregated rows — no extra scan
+            t = time.perf_counter()
+            cols_tv, k = self._top_values
+            from pyspark.sql import Window
+            pieces = []
+            for c in cols_tv:
+                i = stat_cols.index(c)
+                pieces.append(
+                    g_all.where((F.col(f"__g_st_{i}") == 0)
+                                & F.col(f"__st_{i}").isNotNull())
+                    .select(F.lit(c).alias("column"),
+                            F.col(f"__st_{i}").cast("string").alias("value"),
+                            F.col("n_rows").alias("n")))
+            u = pieces[0]
+            for p in pieces[1:]:
+                u = u.unionByName(p)
+            w = Window.partitionBy("column").orderBy(F.col("n").desc(),
+                                                     "value")
+            tv_rows = (u.select("column", "value", "n",
+                                F.row_number().over(w).alias("rank"))
+                       .where(F.col("rank") <= k).collect())
+            out.top_values = df.sparkSession.createDataFrame(
+                tv_rows, "column string, value string, n bigint, rank int")
+            out.counters["n_top_values"] = len(tv_rows)
+            out_timings["top_values"] = time.perf_counter() - t
 
         if len(head) <= thresh:
             g_persisted.unpersist()
@@ -721,6 +774,11 @@ class ValidationSuite:
             out.counters["n_duplicate_keys"] = n
             out_timings["uniqueness:" + kname if len(self._uniq) > 1
                         else "uniqueness"] = wall
+        if tv_future is not None:
+            tv, n, wall = tv_future.result()
+            out.top_values = tv
+            out.counters["n_top_values"] = n
+            out_timings["top_values"] = wall
         if pool is not None:
             pool.shutdown()
         return out

@@ -56,6 +56,44 @@ def test_suite_top_values_stage(spark):
     assert "top_values" in seq.timings
 
 
+def test_run_fused_derives_top_values_from_value_groups(spark):
+    """With exact-distinct fused stats, top_values must come from the
+    GROUPING-SETS value groups (no separate corpus scan) and agree with
+    the standalone stage row-for-row."""
+    from peri_spark.constraints import top_values
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suite = (ValidationSuite({"doc_id": ("required", "integer")},
+                             mode="permissive")
+             .with_partitioning("source")
+             .with_stats(["lang", "source"], fused=True,
+                         exact_distinct=True)
+             .with_top_values(["lang", "source"], k=3))
+    res = suite.run_fused(docs)
+    assert res.counters["n_top_values"] == 6
+    fused = {(r.column, r.rank): (r.value, r.n)
+             for r in res.top_values.collect()}
+    standalone = {(r.column, r.rank): (r.value, r.n)
+                  for r in top_values(docs, ["lang", "source"], 3).collect()}
+    assert fused == standalone
+    assert "top_values" in res.timings
+
+
+def test_run_fused_top_values_fallback_scan(spark):
+    """Without exact-distinct value groups the stage falls back to its
+    own overlapped scan and still lands on the result."""
+    from peri_spark.suite import ValidationSuite
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suite = (ValidationSuite({"doc_id": ("required", "integer")},
+                             mode="permissive")
+             .with_partitioning("source")
+             .without_stats()
+             .with_top_values(["lang"], k=2))
+    res = suite.run_fused(docs)
+    assert res.counters["n_top_values"] == 2
+    assert {r.column for r in res.top_values.collect()} == {"lang"}
+
+
 def test_top_values_single_shuffle_plan(spark):
     plan = top_values(_df(spark), ["lang", "src"], k=2) \
         ._jdf.queryExecution().executedPlan().toString()
