@@ -134,6 +134,27 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
+def q_psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift (the ML-monitoring metric
+    alongside chi-square/KS): each source's bucketed n_chars
+    distribution vs the global baseline, epsilon-smoothed."""
+    from peri_spark.constraints import psi_drift
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = psi_drift(docs, "n_chars", "source", lo=0.0, hi=2048.0, buckets=16)
+    return d.select(F.col("group").alias("grp"), "n", "psi", "critical",
+                    "drifted")
+
+
+def q_skew_report_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis over the Zipf-skewed corpus (two monorepos
+    hold ~40% of rows by construction): per candidate key, the hottest
+    value's share and the salt-bucket recommendation salted
+    repartition/join should use."""
+    from peri_spark.skew import skew_report
+    df = _code_files(spark, sf_dir)
+    return skew_report(df, ["repo", "lang"], parallelism=32)
+
+
 def q_verdicts_composite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """run_fused with a COMPOSITE partition key (source, lang) — the
     round-4 generalization (VERDICT r03 next #3): one scan + one
@@ -1341,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
         "zorder_documents": q_zorder_documents,
+        "psi_drift_documents": q_psi_drift_documents,
+        "skew_report_code_files": q_skew_report_code_files,
     })
     return out
 
@@ -2742,6 +2765,56 @@ def oracle_sql() -> dict[str, str]:
     """,
         "profile_documents": _profile_oracle_sql(),
         "zorder_documents": _zorder_oracle_sql(),
+        # epsilon-smoothed PSI; CAST 0.2 to DOUBLE (DuckDB literals are
+        # DECIMAL); term order mirrors psi_drift exactly
+        "psi_drift_documents": """
+    WITH nn AS (
+      SELECT source AS grp,
+             CAST(least(greatest(floor((n_chars - 0.0) / 128.0), 0), 15)
+                  AS INT) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL),
+    m AS (SELECT count(*) AS m FROM nn),
+    base AS (SELECT bucket, count(*) * 1.0 / (SELECT m FROM m) AS p
+             FROM nn GROUP BY bucket),
+    obs AS (SELECT grp, bucket, count(*) AS obs FROM nn GROUP BY 1, 2),
+    tot AS (SELECT grp, sum(obs) AS total FROM obs GROUP BY 1),
+    grid AS (
+      SELECT t.grp, b.bucket, t.total, b.p, COALESCE(o.obs, 0) AS obs
+      FROM tot t CROSS JOIN base b
+      LEFT JOIN obs o ON o.grp = t.grp AND o.bucket = b.bucket),
+    d AS (
+      SELECT grp, CAST(max(total) AS BIGINT) AS n,
+             sum((greatest(obs / total, 1e-6) - greatest(p, 1e-6))
+                 * ln(greatest(obs / total, 1e-6)
+                      / greatest(p, 1e-6))) AS psi
+      FROM grid GROUP BY grp)
+    SELECT grp, n, round(psi, 6) AS psi,
+           CAST(0.2 AS DOUBLE) AS critical, psi > 0.2 AS drifted
+    FROM d
+    """,
+        "skew_report_code_files": f"""
+    WITH pairs AS (
+      SELECT 'repo' AS "column", repo AS value
+      FROM {_CF} AS code_files WHERE repo IS NOT NULL
+      UNION ALL
+      SELECT 'lang', lang FROM {_CF} AS code_files
+      WHERE lang IS NOT NULL),
+    c AS (SELECT "column", value, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY 1, 2),
+    pc AS (SELECT "column", value, n,
+                  row_number() OVER (PARTITION BY "column"
+                                     ORDER BY n DESC, value) AS rk,
+                  sum(n) OVER (PARTITION BY "column") AS n_rows,
+                  count(*) OVER (PARTITION BY "column") AS n_distinct
+           FROM c)
+    SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           value AS top_value, n AS top_n,
+           round(n * 1.0 / n_rows, 6) AS top_share,
+           CAST(least(greatest(ceil((n * 1.0 / n_rows) * 32), 1), 32)
+                AS INT) AS recommended_salt_buckets
+    FROM pc WHERE rk = 1
+    """,
         # mirrors q_verdict_diff_documents: the n_chars<bound violation
         # is the only one either schema can raise; passed = bad_rows <=
         # 0.3*n_rows; full-outer statuses with -1 sentinels for the

@@ -9,13 +9,13 @@ from .stats import (column_quantiles, column_stats, stats_violations,
                     top_values)
 from .uniqueness import uniqueness_violations
 from .referential import referential_violations
-from .drift import chi_square_drift, ks_drift, histogram
+from .drift import chi_square_drift, ks_drift, psi_drift, histogram
 from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
 
 __all__ = [
     "column_stats", "column_quantiles", "top_values",
     "stats_violations", "uniqueness_violations",
-    "referential_violations", "chi_square_drift", "ks_drift", "histogram",
+    "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",
 ]

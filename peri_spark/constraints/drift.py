@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["histogram", "chi_square_drift", "ks_drift", "ks_stat_from_obs",
-           "chi2_critical"]
+           "psi_drift", "chi2_critical"]
 
 
 def _bucket(col, lo: float, hi: float, nb: int):
@@ -145,6 +145,42 @@ def ks_stat_from_obs(obs: DataFrame, baseline: DataFrame, m_total: int,
     return d.select("group", "n", F.round("ks", 6).alias("ks"),
                     F.round(crit, 6).alias("critical"),
                     (F.col("ks") > crit).alias("drifted"))
+
+
+def psi_drift(df: DataFrame, value_col: str, group_col: str,
+              lo: float, hi: float, buckets: int = 10,
+              baseline: DataFrame | None = None,
+              threshold: float = 0.2,
+              epsilon: float = 1e-6) -> DataFrame:
+    """Per-group Population Stability Index against the baseline
+    histogram — the ML-monitoring standard companion to chi-square/KS:
+
+    ``PSI = Σ_b (p_obs(b) - p_base(b)) · ln(p_obs(b) / p_base(b))``
+
+    with ``epsilon``-smoothing on both proportions so empty buckets
+    contribute a large-but-finite term instead of ±inf. Conventional
+    reading: < 0.1 stable, 0.1–0.2 moderate shift, > 0.2 (the default
+    ``threshold``) action-worthy drift.
+
+    Returns (group, n, psi, critical, drifted). Same plan shape as
+    ``chi_square_drift``: per-group bucket counts from one partial-
+    aggregated shuffle, a broadcast grid join against the tiny
+    baseline, and a per-group reduce over ≤ ``buckets`` rows.
+    """
+    if baseline is None:
+        baseline = histogram(df, value_col, lo, hi, buckets)
+    obs = _grouped_counts(df, value_col, group_col, lo, hi, buckets)
+    grid = _grid(obs, baseline)
+    p_obs = F.greatest(F.col("obs") / F.col("total"), F.lit(epsilon))
+    p_base = F.greatest(F.col("p"), F.lit(epsilon))
+    term = (p_obs - p_base) * F.log(p_obs / p_base)
+    per_group = (grid.groupBy("group")
+                 .agg(F.max("total").alias("n"),
+                      F.sum(term).alias("psi")))
+    return per_group.select(
+        "group", "n", F.round("psi", 6).alias("psi"),
+        F.lit(threshold).alias("critical"),
+        (F.col("psi") > threshold).alias("drifted"))
 
 
 def ks_drift(df: DataFrame, value_col: str, group_col: str,

@@ -22,7 +22,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_repartition", "salted_shuffle_join", "recommended_conf"]
+__all__ = ["salted_repartition", "salted_shuffle_join", "recommended_conf",
+           "skew_report"]
+
+
+def skew_report(df: DataFrame, columns: list[str],
+                parallelism: int = 32) -> DataFrame:
+    """Measure key skew per candidate join/partition column and
+    recommend a salt-bucket count, one row per column:
+
+    ``(column, n_rows, n_distinct, top_value, top_n, top_share,
+    recommended_salt_buckets)``
+
+    ``recommended_salt_buckets`` = how many average-task units the
+    hottest key occupies — ``ceil(top_n * parallelism / n_rows)``
+    clamped to [1, parallelism]: 1 means "no salting needed"; feed
+    anything larger to :func:`salted_repartition` /
+    :func:`salted_shuffle_join` (or trust AQE skew-join at runtime and
+    keep this as the monitoring signal).
+
+    One scan + one shuffle bounded by distinct values for ALL columns
+    (same stacked-explode shape as ``top_values``); candidate columns
+    are join/partition keys, which are low-cardinality relative to rows
+    — don't point it at a unique id and expect a cheap answer.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])).alias("p")).select("p.column", "p.value")
+    counts = (pairs.where(F.col("value").isNotNull())
+              .groupBy("column", "value")
+              .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), "value")
+    per_col = (counts.select(
+        "column", "value", "n",
+        F.row_number().over(w).alias("__rk"),
+        F.sum("n").over(Window.partitionBy("column")).alias("n_rows"),
+        F.count(F.lit(1)).over(Window.partitionBy("column"))
+        .alias("n_distinct"))
+        .where(F.col("__rk") == 1))
+    share = F.col("n") / F.col("n_rows")
+    rec = F.least(
+        F.greatest(F.ceil(share * F.lit(parallelism)), F.lit(1)),
+        F.lit(parallelism)).cast("int")
+    return per_col.select(
+        "column", "n_rows", F.col("n_distinct").cast("long"),
+        F.col("value").alias("top_value"), F.col("n").alias("top_n"),
+        F.round(share, 6).alias("top_share"),
+        rec.alias("recommended_salt_buckets"))
 
 
 def salted_repartition(df: DataFrame, cols: list[str], buckets: int,
