@@ -134,6 +134,38 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
+def q_sample_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation triage: 3 deterministic exemplars per (path, key)
+    violation class with the class's total count — the md5-coin
+    selection reproduces bit-for-bit in the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = validate(ev, EVENTS_SCHEMA, mode="permissive")
+    s = res.sample_violations(3, "event_id")
+    return s.select("event_id", "key",
+                    F.array_join("path", "/").alias("err_path"),
+                    "message", "rank", "class_count")
+
+
+def _sample_violations_oracle_sql() -> str:
+    """DuckDB reproduction of q_sample_violations_events: the schema's
+    violation rows (same generator as validate_events), ranked inside
+    each (err_path, key) class by the identical md5 coin."""
+    base = po.violations_sql(EVENTS_SCHEMA, "events", ["event_id"])
+    coin = _ph("CAST(event_id AS VARCHAR) || chr(31) || '42'") + " % 1000000"
+    return f"""
+    WITH v AS ({base}),
+    s AS (SELECT *, {coin} AS coin FROM v),
+    r AS (SELECT event_id, key, err_path, message,
+                 CAST(row_number() OVER (PARTITION BY err_path, key
+                                         ORDER BY coin, event_id)
+                      AS INT) AS rank,
+                 CAST(count(*) OVER (PARTITION BY err_path, key)
+                      AS BIGINT) AS class_count
+          FROM s)
+    SELECT * FROM r WHERE rank <= 3
+    """
+
+
 def q_psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift (the ML-monitoring metric
     alongside chi-square/KS): each source's bucketed n_chars
@@ -1364,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_documents": q_zorder_documents,
         "psi_drift_documents": q_psi_drift_documents,
         "skew_report_code_files": q_skew_report_code_files,
+        "sample_violations_events": q_sample_violations_events,
     })
     return out
 
@@ -2765,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "profile_documents": _profile_oracle_sql(),
         "zorder_documents": _zorder_oracle_sql(),
+        "sample_violations_events": _sample_violations_oracle_sql(),
         # epsilon-smoothed PSI; CAST 0.2 to DOUBLE (DuckDB literals are
         # DECIMAL); term order mirrors psi_drift exactly
         "psi_drift_documents": """

@@ -71,6 +71,49 @@ class ValidationResult:
         """Whole-frame boolean (Peri.conforms?/2, lib/peri.ex:443-450)."""
         return self.invalid.isEmpty()
 
+    def sample_violations(self, k: int, *id_cols: str,
+                          seed: int = 42) -> DataFrame:
+        """``k`` deterministic exemplar rows per violation CLASS
+        (path, key), each annotated with ``class_count`` and ``rank`` —
+        the triage view: at 10^12 files nobody pages through the full
+        violation set; you read k examples of each failure mode next to
+        how often it fires.
+
+        Selection is a pure function of (id values, seed) via the
+        portable md5 coin (`functions/curation.py:_coin`), so re-runs,
+        cluster layouts, and the DuckDB oracle pick identical rows.
+
+        Plan shape: one hash exchange on the class key over the
+        already-exploded violations; the rank and count windows share
+        that exchange. Class cardinality is the schema's (field,
+        check) count — tiny — so per-class sort buffers see only that
+        class's violations.
+        """
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        if not id_cols:
+            raise ValueError(
+                "sample_violations needs id columns for deterministic "
+                "selection")
+        from pyspark.sql import Window
+
+        from .functions.curation import _coin
+        v = self.violations(*id_cols)
+        pname = "err_path" if "path" in id_cols else "path"
+        kname = "err_key" if "key" in id_cols else "key"
+        cls = F.concat_ws("|", F.array_join(F.col(pname), "."),
+                          F.col(kname))
+        coin = _coin(F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in id_cols]), seed)
+        w = Window.partitionBy("__cls").orderBy(F.col("__coin"), *id_cols)
+        wc = Window.partitionBy("__cls")
+        return (v.withColumn("__cls", cls).withColumn("__coin", coin)
+                .withColumn("rank", F.row_number().over(w))
+                .withColumn("class_count",
+                            F.count(F.lit(1)).over(wc).cast("long"))
+                .where(F.col("rank") <= k)
+                .drop("__cls", "__coin"))
+
     def persist(self, *a, **kw) -> "ValidationResult":
         self.annotated = self.annotated.persist(*a, **kw)
         return self
