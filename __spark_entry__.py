@@ -134,6 +134,39 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
+def q_strip_data_uris_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedded-base64 stripping with deterministically planted data
+    URIs (hex payloads built from md5(text) — engine-identical)."""
+    from peri_spark.functions import strip_data_uris
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.concat(
+        F.col("text"), F.lit(' <img src="data:image/png;base64,'),
+        F.repeat(F.md5("text"), 2), F.lit('">'))
+    staged = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 2, planted)
+        .otherwise(F.col("text")).alias("text"))
+    return strip_data_uris(staged, "text").select(
+        "doc_id", F.col("text_stripped").alias("stripped"),
+        "n_data_uris", "data_uri_chars")
+
+
+def q_dedup_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: synthetic clusters of 3 consecutive
+    doc_ids (ids < 60), keep the member with the most characters (ties →
+    lowest id); singletons survive untouched."""
+    from peri_spark.functions import deduplicate_by_clusters_best
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = (docs.where(F.col("doc_id") < 60)
+                .select(F.col("doc_id").alias("id"),
+                        (F.col("doc_id") - F.col("doc_id") % 3)
+                        .alias("cluster_id")))
+    kept = deduplicate_by_clusters_best(docs, "doc_id", clusters,
+                                        "n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
 def q_sample_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Violation triage: 3 deterministic exemplars per (path, key)
     violation class with the class's total count — the md5-coin
@@ -1397,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_documents": q_psi_drift_documents,
         "skew_report_code_files": q_skew_report_code_files,
         "sample_violations_events": q_sample_violations_events,
+        "strip_data_uris_documents": q_strip_data_uris_documents,
+        "dedup_best_documents": q_dedup_best_documents,
     })
     return out
 
@@ -2799,6 +2834,43 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": _profile_oracle_sql(),
         "zorder_documents": _zorder_oracle_sql(),
         "sample_violations_events": _sample_violations_oracle_sql(),
+        # planted blobs: md5 hex is a base64-alphabet subset, repeat(.,2)
+        # gives a 64-char payload over the 40-char floor
+        "strip_data_uris_documents": r"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 2 THEN
+               text || ' <img src="data:image/png;base64,'
+                    || repeat(md5(text), 2) || '">'
+             ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL),
+    m AS (SELECT doc_id, text,
+                 regexp_extract_all(text,
+                   'data:[A-Za-z0-9.+-]+/[A-Za-z0-9.+-]+;base64,'
+                   || '[A-Za-z0-9+/]{40,}={0,2}') AS hits
+          FROM staged)
+    SELECT doc_id,
+           regexp_replace(text,
+             'data:[A-Za-z0-9.+-]+/[A-Za-z0-9.+-]+;base64,'
+             || '[A-Za-z0-9+/]{40,}={0,2}', '[DATA_URI]', 'g') AS stripped,
+           CAST(len(hits) AS BIGINT) AS n_data_uris,
+           CAST(coalesce(list_sum(list_transform(hits, s -> length(s))),
+                         0) AS BIGINT) AS data_uri_chars
+    FROM m
+    """,
+        # keep-max(n_chars) per 3-id cluster, ties -> lowest id;
+        # singletons (ids >= 60) pass through the anti-join untouched
+        "dedup_best_documents": """
+    WITH members AS (
+      SELECT doc_id AS id, doc_id - doc_id % 3 AS cluster_id, n_chars
+      FROM documents WHERE doc_id < 60),
+    ranked AS (
+      SELECT id, row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, id) AS rk
+      FROM members)
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
+    """,
         # epsilon-smoothed PSI; CAST 0.2 to DOUBLE (DuckDB literals are
         # DECIMAL); term order mirrors psi_drift exactly
         "psi_drift_documents": """

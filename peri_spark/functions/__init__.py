@@ -7,6 +7,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
 from .curation import (clean_lines, cluster_safe_split,
+                       strip_data_uris,
                        contamination_overlap, hash_split,
                        sample_k_per_group,
                        normalize_text,
@@ -19,6 +20,7 @@ from .dedup import (exact_duplicates, exact_digest_index,
                     ngram_jaccard_pairs,
                     simhash_signatures, embedding_duplicate_pairs,
                     near_dup_clusters, deduplicate_by_clusters,
+                    deduplicate_by_clusters_best,
                     dedup_chunks, portable_hash64)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
@@ -43,6 +45,7 @@ __all__ = [
     "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",
+    "deduplicate_by_clusters_best",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",
     "normalize_embeddings", "deterministic_kmeans", "train_ivf_centroids",
     "ivf_topk",
@@ -52,7 +55,8 @@ __all__ = [
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
-    "encode_tokens", "normalize_text", "sample_k_per_group",
+    "encode_tokens", "normalize_text", "strip_data_uris",
+    "sample_k_per_group",
     "cluster_safe_split",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
     "merge_intervals", "rolling_agg", "staleness",

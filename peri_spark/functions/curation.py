@@ -34,7 +34,8 @@ __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
            "sample_k_per_group", "cluster_safe_split",
-           "clean_lines", "normalize_text", "PORTABLE_WS_CHARS",
+           "clean_lines", "normalize_text", "strip_data_uris",
+           "DATA_URI_PATTERN", "PORTABLE_WS_CHARS",
            "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
 
@@ -335,6 +336,40 @@ def redact_text(df: DataFrame, text_col: str,
 # case-insensitively, no regex, so both engines compare identically.
 DEFAULT_DENY_SUBSTRINGS = ("javascript", "lorem ipsum", "cookie policy",
                            "terms of use", "privacy policy")
+
+
+# Engine-portable (Java regex == RE2): scheme;base64,payload with a
+# 40-char minimum so short inline icons in prose survive but real
+# embedded blobs (images, fonts, pickled arrays) are caught
+DATA_URI_PATTERN = (r"data:[A-Za-z0-9.+-]+/[A-Za-z0-9.+-]+;base64,"
+                    r"[A-Za-z0-9+/]{40,}={0,2}")
+
+
+def strip_data_uris(df: DataFrame, text_col: str,
+                    out_col: str | None = None,
+                    pattern: str = DATA_URI_PATTERN) -> DataFrame:
+    """Remove embedded base64 data URIs from scraped text.
+
+    Web-scraped corpora carry inline `data:image/png;base64,...` blobs
+    that are megabytes of token soup to a tokenizer; this replaces each
+    with ``[DATA_URI]`` and appends ``n_data_uris`` plus
+    ``data_uri_chars`` (total matched length — the payload the
+    tokenizer no longer sees; ×3/4 ≈ decoded bytes).
+
+    One codegen'd projection (regexp_replace + a HOF sum over
+    regexp_extract_all): zero shuffle, and the regex is engine-portable
+    so the DuckDB oracle reproduces text and counters exactly.
+    """
+    out_col = out_col or f"{text_col}_stripped"
+    t = F.col(text_col)
+    matches = F.regexp_extract_all(t, F.lit(pattern), F.lit(0))
+    total = F.aggregate(matches, F.lit(0).cast("long"),
+                        lambda acc, s: acc + F.length(s))
+    return df.select(
+        "*",
+        F.regexp_replace(t, pattern, "[DATA_URI]").alias(out_col),
+        F.size(matches).cast("long").alias("n_data_uris"),
+        total.alias("data_uri_chars"))
 
 
 def clean_lines(df: DataFrame, text_col: str, min_words: int = 3,

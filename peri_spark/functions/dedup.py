@@ -31,6 +31,7 @@ __all__ = ["exact_duplicates", "exact_digest_index", "exact_dedup_against",
            "ngram_jaccard_pairs",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
+           "deduplicate_by_clusters_best",
            "dedup_chunks", "portable_hash64"]
 
 
@@ -881,5 +882,35 @@ def deduplicate_by_clusters(df: DataFrame, id_col: str,
     component minimum). Broadcast-friendly when the dup set is small
     relative to the corpus; Spark picks SMJ automatically otherwise."""
     losers = clusters.where(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col),
+                   id_col, "left_anti")
+
+
+def deduplicate_by_clusters_best(df: DataFrame, id_col: str,
+                                 clusters: DataFrame,
+                                 score_col: str) -> DataFrame:
+    """Quality-aware near-dup dedup: within each cluster keep the row
+    with the HIGHEST ``score_col`` (ties → lowest id), not the minimum
+    id. The keep-min variant (:func:`deduplicate_by_clusters`) discards
+    arbitrarily; when a quality signal exists (quality_scores,
+    unigram_logprob, length), a curation pipeline wants the best
+    member to survive — cf. the keep-longest convention in large-scale
+    dedup pipelines.
+
+    Plan shape: the scores join touches only cluster MEMBERS (the
+    clusters frame — tiny vs the corpus), a rank window runs per
+    cluster_id over those members, and the corpus-wide step is one
+    anti-join against the loser ids — identical to keep-min. Cluster
+    sizes bound the window partitions, not corpus size.
+    """
+    members = clusters.join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(score_col).alias("__score")),
+        "id", "inner")
+    from pyspark.sql import Window
+    w = Window.partitionBy("cluster_id").orderBy(F.col("__score").desc(),
+                                                 "id")
+    losers = (members.select("id", F.row_number().over(w).alias("__rk"))
+              .where(F.col("__rk") > 1).select("id"))
     return df.join(losers.withColumnRenamed("id", id_col),
                    id_col, "left_anti")
