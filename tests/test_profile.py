@@ -65,3 +65,15 @@ def test_profile_single_aggregate_plan(spark):
     plan = profile(_df(spark), ["id", "lang"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_profile_generate_validate_loop(spark):
+    """Close the loop: infer a schema from real data, GENERATE fresh
+    rows from it, and the generated rows must conform to it."""
+    from peri_spark.generate import generate_df
+    from peri_spark import validate
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema = suggest_schema(docs, columns=["lang", "source", "n_chars"])
+    gen = generate_df(spark, schema, n=200, seed=7)
+    res = validate(gen, schema, mode="permissive")
+    assert res.invalid.count() == 0 and res.valid.count() == 200

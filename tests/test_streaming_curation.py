@@ -65,3 +65,30 @@ def test_redact_text_stream_matches_batch(spark, docs_batch, docs_dir):
     got = _rows(spark, "redact_stream")
     want = sorted(map(tuple, redact_text(docs_batch, "text").collect()))
     assert got == want and len(got) > 0
+
+
+def test_scan_secrets_stream_matches_batch(spark, docs_batch, docs_dir):
+    from peri_spark.functions import scan_secrets
+    _drain(scan_secrets(_stream(spark, docs_batch, docs_dir), "text"),
+           "secrets_stream")
+    got = _rows(spark, "secrets_stream")
+    want = sorted(map(tuple, scan_secrets(docs_batch, "text").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_code_shape_stream_matches_batch(spark, docs_batch, docs_dir):
+    from peri_spark.functions import code_shape_stats
+    _drain(code_shape_stats(_stream(spark, docs_batch, docs_dir), "text"),
+           "shape_stream")
+    got = _rows(spark, "shape_stream")
+    want = sorted(map(tuple, code_shape_stats(docs_batch, "text").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_strip_data_uris_stream_matches_batch(spark, docs_batch, docs_dir):
+    from peri_spark.functions import strip_data_uris
+    _drain(strip_data_uris(_stream(spark, docs_batch, docs_dir), "text"),
+           "strip_stream")
+    got = _rows(spark, "strip_stream")
+    want = sorted(map(tuple, strip_data_uris(docs_batch, "text").collect()))
+    assert got == want and len(got) > 0
