@@ -152,6 +152,46 @@ def q_strip_data_uris_documents(spark: SparkSession,
         "n_data_uris", "data_uri_chars")
 
 
+def _stage_planted_urls(docs: DataFrame) -> DataFrame:
+    """Plant deterministic URLs: doc_id%5==1 gets two distinct hosts with
+    one host repeated (n_urls=3, n_domains=2), doc_id%5==3 gets one.
+    Mixed-case hosts exercise the lower() in domain extraction."""
+    u1 = F.concat(F.lit("https://Host"), (F.col("doc_id") % 7).cast("string"),
+                  F.lit(".Example.com/p/"), F.col("doc_id").cast("string"))
+    u2 = F.concat(F.lit("http://cdn"), (F.col("doc_id") % 3).cast("string"),
+                  F.lit(".example.net:8080/a?q="),
+                  F.col("doc_id").cast("string"))
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1,
+               F.concat(F.col("text"), F.lit(" see "), u1, F.lit(" and "),
+                        u2, F.lit(" again "), u1))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.col("text"), F.lit(" ref "), u1))
+        .otherwise(F.col("text")).alias("text"))
+
+
+def q_url_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row URL/domain evidence (curation.url_stats): one codegen'd
+    projection, zero shuffle; the domain array is joined to a string so
+    the hash compare is scalar."""
+    from peri_spark.functions import url_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return url_stats(_stage_planted_urls(docs), "text").select(
+        "doc_id", "n_urls", "n_domains",
+        F.array_join("domains", ",").alias("domains_joined"))
+
+
+def q_domain_counts_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Corpus domain document-frequency top-8 (curation.domain_counts):
+    map-side distinct hosts -> explode -> partial-aggregated count ->
+    WindowGroupLimit top-k; only (domain, count) pairs shuffle."""
+    from peri_spark.functions import domain_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_counts(_stage_planted_urls(docs), "text", k=8)
+
+
 def q_dedup_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup dedup: synthetic clusters of 3 consecutive
     doc_ids (ids < 60), keep the member with the most characters (ties →
@@ -1235,6 +1275,67 @@ def q_zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "z"))
 
 
+def _planted_urls_cte() -> str:
+    """Shared DuckDB staging CTE mirroring _stage_planted_urls."""
+    return """
+    staged AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 1 THEN
+               text || ' see ' || u1 || ' and ' || u2 || ' again ' || u1
+             WHEN doc_id % 5 = 3 THEN text || ' ref ' || u1
+             ELSE text END AS text
+      FROM (SELECT doc_id, text,
+              'https://Host' || CAST(doc_id % 7 AS VARCHAR)
+                || '.Example.com/p/' || CAST(doc_id AS VARCHAR) AS u1,
+              'http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+                || '.example.net:8080/a?q=' || CAST(doc_id AS VARCHAR) AS u2
+            FROM documents WHERE text IS NOT NULL))"""
+
+
+def _url_oracle_patterns() -> tuple[str, str]:
+    """URL/host regexes, single-source from the library, SQL-escaped."""
+    from peri_spark.functions.curation import URL_PATTERN, _HOST_PATTERN
+    return URL_PATTERN.replace("'", "''"), _HOST_PATTERN.replace("'", "''")
+
+
+def _url_stats_oracle_sql() -> str:
+    pat, host = _url_oracle_patterns()
+    return f"""
+    WITH {_planted_urls_cte()},
+    m AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS urls
+          FROM staged),
+    h AS (SELECT doc_id, urls,
+                 list_sort(list_distinct(list_transform(urls,
+                   u -> lower(regexp_extract(u, '{host}', 1))))) AS hosts
+          FROM m)
+    SELECT doc_id,
+           CAST(len(urls) AS BIGINT) AS n_urls,
+           CAST(len(hosts) AS BIGINT) AS n_domains,
+           coalesce(array_to_string(hosts, ','), '') AS domains_joined
+    FROM h
+    """
+
+
+def _domain_counts_oracle_sql() -> str:
+    pat, host = _url_oracle_patterns()
+    return f"""
+    WITH {_planted_urls_cte()},
+    m AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS urls
+          FROM staged),
+    h AS (SELECT doc_id, list_distinct(list_transform(urls,
+             u -> lower(regexp_extract(u, '{host}', 1)))) AS hosts
+          FROM m),
+    ex AS (SELECT unnest(hosts) AS domain FROM h),
+    counts AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+               FROM ex GROUP BY domain),
+    ranked AS (SELECT domain, n_docs,
+                      CAST(row_number() OVER (ORDER BY n_docs DESC, domain)
+                           AS INT) AS rank
+               FROM counts)
+    SELECT * FROM ranked WHERE rank <= 8
+    """
+
+
 def _zorder_oracle_sql() -> str:
     """DuckDB reproduction of q_zorder_documents: identical min-max
     quantization (floor — NOT cast, which rounds in DuckDB) and the
@@ -1432,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_violations_events": q_sample_violations_events,
         "strip_data_uris_documents": q_strip_data_uris_documents,
         "dedup_best_documents": q_dedup_best_documents,
+        "url_stats_documents": q_url_stats_documents,
+        "domain_counts_documents": q_domain_counts_documents,
     })
     return out
 
@@ -2834,6 +2937,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": _profile_oracle_sql(),
         "zorder_documents": _zorder_oracle_sql(),
         "sample_violations_events": _sample_violations_oracle_sql(),
+        "url_stats_documents": _url_stats_oracle_sql(),
+        "domain_counts_documents": _domain_counts_oracle_sql(),
         # planted blobs: md5 hex is a base64-alphabet subset, repeat(.,2)
         # gives a 64-char payload over the 40-char floor
         "strip_data_uris_documents": r"""

@@ -7,7 +7,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
 from .curation import (clean_lines, cluster_safe_split,
-                       strip_data_uris,
+                       strip_data_uris, url_stats, domain_counts,
                        contamination_overlap, hash_split,
                        sample_k_per_group,
                        normalize_text,
@@ -56,6 +56,7 @@ __all__ = [
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
     "encode_tokens", "normalize_text", "strip_data_uris",
+    "url_stats", "domain_counts",
     "sample_k_per_group",
     "cluster_safe_split",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",

@@ -35,7 +35,8 @@ __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
            "sample_k_per_group", "cluster_safe_split",
            "clean_lines", "normalize_text", "strip_data_uris",
-           "DATA_URI_PATTERN", "PORTABLE_WS_CHARS",
+           "url_stats", "domain_counts",
+           "DATA_URI_PATTERN", "URL_PATTERN", "PORTABLE_WS_CHARS",
            "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
 
@@ -336,6 +337,64 @@ def redact_text(df: DataFrame, text_col: str,
 # case-insensitively, no regex, so both engines compare identically.
 DEFAULT_DENY_SUBSTRINGS = ("javascript", "lorem ipsum", "cookie policy",
                            "terms of use", "privacy policy")
+
+
+# Engine-portable URL shape: scheme://host/path — the host group stops
+# at /:?# so domain extraction is a plain regexp_extract per match.
+# The path class negates PORTABLE_WS_CHARS explicitly instead of \s:
+# Java's \s includes \x0B, RE2's does not, and the oracle must see the
+# identical match boundary on hostile text.
+URL_PATTERN = (r"https?://[A-Za-z0-9._~-]+(:[0-9]+)?"
+               + "(/[^" + PORTABLE_WS_CHARS + "\"'<>]*)?")
+_HOST_PATTERN = r"https?://([A-Za-z0-9._~-]+)"
+
+
+def url_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row URL counts and distinct registrable-ish domains.
+
+    Appends ``n_urls`` (total http(s) URL matches), ``n_domains``
+    (distinct hosts in the row), and ``domains`` (the sorted distinct
+    host array — feed to ``explode`` + ``groupBy`` for corpus-level
+    domain frequency, or join against an allow/deny list). Scraped-
+    corpus filtering is usually domain-driven (deny spam hosts,
+    cap per-domain document share); this is the map-side evidence
+    pass: one codegen'd projection, zero shuffle, the array stays
+    inside the stage unless the caller explodes it.
+    """
+    t = F.col(text_col)
+    urls = F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))
+    hosts = F.array_sort(F.array_distinct(F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, _HOST_PATTERN, 1)))))
+    return df.select(
+        "*",
+        F.size(urls).cast("long").alias("n_urls"),
+        F.size(hosts).cast("long").alias("n_domains"),
+        hosts.alias("domains"))
+
+
+def domain_counts(df: DataFrame, text_col: str, k: int | None = None
+                  ) -> DataFrame:
+    """Corpus-level domain frequency: ``(domain, n_docs)`` counting each
+    domain once per document (document frequency, the dedup/deny-list
+    statistic), optionally truncated to the top ``k``.
+
+    One scan → map-side distinct-host arrays (:func:`url_stats`) →
+    explode → partial-aggregated count: the shuffle carries (domain,
+    partial count) pairs bounded by distinct domains per partition,
+    never text. Top-k uses the same WindowGroupLimit shape as
+    ``top_values``. Catalyst infers a ``size(domains)>0`` filter below
+    the Generate that textually duplicates the host expression; the
+    Filter/Project/Generate fuse into one WholeStageCodegen stage whose
+    subexpression elimination evaluates the regex once per row.
+    """
+    ex = (url_stats(df, text_col)
+          .select(F.explode("domains").alias("domain")))
+    counts = ex.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    if k is None:
+        return counts
+    w = Window.orderBy(F.col("n_docs").desc(), "domain")
+    return (counts.select("*", F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k))
 
 
 # Engine-portable (Java regex == RE2): scheme;base64,payload with a
