@@ -134,6 +134,48 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
+def q_robust_outliers_lineitem(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outliers per returnflag
+    (constraints.robust_outliers, exact percentile mode)."""
+    from peri_spark.constraints import robust_outliers
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    out = robust_outliers(li, "l_extendedprice", "l_returnflag",
+                          threshold=3.0)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_extendedprice", "median", "mad", "robust_z")
+
+
+def q_benford_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit chi-square of n_chars per source
+    (constraints.benford_drift; string-derived digits, engine-portable)."""
+    from peri_spark.constraints import benford_drift
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # min_n=20: sf0.01 sources hold ~25 docs each; the default 100 would
+    # make every verdict NULL and the oracle would prove nothing
+    return benford_drift(docs, "n_chars", "source", min_n=20).select(
+        F.col("group").alias("grp"), "n", "chi2", "critical", "drifted")
+
+
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations in one partial-aggregated pass
+    (constraints.corr_matrix)."""
+    from peri_spark.constraints import corr_matrix
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount",
+                         "l_tax"])
+    return m.select("col_x", "col_y", F.round("corr", 6).alias("corr_r"))
+
+
+def q_fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violations: o_custkey -> o_orderstatus
+    single-valuedness (constraints.fd_violations)."""
+    from peri_spark.constraints import fd_violations
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return fd_violations(orders, ["o_custkey"], "o_orderstatus")
+
+
 def q_strip_data_uris_documents(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Embedded-base64 stripping with deterministically planted data
@@ -1275,6 +1317,83 @@ def q_zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "z"))
 
 
+def _benford_oracle_sql() -> str:
+    """DuckDB mirror of q_benford_documents: identical digit extraction
+    (decimal-string regexp, never log10), Benford masses and the
+    Wilson-Hilferty critical value inlined at full double precision."""
+    from peri_spark.constraints.drift import chi2_critical
+    from peri_spark.constraints.numstats import BENFORD_P
+    probs = ", ".join(f"({d}, {p!r})" for d, p in enumerate(BENFORD_P, 1))
+    crit = repr(chi2_critical(8, 0.01))
+    return f"""
+    WITH c AS (
+      SELECT source AS grp,
+             CAST(regexp_extract(CAST(abs(n_chars) AS VARCHAR),
+                                 '[1-9]', 0) AS INT) AS digit,
+             count(*) AS obs
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars <> 0
+      GROUP BY 1, 2),
+    bp(digit, exp_p) AS (VALUES {probs}),
+    tot AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS n FROM c GROUP BY grp),
+    stat AS (
+      SELECT c.grp, tot.n,
+             sum(pow(obs - exp_p * n, 2) / (exp_p * n)) AS chi2
+      FROM c JOIN bp USING (digit) JOIN tot USING (grp)
+      GROUP BY c.grp, tot.n)
+    SELECT grp, n, chi2, CAST({crit} AS DOUBLE) AS critical,
+           CASE WHEN n >= 20 THEN chi2 > CAST({crit} AS DOUBLE) END
+             AS drifted
+    FROM stat
+    """
+
+
+_ROBUST_OUTLIERS_ORACLE_SQL = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    med AS (SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS median
+            FROM base GROUP BY l_returnflag),
+    m2 AS (SELECT base.*, med.median
+           FROM base JOIN med USING (l_returnflag)),
+    mad AS (SELECT l_returnflag,
+                   quantile_cont(abs(l_extendedprice - median), 0.5) AS mad
+            FROM m2 GROUP BY l_returnflag),
+    s AS (SELECT m2.*, mad.mad FROM m2 JOIN mad USING (l_returnflag))
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           median, mad,
+           abs(l_extendedprice - median) / (mad * 1.4826) AS robust_z
+    FROM s
+    WHERE mad > 0
+      AND abs(l_extendedprice - median) / (mad * 1.4826) > 3.0
+    """
+
+_CORR_MATRIX_ORACLE_SQL = """
+    WITH pairs AS (
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+             corr(l_quantity, l_extendedprice) AS c FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             corr(l_extendedprice, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             corr(l_discount, l_tax) FROM lineitem)
+    SELECT col_x, col_y, round(c, 6) AS corr_r FROM pairs
+    """
+
+_FD_VIOLATIONS_ORACLE_SQL = """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_values
+    FROM orders GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderstatus) > 1
+    """
+
+
 def _planted_urls_cte() -> str:
     """Shared DuckDB staging CTE mirroring _stage_planted_urls."""
     return """
@@ -1535,6 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_documents": q_dedup_best_documents,
         "url_stats_documents": q_url_stats_documents,
         "domain_counts_documents": q_domain_counts_documents,
+        "robust_outliers_lineitem": q_robust_outliers_lineitem,
+        "benford_documents": q_benford_documents,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "fd_violations_orders": q_fd_violations_orders,
     })
     return out
 
@@ -2939,6 +3062,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_violations_events": _sample_violations_oracle_sql(),
         "url_stats_documents": _url_stats_oracle_sql(),
         "domain_counts_documents": _domain_counts_oracle_sql(),
+        "robust_outliers_lineitem": _ROBUST_OUTLIERS_ORACLE_SQL,
+        "benford_documents": _benford_oracle_sql(),
+        "corr_matrix_lineitem": _CORR_MATRIX_ORACLE_SQL,
+        "fd_violations_orders": _FD_VIOLATIONS_ORACLE_SQL,
         # planted blobs: md5 hex is a base64-alphabet subset, repeat(.,2)
         # gives a 64-char payload over the 40-char floor
         "strip_data_uris_documents": r"""

@@ -12,10 +12,13 @@ from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, psi_drift, histogram
 from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
+from .numstats import (benford_drift, corr_matrix, fd_violations,
+                       robust_outliers)
 
 __all__ = [
     "column_stats", "column_quantiles", "top_values",
     "stats_violations", "uniqueness_violations",
     "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",
+    "robust_outliers", "benford_drift", "corr_matrix", "fd_violations",
 ]

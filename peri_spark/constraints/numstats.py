@@ -1,0 +1,165 @@
+"""Numeric-distribution constraint stages: robust outliers, Benford
+leading-digit drift, correlation matrix, functional-dependency checks.
+
+North-rule additions extending the §2.6 column-stats tier (no Peri
+analogue — the reference validates one record at a time; these are
+table-level distribution checks a 100 TB validation pass runs alongside
+per-row schema rules). All four stay JVM-side: aggregates + broadcast
+joins, no Python in the hot path, and every formula is plain arithmetic
+so a DuckDB oracle reproduces it bit-for-bit.
+
+Scale notes
+-----------
+* :func:`robust_outliers` is two aggregation passes over the value
+  column (median, then MAD) with the per-group constants broadcast back
+  — the corpus shuffles only (group, value) pairs into the percentile
+  aggregates. ``exact=True`` uses ``percentile`` (exact, per-group
+  memory O(values); right for oracle parity and for grouped data where
+  groups fit); ``exact=False`` switches to ``approx_percentile`` with a
+  bounded sketch — the 100 TB path.
+* :func:`benford_drift` reduces to a 9-row-per-group grid before any
+  math happens; the shuffle carries (group, digit, count).
+* :func:`corr_matrix` is ONE aggregate: all pairwise ``corr`` measures
+  partial-aggregate map-side; the result is k·(k-1)/2 scalars.
+* :func:`fd_violations` generalizes uniqueness: one hash aggregate on
+  the determinant, ``count_distinct`` of the dependent; skewed
+  determinants partial-aggregate before the exchange.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .drift import chi2_critical
+
+__all__ = ["robust_outliers", "benford_drift", "corr_matrix",
+           "fd_violations", "BENFORD_P"]
+
+# Benford expected leading-digit mass: log10(1 + 1/d), d = 1..9
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+# |x - median| / (MAD * 1.4826) is the robust z-score; 1.4826 makes MAD
+# consistent with the stddev of a normal distribution (public constant)
+_MAD_K = 1.4826
+
+
+def _median(col: Column, exact: bool) -> Column:
+    return (F.percentile(col, F.lit(0.5)) if exact
+            else F.percentile_approx(col, F.lit(0.5), F.lit(10000)))
+
+
+def robust_outliers(df: DataFrame, value_col: str,
+                    group_col: str | None = None, threshold: float = 3.5,
+                    exact: bool = True) -> DataFrame:
+    """Flag rows whose median/MAD robust z-score exceeds ``threshold``.
+
+    Returns the input rows plus ``median``, ``mad`` and ``robust_z``
+    columns, filtered to the outliers (``robust_z > threshold``; rows in
+    groups with MAD = 0 — over half the group identical — are never
+    flagged, matching the classical Iglewicz–Hoaglin treatment).
+
+    Two aggregation passes (median, then MAD of the absolute deviations)
+    and one broadcast join-back per pass: the per-group constant frame is
+    tiny by construction. ``exact=False`` swaps in ``approx_percentile``
+    for the 100 TB path (sketch error documented by Spark as ~1e-4).
+    """
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    gcols = [group_col] if group_col else []
+    med = (nn.groupBy(*gcols).agg(_median(v, exact).alias("median")))
+    with_med = (nn.join(F.broadcast(med), on=gcols) if gcols
+                else nn.crossJoin(F.broadcast(med)))
+    mad = (with_med
+           .groupBy(*[F.col(c) for c in gcols])
+           .agg(_median(F.abs(v - F.col("median")), exact).alias("mad")))
+    scored = (with_med.join(F.broadcast(mad), on=gcols) if gcols
+              else with_med.crossJoin(F.broadcast(mad)))
+    z = F.abs(v - F.col("median")) / (F.col("mad") * F.lit(_MAD_K))
+    return (scored
+            .withColumn("robust_z", F.when(F.col("mad") > 0, z))
+            .where(F.col("robust_z") > threshold))
+
+
+def benford_drift(df: DataFrame, value_col: str, group_col: str,
+                  alpha: float = 0.01, min_n: int = 100) -> DataFrame:
+    """Per-group chi-square of the leading-digit distribution against
+    Benford's law. Returns (group, n, chi2, critical, drifted).
+
+    The leading digit comes from the DECIMAL STRING of the absolute
+    value (``regexp_extract('[1-9]')``), not from ``log10`` arithmetic —
+    float log rounding differs across engines near powers of ten, while
+    integer-to-string is identical everywhere. Restricted to integral
+    columns for exactly that reason (doubles render differently in
+    scientific notation across engines).
+
+    Reduction shape: corpus → (group, digit) counts (partial-aggregated,
+    ≤ 9 rows per group after the exchange) → per-group chi-square sum.
+    Groups with fewer than ``min_n`` usable values report
+    ``drifted = NULL`` (insufficient evidence) rather than false.
+    """
+    dt = dict(df.dtypes)[value_col]
+    assert dt in ("tinyint", "smallint", "int", "bigint"), (
+        f"benford_drift needs an integral column, got {value_col}:{dt} "
+        "(double-to-string rendering is not engine-portable)")
+    v = F.col(value_col)
+    digit = F.regexp_extract(F.abs(v).cast("string"), "[1-9]", 0)
+    counts = (df.where(v.isNotNull() & (v != 0))
+              .groupBy(F.col(group_col).alias("group"),
+                       digit.cast("int").alias("digit"))
+              .agg(F.count(F.lit(1)).alias("obs")))
+    # expected mass per digit: broadcast 9-literal grid, cross by group
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit"))
+    per_digit = counts.withColumn("exp_p", expected)
+    tot = per_digit.groupBy("group").agg(F.sum("obs").alias("n"))
+    stat = (per_digit.join(F.broadcast(tot), "group")
+            .withColumn("exp_n", F.col("exp_p") * F.col("n"))
+            .groupBy("group", "n")
+            .agg(F.sum(F.pow(F.col("obs") - F.col("exp_n"), 2)
+                       / F.col("exp_n")).alias("chi2")))
+    crit = chi2_critical(8, alpha)  # 9 digits - 1 dof
+    return stat.select(
+        "group", "n", "chi2", F.lit(crit).alias("critical"),
+        F.when(F.col("n") >= min_n, F.col("chi2") > crit).alias("drifted"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in ONE aggregate.
+
+    Returns (col_x, col_y, corr) for every unordered pair (x < y by
+    position). ``F.corr`` partial-aggregates map-side (sum, sum-of-
+    squares, co-moments), so the corpus crosses the wire as k·(k-1)/2
+    scalar triples per partition regardless of row count — then the
+    k²-sized result unpivots driver-free via an inline stack.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    assert pairs, "corr_matrix needs at least two columns"
+    agg = df.agg(*[F.corr(a, b).alias(f"__c_{i}")
+                   for i, (a, b) in enumerate(pairs)])
+    rows = [F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                     F.col(f"__c_{i}").alias("corr"))
+            for i, (a, b) in enumerate(pairs)]
+    return (agg.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.col_x", "r.col_y", "r.corr"))
+
+
+def fd_violations(df: DataFrame, determinant: list[str],
+                  dependent: str) -> DataFrame:
+    """Functional-dependency check: determinant → dependent must be
+    single-valued. Returns (determinant..., n_rows, n_values) for every
+    determinant group mapping to more than one distinct dependent value.
+
+    Uniqueness generalized: one hash aggregate keyed on the determinant
+    with an exact ``count_distinct`` on the dependent. Distinct-inside-
+    aggregate expands to a two-phase plan (partial distinct per
+    partition, then merge), so a skewed determinant never single-tasks —
+    the same property the uniqueness stage relies on.
+    """
+    assert determinant, "fd_violations needs at least one determinant col"
+    return (df.groupBy(*determinant)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct(F.col(dependent)).alias("n_values"))
+            .where(F.col("n_values") > 1))

@@ -1,0 +1,87 @@
+"""Numeric-distribution stages: robust outliers, Benford, corr, FDs."""
+
+import math
+
+import pytest
+
+from peri_spark.constraints import (benford_drift, corr_matrix,
+                                    fd_violations, robust_outliers)
+
+
+def test_robust_outliers_flags_tail(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate(
+        [10, 11, 12, 10, 11, 12, 10, 11, 500])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = robust_outliers(df, "v", "g").collect()
+    assert [r.id for r in out] == [8]
+    r = out[0]
+    assert r.median == 11.0 and r.mad == 1.0
+    assert abs(r.robust_z - (489.0 / 1.4826)) < 1e-9
+
+
+def test_robust_outliers_mad_zero_never_flags(spark):
+    # over half the group identical -> MAD 0 -> no flags (no div-by-zero)
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 5, 900])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    assert robust_outliers(df, "v").count() == 0
+
+
+def test_robust_outliers_approx_path(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate(
+        [10, 11, 12, 10, 11, 12, 10, 11, 500])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = robust_outliers(df, "v", "g", exact=False).collect()
+    assert [r.id for r in out] == [8]
+
+
+def test_benford_uniform_digits_drift(spark):
+    # leading digits uniform over 1..9 is maximally non-Benford
+    rows = [(d * 100 + i, "u") for d in range(1, 10) for i in range(20)]
+    # and a genuinely Benford-ish group: values 1..180 (log-spread)
+    rows += [(v, "b") for v in range(1, 181)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    got = {r.group: r for r in benford_drift(df, "v", "g").collect()}
+    assert got["u"].drifted is True
+    assert got["u"].n == 180 and got["b"].n == 180
+    assert got["u"].chi2 > got["b"].chi2
+
+
+def test_benford_small_group_reports_null(spark):
+    df = spark.createDataFrame([(123, "s"), (456, "s")], "v long, g string")
+    row = benford_drift(df, "v", "g").collect()[0]
+    assert row.drifted is None and row.n == 2
+
+
+def test_benford_rejects_double_column(spark):
+    df = spark.createDataFrame([(1.5, "a")], "v double, g string")
+    with pytest.raises(AssertionError):
+        benford_drift(df, "v", "g")
+
+
+def test_corr_matrix_known_values(spark):
+    rows = [(float(x), 2.0 * x, -3.0 * x + 7, float(x % 2))
+            for x in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {(r.col_x, r.col_y): r.corr for r in
+           corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(got) == 6
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+    assert abs(got[("a", "c")] + 1.0) < 1e-12
+    assert abs(got[("b", "c")] + 1.0) < 1e-12
+    assert abs(got[("a", "d")]) < 0.2   # parity vs index: near zero
+
+
+def test_fd_violations(spark):
+    rows = [("r1", "us"), ("r1", "us"), ("r2", "us"), ("r2", "eu"),
+            ("r3", None)]
+    df = spark.createDataFrame(rows, "repo string, region string")
+    out = fd_violations(df, ["repo"], "region").collect()
+    # r1 maps to one value; r3's NULL doesn't count as a value
+    assert [(r.repo, r.n_rows, r.n_values) for r in out] == [("r2", 2, 2)]
+
+
+def test_fd_violations_composite_determinant(spark):
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("b", 1, "x")]
+    df = spark.createDataFrame(rows, "k1 string, k2 long, dep string")
+    out = fd_violations(df, ["k1", "k2"], "dep").collect()
+    assert [(r.k1, r.k2, r.n_values) for r in out] == [("a", 1, 2)]
