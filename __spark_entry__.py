@@ -134,17 +134,19 @@ def q_ks_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "drifted")
 
 
-def q_robust_outliers_lineitem(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
-    """Median/MAD robust z-score outliers per returnflag
-    (constraints.robust_outliers, exact percentile mode)."""
+def q_robust_outliers_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outliers per event type
+    (constraints.robust_outliers, exact percentile mode). events.value
+    is heavy-tailed — ~400 real outliers at the 3.5 default at sf0.01
+    (lineitem/orders columns are uniform-ish and never flag; a 0-row
+    oracle would prove nothing)."""
     from peri_spark.constraints import robust_outliers
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-    out = robust_outliers(li, "l_extendedprice", "l_returnflag",
-                          threshold=3.0)
-    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
-                      "l_extendedprice", "median", "mad", "robust_z")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value")
+    out = robust_outliers(ev, "value", "event_type")
+    return out.select("event_id", "event_type", "value",
+                      "median", "mad", "robust_z")
 
 
 def q_benford_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,23 +1352,22 @@ def _benford_oracle_sql() -> str:
 
 _ROBUST_OUTLIERS_ORACLE_SQL = """
     WITH base AS (
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
-      FROM lineitem WHERE l_extendedprice IS NOT NULL),
-    med AS (SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.5) AS median
-            FROM base GROUP BY l_returnflag),
+      SELECT event_id, event_type, value
+      FROM events WHERE value IS NOT NULL),
+    med AS (SELECT event_type,
+                   quantile_cont(value, 0.5) AS median
+            FROM base GROUP BY event_type),
     m2 AS (SELECT base.*, med.median
-           FROM base JOIN med USING (l_returnflag)),
-    mad AS (SELECT l_returnflag,
-                   quantile_cont(abs(l_extendedprice - median), 0.5) AS mad
-            FROM m2 GROUP BY l_returnflag),
-    s AS (SELECT m2.*, mad.mad FROM m2 JOIN mad USING (l_returnflag))
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-           median, mad,
-           abs(l_extendedprice - median) / (mad * 1.4826) AS robust_z
+           FROM base JOIN med USING (event_type)),
+    mad AS (SELECT event_type,
+                   quantile_cont(abs(value - median), 0.5) AS mad
+            FROM m2 GROUP BY event_type),
+    s AS (SELECT m2.*, mad.mad FROM m2 JOIN mad USING (event_type))
+    SELECT event_id, event_type, value, median, mad,
+           abs(value - median) / (mad * 1.4826) AS robust_z
     FROM s
     WHERE mad > 0
-      AND abs(l_extendedprice - median) / (mad * 1.4826) > 3.0
+      AND abs(value - median) / (mad * 1.4826) > 3.5
     """
 
 _CORR_MATRIX_ORACLE_SQL = """
@@ -1654,7 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_documents": q_dedup_best_documents,
         "url_stats_documents": q_url_stats_documents,
         "domain_counts_documents": q_domain_counts_documents,
-        "robust_outliers_lineitem": q_robust_outliers_lineitem,
+        "robust_outliers_events": q_robust_outliers_events,
         "benford_documents": q_benford_documents,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "fd_violations_orders": q_fd_violations_orders,
@@ -3062,7 +3063,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_violations_events": _sample_violations_oracle_sql(),
         "url_stats_documents": _url_stats_oracle_sql(),
         "domain_counts_documents": _domain_counts_oracle_sql(),
-        "robust_outliers_lineitem": _ROBUST_OUTLIERS_ORACLE_SQL,
+        "robust_outliers_events": _ROBUST_OUTLIERS_ORACLE_SQL,
         "benford_documents": _benford_oracle_sql(),
         "corr_matrix_lineitem": _CORR_MATRIX_ORACLE_SQL,
         "fd_violations_orders": _FD_VIOLATIONS_ORACLE_SQL,

@@ -1030,10 +1030,66 @@ def run_timeseries(workers: int, input_path: str, runs: int) -> dict:
                        "rows_per_sec": round(n / fu_wall, 1)}}
 
 
+def run_numstats(workers: int, input_path: str, runs: int) -> dict:
+    """Numeric-distribution stage throughput over the fanned code_files
+    corpus: robust outliers (approx-percentile scale path, grouped by
+    the skewed repo key), Benford leading-digit drift of content length
+    per lang, one-pass pairwise correlations over three derived length
+    metrics, and the (repo,path)->commit functional-dependency check.
+    Fresh every run — no history merge."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    sys.path.insert(0, REPO)
+    from peri_spark.constraints import (benford_drift, corr_matrix,
+                                        fd_violations, robust_outliers)
+
+    spark = (SparkSession.builder.master(f"local[{workers}]")
+             .appName(f"bench-numstats-{workers}")
+             .config("spark.sql.shuffle.partitions", str(max(workers * 2, 4)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    df = (spark.read.parquet(input_path)
+          .where(F.col("content").isNotNull())
+          .withColumn("clen", F.length("content").cast("long")))
+    n = df.count()
+
+    def timed(fn):
+        t0 = time.monotonic()
+        r = fn()
+        return round(time.monotonic() - t0, 3), r
+
+    ro_wall, ro_n = timed(lambda: robust_outliers(
+        df.select("repo", "clen"), "clen", "repo", exact=False).count())
+    bf_wall, bf = timed(lambda: benford_drift(df, "clen", "lang")
+                        .agg(F.count(F.lit(1)).alias("groups"),
+                             F.sum(F.col("drifted").cast("int"))
+                             .alias("drifted")).collect()[0])
+    metrics = df.select(
+        "clen",
+        F.size(F.split("content", "\n")).cast("long").alias("n_lines"),
+        F.length("path").cast("long").alias("plen"))
+    cm_wall, cm_n = timed(lambda: corr_matrix(
+        metrics, ["clen", "n_lines", "plen"]).count())
+    fd_wall, fd_n = timed(lambda: fd_violations(
+        df, ["repo", "path"], "commit").count())
+    spark.stop()
+    sec = {"robust_outliers": (ro_wall, {"outliers": int(ro_n)}),
+           "benford": (bf_wall, {"groups": int(bf.groups),
+                                 "drifted": int(bf.drifted or 0)}),
+           "corr_matrix": (cm_wall, {"pairs": int(cm_n)}),
+           "fd_violations": (fd_wall, {"violating_keys": int(fd_n)})}
+    return {"workers": workers, "n_rows": n,
+            **{k: {"wall_sec": w, **extra,
+                   "rows_per_sec": round(n / w, 1)}
+               for k, (w, extra) in sec.items()}}
+
+
 _CHILD_BODIES = {"suite": run_suite, "lsh": run_lsh,
                  "viol": run_violations_write, "ann": run_ann_recall,
                  "media": run_media, "curation": run_curation,
-                 "timeseries": run_timeseries}
+                 "timeseries": run_timeseries, "numstats": run_numstats}
 
 
 def child_main() -> None:
@@ -1264,6 +1320,13 @@ def main() -> None:
                                   runs=1, mode="timeseries")
     except Exception as e:
         out["timeseries"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+    try:
+        # numeric-distribution stages: full 6M-row headline input (all
+        # four are JVM aggregates; no interpreted slow path to dodge)
+        out["numstats"] = spawn(HEADLINE_WORKERS, big, runs=1,
+                                mode="numstats")
+    except Exception as e:
+        out["numstats"] = {"error": f"{type(e).__name__}: {e}"[:500]}
     try:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact
