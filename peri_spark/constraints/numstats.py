@@ -65,16 +65,25 @@ def robust_outliers(df: DataFrame, value_col: str,
     and one broadcast join-back per pass: the per-group constant frame is
     tiny by construction. ``exact=False`` swaps in ``approx_percentile``
     for the 100 TB path (sketch error documented by Spark as ~1e-4).
+
+    EAGER at call time: the two per-group percentile frames are
+    localCheckpoint-materialized the moment they exist — without the cut,
+    Catalyst re-executes the median aggregate (a full corpus pass) inside
+    BOTH the MAD branch and the scoring branch (verified on the executed
+    plan: the percentile subtree appeared twice). Three pruned corpus
+    scans total — the minimum for median → MAD → score.
     """
     v = F.col(value_col)
     nn = df.where(v.isNotNull())
     gcols = [group_col] if group_col else []
-    med = (nn.groupBy(*gcols).agg(_median(v, exact).alias("median")))
+    med = (nn.groupBy(*gcols).agg(_median(v, exact).alias("median"))
+           .localCheckpoint(eager=True))
     with_med = (nn.join(F.broadcast(med), on=gcols) if gcols
                 else nn.crossJoin(F.broadcast(med)))
     mad = (with_med
            .groupBy(*[F.col(c) for c in gcols])
-           .agg(_median(F.abs(v - F.col("median")), exact).alias("mad")))
+           .agg(_median(F.abs(v - F.col("median")), exact).alias("mad"))
+           .localCheckpoint(eager=True))
     scored = (with_med.join(F.broadcast(mad), on=gcols) if gcols
               else with_med.crossJoin(F.broadcast(mad)))
     z = F.abs(v - F.col("median")) / (F.col("mad") * F.lit(_MAD_K))

@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .engine import VIOLATIONS_COLUMN, ValidationResult, validate
-from .constraints import (chi_square_drift, column_stats, ks_drift,
-                          top_values,
+from .constraints import (benford_drift, chi_square_drift, column_stats,
+                          corr_matrix, fd_violations, ks_drift,
+                          robust_outliers, top_values,
                           partition_verdicts, referential_violations,
                           uniqueness_violations)
 
@@ -78,6 +79,10 @@ class SuiteResult:
     duplicates: dict[str, DataFrame] = field(default_factory=dict)
     referential: dict[str, DataFrame] = field(default_factory=dict)
     drift: DataFrame | None = None
+    outliers: dict[str, DataFrame] = field(default_factory=dict)
+    benford: dict[str, DataFrame] = field(default_factory=dict)
+    correlations: DataFrame | None = None
+    fd: dict[str, DataFrame] = field(default_factory=dict)
     verdicts: DataFrame | None = None
     timings: dict[str, float] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
@@ -129,6 +134,10 @@ class ValidationSuite:
         self._drift: tuple | None = None
         self._partition: list[str] | None = None
         self._top_values: tuple[list[str], int] | None = None
+        self._outliers: list[tuple] = []
+        self._benford: list[tuple] = []
+        self._corr: list[str] | None = None
+        self._fd: list[tuple] = []
         self._stats = True
         self._max_bad_ratio = 0.0
         # above this many (partition × bucket) groups the fused derivation
@@ -217,6 +226,76 @@ class ValidationSuite:
             raise ValueError("with_top_values needs at least one column")
         self._top_values = (list(columns), k)
         return self
+
+    def with_outliers(self, value_col: str, group_col: str | None = None,
+                      threshold: float = 3.5, exact: bool = False):
+        """Median/MAD robust-outlier stage on a numeric column
+        (:func:`peri_spark.constraints.robust_outliers`). Default
+        ``exact=False`` uses the mergeable approx-percentile sketch —
+        the 100 TB path; ``exact=True`` is for oracle-grade parity.
+        Results land in ``result.outliers[value_col]``."""
+        self._outliers.append((value_col, group_col, threshold, exact))
+        return self
+
+    def with_benford(self, value_col: str, group_col: str,
+                     alpha: float = 0.01, min_n: int = 100):
+        """Benford leading-digit drift on an INTEGRAL column
+        (:func:`peri_spark.constraints.benford_drift`). Results land in
+        ``result.benford[value_col]``."""
+        self._benford.append((value_col, group_col, alpha, min_n))
+        return self
+
+    def with_correlations(self, cols: list[str]):
+        """Pairwise Pearson correlation matrix over numeric ``cols`` in
+        one aggregate (:func:`peri_spark.constraints.corr_matrix`).
+        Result lands in ``result.correlations``."""
+        if len(cols) < 2:
+            raise ValueError("with_correlations needs at least 2 columns")
+        self._corr = list(cols)
+        return self
+
+    def with_fd(self, determinant: list[str], dependent: str):
+        """Functional-dependency stage: ``determinant -> dependent``
+        must be single-valued
+        (:func:`peri_spark.constraints.fd_violations`). Results land in
+        ``result.fd['det,cols->dep']``."""
+        self._fd.append((list(determinant), dependent))
+        return self
+
+    def _numstats_thunks(self, df: DataFrame, out: "SuiteResult"):
+        """(name, action) per configured numeric-distribution stage.
+        Separate pruned scans by design: percentile state and the corr
+        co-moments aggregate on different keys than the fused
+        (partition, bucket) frame, so they cannot share its exchange."""
+        thunks = []
+        counters = out.counters
+        for vc, gc, th, exact in self._outliers:
+            def ol(vc=vc, gc=gc, th=th, exact=exact):
+                o = robust_outliers(df, vc, gc, threshold=th, exact=exact)
+                out.outliers[vc] = o
+                counters[f"n_outliers:{vc}"] = o.count()
+            thunks.append((f"outliers:{vc}", ol))
+        for vc, gc, alpha, min_n in self._benford:
+            def bf(vc=vc, gc=gc, alpha=alpha, min_n=min_n):
+                b = benford_drift(df, vc, gc, alpha=alpha, min_n=min_n)
+                out.benford[vc] = b
+                counters[f"n_benford_drifted:{vc}"] = (
+                    b.where(F.col("drifted")).count())
+            thunks.append((f"benford:{vc}", bf))
+        if self._corr:
+            def cm():
+                out.correlations = corr_matrix(df, self._corr)
+                counters["n_corr_pairs"] = out.correlations.count()
+            thunks.append(("correlations", cm))
+        for det, dep in self._fd:
+            name = ",".join(det) + "->" + dep
+
+            def fd(det=det, dep=dep, name=name):
+                v = fd_violations(df, det, dep)
+                out.fd[name] = v
+                counters[f"n_fd_violations:{name}"] = v.count()
+            thunks.append((f"fd:{name}", fd))
+        return thunks
 
     def run(self, df: DataFrame, eager: bool = True, persist: bool = False,
             concurrent: bool = True) -> SuiteResult:
@@ -310,6 +389,7 @@ class ValidationSuite:
                 out.drift = fn(dff, "__v", "__g", lo, hi, buckets, baseline)
                 counters["n_drift_groups"] = out.drift.count()
             thunks.append(("drift", dr))
+        thunks.extend(self._numstats_thunks(df, out))
         return thunks
 
     def fused_grouped_plan(self, df: DataFrame):
@@ -781,6 +861,14 @@ class ValidationSuite:
             out_timings["top_values"] = wall
         if pool is not None:
             pool.shutdown()
+        # numeric-distribution stages: separate pruned scans (their
+        # percentile/co-moment state aggregates on other keys than the
+        # fused frame's exchange — see _numstats_thunks); run after the
+        # fused harvest so their scans hit OS-cached hot columns
+        for name, fn in self._numstats_thunks(df, out):
+            t = time.perf_counter()
+            fn()
+            out_timings[name] = time.perf_counter() - t
         return out
 
     def _run_concurrent(self, df: DataFrame) -> "SuiteResult":
@@ -875,5 +963,34 @@ class ValidationSuite:
             if eager:
                 counters["n_drift_groups"] = out.drift.count()
             timings["drift"] = time.perf_counter() - t
+
+        for vc, gc, th, exact in self._outliers:
+            t = time.perf_counter()
+            out.outliers[vc] = robust_outliers(df, vc, gc, threshold=th,
+                                               exact=exact)
+            if eager:
+                counters[f"n_outliers:{vc}"] = out.outliers[vc].count()
+            timings[f"outliers:{vc}"] = time.perf_counter() - t
+        for vc, gc, alpha, min_n in self._benford:
+            t = time.perf_counter()
+            out.benford[vc] = benford_drift(df, vc, gc, alpha=alpha,
+                                            min_n=min_n)
+            if eager:
+                counters[f"n_benford_drifted:{vc}"] = (
+                    out.benford[vc].where(F.col("drifted")).count())
+            timings[f"benford:{vc}"] = time.perf_counter() - t
+        if self._corr:
+            t = time.perf_counter()
+            out.correlations = corr_matrix(df, self._corr)
+            if eager:
+                counters["n_corr_pairs"] = out.correlations.count()
+            timings["correlations"] = time.perf_counter() - t
+        for det, dep in self._fd:
+            name = ",".join(det) + "->" + dep
+            t = time.perf_counter()
+            out.fd[name] = fd_violations(df, det, dep)
+            if eager:
+                counters[f"n_fd_violations:{name}"] = out.fd[name].count()
+            timings[f"fd:{name}"] = time.perf_counter() - t
 
         return out

@@ -85,3 +85,50 @@ def test_fd_violations_composite_determinant(spark):
     df = spark.createDataFrame(rows, "k1 string, k2 long, dep string")
     out = fd_violations(df, ["k1", "k2"], "dep").collect()
     assert [(r.k1, r.k2, r.n_values) for r in out] == [("a", 1, 2)]
+
+
+def _numsuite():
+    from peri_spark.suite import ValidationSuite
+    return (ValidationSuite({"v": ("float", ("gte", 0.0)),
+                             "grp": ("required", "string")},
+                            mode="permissive")
+            .with_partitioning("grp")
+            .with_outliers("v", "grp", exact=True)
+            .with_benford("iv", "grp", min_n=5)
+            .with_correlations(["v", "iv"])
+            .with_fd(["k"], "dep"))
+
+
+def _numframe(spark):
+    rows = [(f"g{i % 2}", float(v), int(v), f"k{i % 3}",
+             "d0" if i != 5 else "d1")
+            for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 900,
+                                   10, 11, 12])]
+    return spark.createDataFrame(
+        rows, "grp string, v double, iv long, k string, dep string")
+
+
+def _check_numstats(res):
+    assert res.counters["n_outliers:v"] == 1
+    assert res.outliers["v"].collect()[0].v == 900.0
+    assert "n_benford_drifted:iv" in res.counters
+    assert {r.group for r in res.benford["iv"].collect()} == {"g0", "g1"}
+    assert res.counters["n_corr_pairs"] == 1
+    assert res.counters["n_fd_violations:k->dep"] == 1
+
+
+def test_suite_numstats_concurrent(spark):
+    _check_numstats(_numsuite().run(_numframe(spark)))
+
+
+def test_suite_numstats_sequential_and_lazy(spark):
+    df = _numframe(spark)
+    _check_numstats(_numsuite()._run_sequential(df, eager=True))
+    lazy = _numsuite()._run_sequential(df, eager=False)
+    # lazy mode builds the frames but runs no count actions
+    assert "n_outliers:v" not in lazy.counters
+    assert lazy.outliers["v"].count() == 1
+
+
+def test_suite_numstats_fused(spark):
+    _check_numstats(_numsuite().run_fused(_numframe(spark)))
