@@ -178,6 +178,32 @@ def q_fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_violations(orders, ["o_custkey"], "o_orderstatus")
 
 
+def q_hamming_pairs_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup pairs over planted 60-bit perceptual-style
+    hashes: 3-member clusters (doc_id div 3) at distances 1-3, verified
+    against the oracle's brute-force O(n²) definition — the banding
+    guarantee (bands > max_hamming => zero false negatives) makes the
+    LSH result EQUAL the exact answer, and this query proves it."""
+    from peri_spark.functions import (hamming_duplicate_pairs,
+                                      portable_hash64)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 90))
+    base = portable_hash64(
+        F.floor(F.col("doc_id") / 3).cast("long").cast("string"))
+    # F.shiftleft only takes an int literal shift; expr() for a column one
+    bit1 = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST(doc_id % 59 AS INT))")
+    bit2 = F.expr("shiftleft(CAST(3 AS BIGINT), "
+                  "CAST(doc_id % 58 AS INT))")
+    phash = (F.when(F.col("doc_id") % 3 == 0, base)
+             .when(F.col("doc_id") % 3 == 1, base.bitwiseXOR(bit1))
+             .otherwise(base.bitwiseXOR(bit2)))
+    planted = docs.select("doc_id", phash.alias("phash"))
+    return hamming_duplicate_pairs(planted, "phash", "doc_id",
+                                   max_hamming=3, nbits=60)
+
+
 def q_strip_data_uris_documents(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Embedded-base64 stripping with deterministically planted data
@@ -1338,11 +1364,14 @@ def _benford_oracle_sql() -> str:
       GROUP BY 1, 2),
     bp(digit, exp_p) AS (VALUES {probs}),
     tot AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS n FROM c GROUP BY grp),
+    grid AS (SELECT grp, n, digit, exp_p FROM tot CROSS JOIN bp),
     stat AS (
-      SELECT c.grp, tot.n,
-             sum(pow(obs - exp_p * n, 2) / (exp_p * n)) AS chi2
-      FROM c JOIN bp USING (digit) JOIN tot USING (grp)
-      GROUP BY c.grp, tot.n)
+      -- absent digits contribute exp_n (full grid, obs coalesced to 0)
+      SELECT grid.grp, grid.n,
+             sum(pow(coalesce(c.obs, 0) - exp_p * grid.n, 2)
+                 / (exp_p * grid.n)) AS chi2
+      FROM grid LEFT JOIN c USING (grp, digit)
+      GROUP BY grid.grp, grid.n)
     SELECT grp, n, chi2, CAST({crit} AS DOUBLE) AS critical,
            CASE WHEN n >= 20 THEN chi2 > CAST({crit} AS DOUBLE) END
              AS drifted
@@ -1656,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats_documents": q_url_stats_documents,
         "domain_counts_documents": q_domain_counts_documents,
         "robust_outliers_events": q_robust_outliers_events,
+        "hamming_pairs_documents": q_hamming_pairs_documents,
         "benford_documents": q_benford_documents,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "fd_violations_orders": q_fd_violations_orders,
@@ -3064,6 +3094,26 @@ def oracle_sql() -> dict[str, str]:
         "url_stats_documents": _url_stats_oracle_sql(),
         "domain_counts_documents": _domain_counts_oracle_sql(),
         "robust_outliers_events": _ROBUST_OUTLIERS_ORACLE_SQL,
+        # brute-force O(n²) Hamming definition — the banded LSH must
+        # EQUAL it (bands > max_hamming pigeonhole guarantee)
+        "hamming_pairs_documents": """
+    WITH h AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN base
+          WHEN 1 THEN xor(base,
+                          CAST(1 AS BIGINT) << CAST(doc_id % 59 AS INT))
+          ELSE xor(base, CAST(3 AS BIGINT) << CAST(doc_id % 58 AS INT))
+        END AS phash
+      FROM (SELECT doc_id,
+              CAST('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)),
+                                  1, 15) AS BIGINT) AS base
+            FROM documents WHERE doc_id < 90))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
         "benford_documents": _benford_oracle_sql(),
         "corr_matrix_lineitem": _CORR_MATRIX_ORACLE_SQL,
         "fd_violations_orders": _FD_VIOLATIONS_ORACLE_SQL,

@@ -119,13 +119,21 @@ def benford_drift(df: DataFrame, value_col: str, group_col: str,
               .groupBy(F.col(group_col).alias("group"),
                        digit.cast("int").alias("digit"))
               .agg(F.count(F.lit(1)).alias("obs")))
-    # expected mass per digit: broadcast 9-literal grid, cross by group
+    # FULL group × digit grid: a digit absent from a group still
+    # contributes (0 - exp_n)²/exp_n = exp_n to the statistic — joining
+    # only observed digits would undercount exactly the most-drifted
+    # groups (the ones missing digits entirely)
+    tot = counts.groupBy("group").agg(F.sum("obs").alias("n"))
+    grid = tot.select(
+        "group", "n",
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)]))
+        .alias("digit"))
     expected = F.element_at(
         F.array(*[F.lit(p) for p in BENFORD_P]), F.col("digit"))
-    per_digit = counts.withColumn("exp_p", expected)
-    tot = per_digit.groupBy("group").agg(F.sum("obs").alias("n"))
-    stat = (per_digit.join(F.broadcast(tot), "group")
-            .withColumn("exp_n", F.col("exp_p") * F.col("n"))
+    stat = (grid.join(counts, ["group", "digit"], "left")
+            .select("group", "n",
+                    F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+                    (expected * F.col("n")).alias("exp_n"))
             .groupBy("group", "n")
             .agg(F.sum(F.pow(F.col("obs") - F.col("exp_n"), 2)
                        / F.col("exp_n")).alias("chi2")))
@@ -160,6 +168,11 @@ def fd_violations(df: DataFrame, determinant: list[str],
     """Functional-dependency check: determinant → dependent must be
     single-valued. Returns (determinant..., n_rows, n_values) for every
     determinant group mapping to more than one distinct dependent value.
+
+    NULL dependents don't count as a value (``count_distinct`` ignores
+    them — SQL semantics, and what you want: a not-yet-populated field
+    must not flag the FD). NULLs *inside the determinant* group
+    normally (Spark groupBy treats NULL as a key value).
 
     Uniqueness generalized: one hash aggregate keyed on the determinant
     with an exact ``count_distinct`` on the dependent. Distinct-inside-

@@ -14,6 +14,7 @@ from .curation import (clean_lines, cluster_safe_split,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
 from .dedup import (exact_duplicates, exact_digest_index,
+                    hamming_duplicate_pairs,
                     exact_dedup_against, update_digest_index,
                     minhash_signatures,
                     lsh_duplicate_pairs, lsh_pairs_against,
@@ -27,6 +28,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import SECRET_PATTERNS, code_shape_stats, scan_secrets
+from .multimodal import image_duplicate_pairs, image_phash
 from .probe import probe_media, probe_metadata
 from .eventlog import cohort_retention, funnel
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
@@ -44,6 +46,7 @@ __all__ = [
     "minhash_signatures", "lsh_duplicate_pairs",
     "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
+    "hamming_duplicate_pairs", "image_phash", "image_duplicate_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",
     "deduplicate_by_clusters_best",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",

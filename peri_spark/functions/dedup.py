@@ -800,6 +800,71 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
     return cand.where(F.col("cosine") >= threshold)
 
 
+def hamming_duplicate_pairs(df: DataFrame, hash_col: str, id_col: str,
+                            max_hamming: int = 4, bands: int | None = None,
+                            nbits: int = 64,
+                            max_bucket_size: int | None = 10000,
+                            dropped_counter: dict | None = None
+                            ) -> DataFrame:
+    """Near-dup pairs over a Hamming-space signature column (SimHash,
+    perceptual image dHash, any ≤64-bit fingerprint) WITHOUT the O(n²)
+    all-pairs comparison: band-bucket LSH with an EXACT guarantee.
+
+    Pigeonhole: split the ``nbits`` low bits into ``bands`` contiguous
+    slices (default ``max_hamming + 1``); two hashes within
+    ``max_hamming`` differ in at most ``max_hamming`` bands, so with
+    ``bands > max_hamming`` at least one band matches exactly — banding
+    has ZERO false negatives and the result EQUALS the brute-force
+    definition ``popcount(xor) <= max_hamming``. Entirely JVM-side:
+    shift/mask band extraction (arithmetic-shift-then-mask is engine-
+    portable — low bits agree regardless of sign extension), hash equi-
+    join per band, one ``bit_count(xor)`` verify, distinct. The shuffle
+    carries (band value, id, hash) triples — 24 bytes/row/band.
+
+    ``nbits`` matters: hashes narrower than 64 bits (e.g. the portable
+    60-bit SimHash) must pass their true width, else the top band is a
+    constant 0 for every row and buckets the whole corpus together.
+    ``max_bucket_size`` drops degenerate buckets (constant hash regions)
+    with the usual window-count guard + ``dropped_counter`` disclosure.
+    """
+    from pyspark.sql import Window
+
+    b = bands or (max_hamming + 1)
+    assert 0 < b <= nbits <= 64, (b, nbits)
+    base, rem = divmod(nbits, b)
+    widths = [base + (1 if i < rem else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+    keyed = df.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).cast("long").alias("h"))
+    slices = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("h"), off)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("val"))
+        for i, (off, w) in enumerate(zip(offsets, widths))])
+    ex = (keyed.select("id", "h", F.explode(slices).alias("s"))
+          .select("id", "h", F.col("s.band").alias("band"),
+                  F.col("s.val").alias("val")))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "val")
+        sized = ex.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        if dropped_counter is not None:
+            hot = (sized.where(F.col("__bsz") > max_bucket_size)
+                   .agg(F.count_distinct("band", "val").alias("b"),
+                        F.count(F.lit(1)).alias("r")).collect()[0])
+            dropped_counter["n_hot_buckets"] = hot["b"]
+            dropped_counter["n_dropped_rows"] = hot["r"]
+        ex = sized.where(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    ham = F.bit_count(F.col("l.h").bitwiseXOR(F.col("r.h")))
+    return (ex.alias("l")
+            .join(ex.alias("r"), (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.val") == F.col("r.val"))
+                  & (F.col("l.id") < F.col("r.id")))
+            .where(ham <= max_hamming)
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"), ham.alias("hamming"))
+            .distinct())
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b", max_iter: int = 20,
                       stats: dict | None = None) -> DataFrame:

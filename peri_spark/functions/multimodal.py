@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "decode_features",
            "decode_features_stub", "resize_images", "resize_stub",
            "audio_features", "frame_sample", "frame_sample_stub",
-           "partition_for_decode"]
+           "partition_for_decode", "image_phash", "image_duplicate_pairs"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -440,3 +440,100 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
 
     return (df.select(id_col, payload_col)
             .mapInPandas(run, schema=out_schema))
+
+
+def image_phash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id",
+                hash_size: int = 8) -> DataFrame:
+    """Perceptual dHash per image: (media_id, phash, error).
+
+    dHash (difference hash, public algorithm): decode → luma grayscale
+    (Rec.601 weights) → nearest-resize to ``(hash_size+1) × hash_size``
+    with no aspect fit → horizontal gradient sign bits, packed row-major
+    into a 64-bit signed int (``hash_size=8``). Robust to re-encoding,
+    resizing, and mild color shifts — the near-dup signal an image
+    corpus dedups on. Decode is the REAL stdlib codec path
+    (PNG/BMP/PPM/GIF/baseline-JPEG); undecodable payloads yield a NULL
+    hash and a per-row ``error`` (never fail the batch).
+
+    One Arrow-batched mapInPandas pass, map-side only; feed the result
+    to :func:`peri_spark.functions.hamming_duplicate_pairs`
+    (``nbits=hash_size*hash_size``) for banded near-dup pairs without an
+    all-pairs join.
+    """
+    import numpy as np
+
+    from .codecs import decode_image, resize_nearest
+
+    nbits = hash_size * hash_size
+    assert nbits <= 64, "hash_size > 8 does not fit a 64-bit column"
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ])
+
+    def _one(payload: bytes) -> int:
+        arr = decode_image(payload).astype(np.float64)
+        if arr.ndim == 2:
+            gray = arr
+        else:
+            c = arr.shape[2]
+            gray = (arr[..., 0] if c == 1 else
+                    0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                    + 0.114 * arr[..., 2])
+        small = resize_nearest(gray[..., None], hash_size + 1, hash_size,
+                               fit=False)[..., 0]
+        bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).ravel()
+        v = 0
+        for i, bit in enumerate(bits.tolist()):
+            v |= bit << i
+        if v >= 1 << 63:   # two's complement into a signed long column
+            v -= 1 << 64
+        return v
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            ids, hs, errs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    hs.append(_one(bytes(payload)) if payload is not None
+                              else None)
+                    errs.append(None if payload is not None
+                                else "null payload")
+                except Exception as e:
+                    hs.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame({"media_id": ids, "phash": hs,
+                                "error": errs})
+
+    return df.select(id_col, payload_col).mapInPandas(run,
+                                                      schema=out_schema)
+
+
+def image_duplicate_pairs(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id",
+                          max_hamming: int = 6, hash_size: int = 8,
+                          max_bucket_size: int | None = 10000,
+                          dropped_counter: dict | None = None
+                          ) -> DataFrame:
+    """Near-duplicate IMAGE pairs end-to-end: dHash → banded Hamming
+    join → exact popcount verify. Returns (id_a, id_b, hamming).
+
+    Composition of :func:`image_phash` (one map-side Arrow decode pass)
+    and :func:`peri_spark.functions.hamming_duplicate_pairs` (exact-
+    guarantee band LSH) — the corpus's binary payloads never shuffle,
+    only 16-byte (id, hash) rows do. ``max_hamming=6`` of 64 bits is the
+    usual re-encode/resize tolerance for dHash; undecodable rows drop
+    out (their hash is NULL).
+    """
+    from .dedup import hamming_duplicate_pairs
+
+    hashes = (image_phash(df, payload_col, id_col, hash_size)
+              .where(F.col("phash").isNotNull()))
+    return hamming_duplicate_pairs(
+        hashes, "phash", "media_id", max_hamming=max_hamming,
+        nbits=hash_size * hash_size, max_bucket_size=max_bucket_size,
+        dropped_counter=dropped_counter)

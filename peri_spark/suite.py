@@ -38,7 +38,7 @@ from .constraints import (benford_drift, chi_square_drift, column_stats,
                           partition_verdicts, referential_violations,
                           uniqueness_violations)
 
-__all__ = ["ValidationSuite", "SuiteResult"]
+__all__ = ["ValidationSuite", "SuiteResult", "evaluate_expectations"]
 
 
 class _LazyValidation:
@@ -994,3 +994,49 @@ class ValidationSuite:
             timings[f"fd:{name}"] = time.perf_counter() - t
 
         return out
+
+
+def evaluate_expectations(result: SuiteResult, rules: dict) -> dict:
+    """Operational pass/fail gate over a finished suite's counters — the
+    "expectations" layer an orchestrator (Airflow/dagster sensor, CI
+    gate) reads to decide whether a validated batch ships.
+
+    ``rules`` maps a counter name (as found in ``result.counters``) to
+    ``(op, threshold)`` with op one of ``lte/gte/lt/gt/eq`` (compare the
+    counter) or ``ratio_lte`` (counter / counters['n_rows'] must not
+    exceed the threshold — the violation-budget form). A referenced
+    counter that the run never produced fails CLOSED (ok=False,
+    reason='missing counter'): a silently-skipped check must not read
+    as a pass.
+
+    Pure driver-side arithmetic over already-collected counters — no
+    jobs run. Returns ``{"passed": bool, "checks": [...]}``.
+    """
+    ops = {"lte": lambda a, t: a <= t, "gte": lambda a, t: a >= t,
+           "lt": lambda a, t: a < t, "gt": lambda a, t: a > t,
+           "eq": lambda a, t: a == t}
+    checks = []
+    for name, (op, threshold) in rules.items():
+        c = result.counters
+        if name not in c:
+            checks.append({"counter": name, "op": op,
+                           "threshold": threshold, "actual": None,
+                           "ok": False, "reason": "missing counter"})
+            continue
+        actual = c[name]
+        if op == "ratio_lte":
+            n = c.get("n_rows")
+            if not n:
+                checks.append({"counter": name, "op": op,
+                               "threshold": threshold, "actual": actual,
+                               "ok": False, "reason": "n_rows unavailable"})
+                continue
+            actual = actual / n
+            ok = actual <= threshold
+        elif op in ops:
+            ok = ops[op](actual, threshold)
+        else:
+            raise ValueError(f"unknown expectation op {op!r}")
+        checks.append({"counter": name, "op": op, "threshold": threshold,
+                       "actual": actual, "ok": bool(ok)})
+    return {"passed": all(ch["ok"] for ch in checks), "checks": checks}

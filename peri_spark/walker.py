@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-__all__ = ["walk", "make_all_optional", "drop_keys", "rename_keys"]
+__all__ = ["walk", "make_all_optional", "drop_keys", "rename_keys",
+           "schema_diff"]
 
 _NESTING = {"required", "meta"}  # single-inner-type wrappers to recurse
 
@@ -101,3 +102,81 @@ def rename_keys(schema: dict, mapping: dict[str, str]) -> dict:
         k, t = entry
         return ("cont", (mapping.get(k, k), t))
     return walk(schema, fn)
+
+
+def _unwrap(n):
+    """Strip presentation wrappers (override/meta) and surface
+    (required, inner): returns (required?, core-node)."""
+    from . import dsl
+    req = False
+    while isinstance(n, dsl.Node):
+        if n.tag in ("override", "meta"):
+            n = n.args[0]
+        elif n.tag == "required":
+            req = True
+            n = n.args[0]
+        else:
+            break
+    return req, n
+
+
+def schema_diff(old: dict, new: dict) -> dict:
+    """Structural diff of two Peri schemas — the schema-evolution check a
+    long-lived validation pipeline runs before accepting a new schema
+    version (Iceberg-style column add/drop/retype, requiredness flips).
+
+    Compares the NORMALIZED ASTs (``dsl.parse``), so formatting-only
+    rewrites (list vs tuple options, equivalent option order is NOT
+    normalized — options are positional in Peri) of the same directive
+    don't flag. Returns::
+
+        {"added":    {path: summary},      # new-only keys
+         "removed":  {path: summary},      # old-only keys
+         "changed":  {path: {"old": s, "new": s}},  # same key, new type
+         "required_added":   [path],       # optional -> required
+         "required_removed": [path],       # required -> optional
+         "breaking": bool}
+
+    ``breaking`` is the conservative backward-compatibility verdict:
+    data valid under ``old`` may fail under ``new`` iff a key was
+    removed*, retyped, or newly required. (*Removal breaks strict-mode
+    consumers of the projection, so it counts.) Added OPTIONAL keys and
+    required->optional relaxations are non-breaking. Nested map schemas
+    recurse with dotted paths.
+    """
+    from . import dsl
+    out = {"added": {}, "removed": {}, "changed": {},
+           "required_added": [], "required_removed": []}
+    added_required: list[str] = []
+
+    def visit(o_entries, n_entries, prefix):
+        for k in sorted(set(o_entries) | set(n_entries)):
+            path = f"{prefix}{k}"
+            if k not in n_entries:
+                out["removed"][path] = errors_mod.summarize(o_entries[k])
+                continue
+            if k not in o_entries:
+                out["added"][path] = errors_mod.summarize(n_entries[k])
+                if _unwrap(n_entries[k])[0]:
+                    added_required.append(path)
+                continue
+            o_req, o_core = _unwrap(o_entries[k])
+            n_req, n_core = _unwrap(n_entries[k])
+            if o_req != n_req:
+                out["required_added" if n_req
+                    else "required_removed"].append(path)
+            if o_core.tag == "nested" and n_core.tag == "nested":
+                visit(o_core.args[0], n_core.args[0], path + ".")
+            elif o_core != n_core:
+                out["changed"][path] = {
+                    "old": errors_mod.summarize(o_core),
+                    "new": errors_mod.summarize(n_core)}
+
+    from . import errors as errors_mod
+    o_root = dsl.parse_schema(old)
+    n_root = dsl.parse_schema(new)
+    visit(o_root.args[0], n_root.args[0], "")
+    # an added key that is REQUIRED breaks old data (it lacks the key)
+    out["breaking"] = bool(out["removed"] or out["changed"]
+                           or out["required_added"] or added_required)
+    return out

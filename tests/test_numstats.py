@@ -132,3 +132,18 @@ def test_suite_numstats_sequential_and_lazy(spark):
 
 def test_suite_numstats_fused(spark):
     _check_numstats(_numsuite().run_fused(_numframe(spark)))
+
+
+def test_benford_absent_digits_counted(spark):
+    # all values lead with digit 1: the 8 absent digits must contribute
+    # exp_n each (full-grid chi-square), not silently drop out
+    import math
+    from peri_spark.constraints.numstats import BENFORD_P
+    n = 50
+    df = spark.createDataFrame([(100 + i, "g") for i in range(n)],
+                               "v long, g string")
+    row = benford_drift(df, "v", "g", min_n=5).collect()[0]
+    exp = ((n - BENFORD_P[0] * n) ** 2 / (BENFORD_P[0] * n)
+           + sum(p * n for p in BENFORD_P[1:]))
+    assert math.isclose(row.chi2, exp, rel_tol=1e-9)
+    assert row.drifted is True
