@@ -204,6 +204,19 @@ def q_hamming_pairs_documents(spark: SparkSession,
                                    max_hamming=3, nbits=60)
 
 
+def q_edit_pairs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ed-Join fuzzy dedup over customer names: every pair within
+    Levenshtein distance 2 (zero-padded numeric suffixes make a dense
+    near-dup graph). The q-gram prefix-filtered result must EQUAL the
+    oracle's brute-force O(n²) levenshtein definition — certifying the
+    prefix filter's no-false-negative guarantee end-to-end."""
+    from peri_spark.functions import edit_distance_pairs
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_custkey") <= 150)
+            .select("c_custkey", "c_name"))
+    return edit_distance_pairs(cust, "c_name", "c_custkey", max_edit=2)
+
+
 def q_strip_data_uris_documents(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Embedded-base64 stripping with deterministically planted data
@@ -1686,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_counts_documents": q_domain_counts_documents,
         "robust_outliers_events": q_robust_outliers_events,
         "hamming_pairs_documents": q_hamming_pairs_documents,
+        "edit_pairs_customer": q_edit_pairs_customer,
         "benford_documents": q_benford_documents,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "fd_violations_orders": q_fd_violations_orders,
@@ -3113,6 +3127,16 @@ def oracle_sql() -> dict[str, str]:
            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+        # brute-force O(n²) Levenshtein definition — the Ed-Join prefix-
+        # filtered engine result must EQUAL it (zero false negatives)
+        "edit_pairs_customer": """
+    WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey <= 150)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
     """,
         "benford_documents": _benford_oracle_sql(),
         "corr_matrix_lineitem": _CORR_MATRIX_ORACLE_SQL,

@@ -14,6 +14,7 @@ from .curation import (clean_lines, cluster_safe_split,
                        pack_sequences, redact_text, stratified_sample,
                        weighted_mix)
 from .dedup import (exact_duplicates, exact_digest_index,
+                    edit_distance_pairs,
                     hamming_duplicate_pairs,
                     exact_dedup_against, update_digest_index,
                     minhash_signatures,
@@ -47,6 +48,7 @@ __all__ = [
     "lsh_pairs_against",
     "ngram_jaccard_pairs", "simhash_signatures", "embedding_duplicate_pairs",
     "hamming_duplicate_pairs", "image_phash", "image_duplicate_pairs",
+    "edit_distance_pairs",
     "near_dup_clusters", "deduplicate_by_clusters",
     "deduplicate_by_clusters_best",
     "brute_force_topk", "cosine_topk_for_query", "hyperplane_lsh_topk",

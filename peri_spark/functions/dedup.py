@@ -865,6 +865,137 @@ def hamming_duplicate_pairs(df: DataFrame, hash_col: str, id_col: str,
             .distinct())
 
 
+def edit_distance_pairs(df: DataFrame, text_col: str, id_col: str,
+                        max_edit: int = 2, q: int = 3,
+                        max_short_strings: int = 100000,
+                        release: bool = True,
+                        dropped_counter: dict | None = None
+                        ) -> DataFrame:
+    """Record-linkage fuzzy dedup: all pairs within Levenshtein distance
+    ``max_edit`` — EXACT result, never the O(n²) all-pairs join.
+
+    Ed-Join-style q-gram prefix filtering (Xiao et al., VLDB'08 — public
+    algorithm): pad each string with q-1 sentinels per side, take its
+    positional q-gram multiset (an occurrence index makes multiset keys
+    set-joinable), order grams globally by document frequency (rarest
+    first), and index only each string's first ``q*max_edit + 1`` grams.
+    k edits destroy at most ``k*q`` grams, so two strings within k share
+    at least one gram among those prefixes — candidate generation over
+    the tiny prefix inverted index has ZERO false negatives, and the
+    rarest-first order keeps hot grams (common substrings) out of most
+    prefixes instead of requiring a recall-breaking hot-gram cap.
+    Candidates then pass a length filter (| |a|-|b| | <= k) and the
+    exact JVM ``levenshtein`` verify; strings only shuffle for
+    candidate pairs.
+
+    The gram guarantee needs the LONGER side of a pair to have
+    ``len >= (k-1)*q + 2``; pairs where both strings are shorter route
+    through a dedicated short-string branch that self-joins only the
+    DISTINCT short values (the value universe of strings under ~q*k
+    chars is tiny even in a 100 TB corpus — the id expansion back is
+    two equi-joins, so corpus size never enters the theta join), capped
+    at ``max_short_strings`` distinct values with disclosure via
+    ``dropped_counter['n_short_dropped']``. NULL texts are ignored.
+    Returns (id_a, id_b, edit_distance) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    k = int(max_edit)
+    assert k >= 1 and q >= 2, (k, q)
+    pad = "\x01" * (q - 1)
+    prefix_len = q * k + 1
+    short_max = (k - 1) * q + 1  # both-sides-short boundary
+
+    s = (df.where(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.col(text_col).alias("s"),
+                 F.length(text_col).alias("len")))
+
+    # --- short branch: both strings len <= short_max ------------------
+    # theta-join only the DISTINCT short values; ids expand back via
+    # two equi-joins, so the quadratic term is O(values²), not O(rows²)
+    shorts = s.where(F.col("len") <= short_max)
+    vals = shorts.select("s", "len").distinct()
+    if max_short_strings is not None:
+        w_all = Window.partitionBy(F.lit(1))
+        sized = vals.withColumn("__n", F.count(F.lit(1)).over(w_all))
+        if dropped_counter is not None:
+            n_vals = vals.count()
+            dropped_counter["n_short_values"] = n_vals
+            dropped_counter["n_short_dropped"] = (
+                n_vals if n_vals > max_short_strings else 0)
+        vals = (sized.where(F.col("__n") <= max_short_strings)
+                .drop("__n"))
+    ed_v = F.levenshtein(F.col("a.s"), F.col("b.s"))
+    vpairs = (vals.alias("a")
+              .join(vals.alias("b"),
+                    (F.col("a.s") <= F.col("b.s"))
+                    & (F.abs(F.col("a.len") - F.col("b.len")) <= k))
+              .where(ed_v <= k)
+              .select(F.col("a.s").alias("va"),
+                      F.col("b.s").alias("vb"),
+                      ed_v.alias("edit_distance")))
+    ids = shorts.select("id", "s")
+    # va < vb: each unordered id pair appears once (ids live in exactly
+    # one value group); va == vb: keep ia < ib — no distinct() needed
+    short_pairs = (vpairs
+                   .join(ids.select(F.col("s").alias("va"),
+                                    F.col("id").alias("ia")), "va")
+                   .join(ids.select(F.col("s").alias("vb"),
+                                    F.col("id").alias("ib")), "vb")
+                   .where((F.col("va") < F.col("vb"))
+                          | (F.col("ia") < F.col("ib")))
+                   .select(F.least("ia", "ib").alias("id_a"),
+                           F.greatest("ia", "ib").alias("id_b"),
+                           "edit_distance"))
+
+    # --- q-gram prefix index (all strings participate: a short string
+    # indexes its whole gram set, which IS its prefix). The padded
+    # string materializes as a column BEFORE the transform lambda —
+    # concat inside the lambda would re-evaluate per element, the
+    # quadratic HOF-inlining class this repo already hit with winnowing.
+    grams = (s.withColumn("__p", F.concat(F.lit(pad), F.col("s"),
+                                          F.lit(pad)))
+             .select("id", "len",
+                     F.posexplode(F.expr(
+                         f"transform(sequence(1, len + {q - 1}), "
+                         f"i -> substring(__p, i, {q}))"))
+                     .alias("pos", "g")))
+    occ = Window.partitionBy("id", "g").orderBy("pos")
+    keyed = grams.withColumn("occ", F.row_number().over(occ))
+    gdf = keyed.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("df_"))
+    rarest = Window.partitionBy("id").orderBy("df_", "g", "occ")
+    prefix = (keyed.join(gdf, ["g", "occ"])
+              .withColumn("rk", F.row_number().over(rarest))
+              .where(F.col("rk") <= prefix_len)
+              .select("id", "len", "g", "occ")
+              .persist())
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.g") == F.col("b.g"))
+                  & (F.col("a.occ") == F.col("b.occ"))
+                  & (F.col("a.id") < F.col("b.id"))
+                  & (F.abs(F.col("a.len") - F.col("b.len")) <= k)
+                  # at least one side long enough for the gram bound —
+                  # both-short pairs belong to the short branch alone
+                  & (F.greatest(F.col("a.len"), F.col("b.len"))
+                     > short_max))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    ed = F.levenshtein(F.col("sa"), F.col("sb"))
+    texts = s.select("id", "s")
+    verified = (cand
+                .join(texts.select(F.col("id").alias("id_a"),
+                                   F.col("s").alias("sa")), "id_a")
+                .join(texts.select(F.col("id").alias("id_b"),
+                                   F.col("s").alias("sb")), "id_b")
+                .where(ed <= k)
+                .select("id_a", "id_b", ed.alias("edit_distance")))
+    out = verified.unionByName(short_pairs)
+    return _release_or_hand_off(out, [prefix], release)
+
+
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       id_b: str = "id_b", max_iter: int = 20,
                       stats: dict | None = None) -> DataFrame:
