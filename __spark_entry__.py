@@ -1328,6 +1328,26 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Import-line planting for extract_imports/module_document_frequency:
+# documents text has no import statements, so deterministic `import` /
+# `from .. import` lines (modules keyed off md5(path)) are prepended at
+# line starts. Same IDENTICAL-SQL discipline as _SECRET_STAGE_SQL.
+_IMPORT_STAGE_SQL = """
+SELECT repo, path, lang,
+  CASE WHEN length(content) % 7 = 0
+         THEN 'import os' || chr(10) || 'import m'
+              || substr(md5(path), 1, 3) || '.core' || chr(10) || content
+       WHEN length(content) % 7 = 1
+         THEN 'from pkg' || CAST(length(content) % 5 AS STRING)
+              || '.util import x' || chr(10) || 'import os' || chr(10)
+              || content
+       WHEN length(content) % 7 = 2
+         THEN chr(9) || 'import json' || chr(10) || content
+       ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
 # Newline/indent/minified planting for code_shape_stats: documents text
 # has no newlines, so ' merge ' (a frequent token) becomes the line
 # separator; %13 buckets plant a >500-char line, a tab indent and a
@@ -1596,6 +1616,17 @@ def q_code_shape_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_shape_stats(staged, "content").drop("content")
 
 
+def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency census over code_files with deterministically planted
+    import lines: per imported module, files importing it and distinct
+    repos. The only shuffle carries (module, repo) pairs — bounded by
+    the module vocabulary, never corpus bytes."""
+    from peri_spark.functions import module_document_frequency
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_IMPORT_STAGE_SQL.format(cf="code_files"))
+    return module_document_frequency(staged, "content", repo_col="repo")
+
+
 # round 2: every query is oracle-checked — the former no-oracle set
 # (minhash/simhash/winnow/knn) now runs in portable-hash mode with full
 # DuckDB reproductions (md5-prefix 60-bit hashes, embedded plane/perm
@@ -1686,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "secrets_code_files": q_secrets_code_files,
         "code_shape_code_files": q_code_shape_code_files,
+        "import_df_code_files": q_import_df_code_files,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
@@ -3263,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "secrets_code_files": _secrets_oracle_sql(),
         "code_shape_code_files": _code_shape_oracle_sql(),
+        "import_df_code_files": _imports_oracle_sql(),
         # rank ties break by value ascending in both engines; DuckDB
         # row_number is BIGINT where Spark's is INT — cast to match
         "top_values_documents": """
@@ -3338,6 +3371,28 @@ def _secrets_oracle_sql() -> str:
     SELECT *, CAST({total} AS BIGINT) AS n_secrets,
            ({total}) > 0 AS has_secret
     FROM c
+    """
+
+
+def _imports_oracle_sql() -> str:
+    """DuckDB reproduction of q_import_df_code_files: identical
+    _IMPORT_STAGE_SQL plant, then the same (?m)-anchored IMPORT_PATTERNS
+    via regexp_extract_all(group 1) — RE2 and Java agree on every
+    construct in the patterns (no lookaround/backrefs) — per-file
+    list_distinct, unnest to edges, group to the census."""
+    from peri_spark.functions.codescan import IMPORT_PATTERNS
+    staged = _IMPORT_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    parts = [f"regexp_extract_all(content, '{p.replace(chr(39), chr(39)*2)}', 1)"
+             for p in IMPORT_PATTERNS.values()]
+    merged = " || ".join(parts)
+    return f"""
+    WITH staged AS ({staged}),
+    ex AS (SELECT repo, list_distinct({merged}) AS mods FROM staged),
+    edges AS (SELECT repo, unnest(mods) AS module FROM ex)
+    SELECT module, string_split(module, '.')[1] AS root_module,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+    FROM edges GROUP BY module, root_module
     """
 
 

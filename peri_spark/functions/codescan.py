@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
-           "code_shape_stats"]
+           "code_shape_stats", "IMPORT_PATTERNS", "extract_imports",
+           "import_edges", "module_document_frequency"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -158,3 +159,79 @@ def code_shape_stats(df: DataFrame, content_col: str,
         frac.alias("alnum_fraction"),
         (max_len >= minified_line_len).alias("is_minified"),
     )
+
+
+# language label -> engine-portable multiline import regex whose group 1
+# is the imported module. (?m)^ anchors each LINE start; no lookaround,
+# no backrefs — identical under Java regex and RE2/DuckDB, so the oracle
+# reproduces every edge. Leading whitespace tolerated (indented imports
+# inside try/if blocks are idiomatic python).
+IMPORT_PATTERNS: dict[str, str] = {
+    # `import a.b.c` / `import a.b as x` — first dotted name only;
+    # `from a.b import c` — the source module a.b
+    "py_import": r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+    "py_from": r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import",
+}
+
+
+def extract_imports(df: DataFrame, content_col: str,
+                    patterns: dict[str, str] | None = None,
+                    out_col: str = "imported_modules") -> DataFrame:
+    """Append ``out_col``: the sorted distinct modules imported by each
+    file (python-style ``import X`` / ``from X import Y`` by default;
+    pass language-specific ``patterns`` — group 1 must capture the
+    module).
+
+    Plan shape: one ``regexp_extract_all`` per pattern concatenated and
+    dedup-sorted inside a single codegen'd projection — zero shuffle,
+    zero Python; the content column never leaves the scan stage. NULL
+    content yields NULL (the null-content violation path owns those
+    rows); a file with no imports yields an empty array.
+    """
+    patterns = IMPORT_PATTERNS if patterns is None else patterns
+    c = F.col(content_col)
+    parts = [F.regexp_extract_all(c, F.lit(p), 1)
+             for p in patterns.values()]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = F.concat(merged, p)
+    return df.withColumn(out_col, F.array_sort(F.array_distinct(merged)))
+
+
+def import_edges(df: DataFrame, content_col: str,
+                 *id_cols: str,
+                 patterns: dict[str, str] | None = None) -> DataFrame:
+    """Explode each file's imports into dependency edges
+    ``(*id_cols, module, root_module)`` — ``root_module`` is the first
+    dotted segment (``pkg.sub.mod`` → ``pkg``), the granularity
+    dependency analysis usually wants. Files with NULL content or no
+    imports contribute no edges (inner explode). Map-side only: the
+    exploded frame carries just the (tiny) id columns + module string,
+    so whatever aggregation follows shuffles edges, never file bodies.
+    """
+    e = extract_imports(df, content_col, patterns=patterns)
+    return (e.select(*id_cols,
+                     F.explode("imported_modules").alias("module"))
+            .withColumn("root_module",
+                        F.split(F.col("module"), r"\.").getItem(0)))
+
+
+def module_document_frequency(df: DataFrame, content_col: str,
+                              repo_col: str | None = None,
+                              patterns: dict[str, str] | None = None
+                              ) -> DataFrame:
+    """Corpus-level dependency census: per imported module, the number
+    of files importing it (``n_files``) and — when ``repo_col`` is
+    given — the number of distinct repos (``n_repos``, exact).
+
+    Scale: the only shuffle carries (module[, repo]) pairs — bounded by
+    the module vocabulary × repo fan-out, never by corpus bytes. At
+    10^12 files the partial aggregation absorbs the per-file fan-in
+    map-side, the same design as ``domain_counts``.
+    """
+    ids = [repo_col] if repo_col else []
+    edges = import_edges(df, content_col, *ids, patterns=patterns)
+    aggs = [F.count(F.lit(1)).alias("n_files")]
+    if repo_col:
+        aggs.append(F.countDistinct(repo_col).alias("n_repos"))
+    return edges.groupBy("module", "root_module").agg(*aggs)

@@ -76,3 +76,60 @@ def test_code_shape_avg_line_len(spark):
     r = code_shape_stats(df, "content").collect()[0]
     # lines: "ab"(2), "cdef"(4), ""(0) -> mean 2.0
     assert r.n_lines == 3 and r.avg_line_len == 2.0
+
+
+# ---------------------------------------------------------------- imports
+
+def _import_corpus(spark):
+    rows = [
+        (0, "org0/a", "import os\nimport numpy.linalg as nl\nx = 1\n"),
+        (1, "org0/a", "from collections.abc import Mapping\nimport os\n"),
+        (2, "org1/b", "  import json\n\tfrom os import path\n"),
+        (3, "org1/b", "x = 'import fake'\n# import commented\nprint(1)\n"),
+        (4, "org2/c", "import os\nimport os\nfrom os import sep\n"),
+        (5, "org2/c", None),
+        (6, "org2/c", ""),
+    ]
+    return spark.createDataFrame(rows, "id long, repo string, content string")
+
+
+def test_extract_imports_basic(spark):
+    from peri_spark.functions import extract_imports
+    got = {r.id: r.imported_modules
+           for r in extract_imports(_import_corpus(spark), "content").collect()}
+    assert got[0] == ["numpy.linalg", "os"]      # sorted, `as` alias dropped
+    assert got[1] == ["collections.abc", "os"]
+    assert got[2] == ["json", "os"]              # indented imports count
+    # neither the quoted string nor the '#'-commented line is at a bare
+    # line start, so a comment-only "import" never matches:
+    assert got[3] == []
+    assert got[4] == ["os"]                      # distinct across both forms
+    assert got[5] is None                        # NULL content -> NULL
+    assert got[6] == []
+
+
+def test_extract_imports_plan_is_scan_project_only(spark):
+    from peri_spark.functions import extract_imports
+    plan = extract_imports(_import_corpus(spark), "content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_import_edges_root_module(spark):
+    from peri_spark.functions import import_edges
+    edges = import_edges(_import_corpus(spark), "content", "id", "repo")
+    got = sorted((r.id, r.module, r.root_module) for r in edges.collect())
+    assert (0, "numpy.linalg", "numpy") in got
+    assert (1, "collections.abc", "collections") in got
+    # NULL/empty-content files contribute no edges
+    assert not [t for t in got if t[0] in (5, 6)]
+
+
+def test_module_document_frequency(spark):
+    from peri_spark.functions import module_document_frequency
+    out = module_document_frequency(_import_corpus(spark), "content",
+                                    repo_col="repo")
+    got = {r.module: (r.n_files, r.n_repos) for r in out.collect()}
+    assert got["os"] == (4, 3)          # files 0,1,2,4 across all 3 repos
+    assert got["json"] == (1, 1)
+    assert got["numpy.linalg"] == (1, 1)
