@@ -1348,6 +1348,33 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# License-header planting for scan_licenses: SPDX tags, phrase headers
+# and one unknown-family tag keyed on length(content) % 9. Same
+# IDENTICAL-SQL discipline as _SECRET_STAGE_SQL.
+_LICENSE_STAGE_SQL = """
+SELECT repo, path, lang,
+  CASE WHEN length(content) % 9 = 0
+         THEN '# SPDX-License-Identifier: MIT' || chr(10) || content
+       WHEN length(content) % 9 = 1
+         THEN '// SPDX-License-Identifier: Apache-2.0 OR GPL-3.0-only'
+              || chr(10) || content
+       WHEN length(content) % 9 = 2
+         THEN 'Licensed under the Apache License, Version 2.0.'
+              || chr(10) || content
+       WHEN length(content) % 9 = 3
+         THEN 'Permission is hereby granted, free of charge,'
+              || chr(10) || content
+       WHEN length(content) % 9 = 4
+         THEN 'GNU General Public License' || chr(10) || content
+       WHEN length(content) % 9 = 5
+         THEN 'Mozilla Public License 2.0' || chr(10) || content
+       WHEN length(content) % 9 = 6
+         THEN 'SPDX-License-Identifier: WTFPL' || chr(10) || content
+       ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
 # Newline/indent/minified planting for code_shape_stats: documents text
 # has no newlines, so ' merge ' (a frequent token) becomes the line
 # separator; %13 buckets plant a >500-char line, a tab indent and a
@@ -1627,6 +1654,20 @@ def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_document_frequency(staged, "content", repo_col="repo")
 
 
+def q_licenses_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License census over code_files with deterministically planted
+    SPDX tags and header phrases: per (license, family), file count.
+    scan_licenses is a head-bounded zero-shuffle projection; only the
+    tiny (license, family) census shuffles."""
+    from peri_spark.functions import scan_licenses
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_LICENSE_STAGE_SQL.format(cf="code_files"))
+    return (scan_licenses(staged, "content")
+            .groupBy(F.coalesce("license", F.lit("(none)")).alias("license"),
+                     "license_family")
+            .agg(F.count(F.lit(1)).alias("n_files")))
+
+
 # round 2: every query is oracle-checked — the former no-oracle set
 # (minhash/simhash/winnow/knn) now runs in portable-hash mode with full
 # DuckDB reproductions (md5-prefix 60-bit hashes, embedded plane/perm
@@ -1718,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_code_files": q_secrets_code_files,
         "code_shape_code_files": q_code_shape_code_files,
         "import_df_code_files": q_import_df_code_files,
+        "licenses_code_files": q_licenses_code_files,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
@@ -3296,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         "secrets_code_files": _secrets_oracle_sql(),
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
+        "licenses_code_files": _licenses_oracle_sql(),
         # rank ties break by value ascending in both engines; DuckDB
         # row_number is BIGINT where Spark's is INT — cast to match
         "top_values_documents": """
@@ -3393,6 +3436,42 @@ def _imports_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
     FROM edges GROUP BY module, root_module
+    """
+
+
+def _licenses_oracle_sql() -> str:
+    """DuckDB reproduction of q_licenses_code_files: identical
+    _LICENSE_STAGE_SQL plant, then the same head-bounded SPDX regex
+    (RE2 ≡ Java on this pattern), ordered phrase fallbacks on the
+    uppercased head, and the ordered family rules over the resolved
+    license — both rule tables imported from the operator so the
+    mirror can never drift."""
+    from peri_spark.functions.codescan import (LICENSE_PHRASES,
+                                               SPDX_PATTERN,
+                                               _FAMILY_RULES)
+    staged = _LICENSE_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    spdx_lit = SPDX_PATTERN.replace("'", "''")
+    phrase_whens = "\n        ".join(
+        f"WHEN contains(head, '{probe}') THEN '{lic}'"
+        for probe, lic in LICENSE_PHRASES)
+    fam_whens = "\n        ".join(
+        f"WHEN contains(upper(license), '{probe}') THEN '{fam}'"
+        for probe, fam in _FAMILY_RULES)
+    return f"""
+    WITH staged AS ({staged}),
+    h AS (SELECT upper(substr(content, 1, 4096)) AS head,
+                 nullif(regexp_extract(substr(content, 1, 4096),
+                                       '{spdx_lit}', 1), '') AS spdx
+          FROM staged),
+    lic AS (SELECT coalesce(spdx, CASE
+        {phrase_whens}
+        ELSE NULL END) AS license FROM h),
+    fam AS (SELECT license, CASE WHEN license IS NULL THEN 'none'
+      {fam_whens}
+      ELSE 'unknown' END AS license_family FROM lic)
+    SELECT coalesce(license, '(none)') AS license, license_family,
+           CAST(count(*) AS BIGINT) AS n_files
+    FROM fam GROUP BY 1, 2
     """
 
 

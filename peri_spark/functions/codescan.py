@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "code_shape_stats", "IMPORT_PATTERNS", "extract_imports",
-           "import_edges", "module_document_frequency"]
+           "import_edges", "module_document_frequency",
+           "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -235,3 +236,87 @@ def module_document_frequency(df: DataFrame, content_col: str,
     if repo_col:
         aggs.append(F.countDistinct(repo_col).alias("n_repos"))
     return edges.groupBy("module", "root_module").agg(*aggs)
+
+
+# ------------------------------------------------------------------ license
+
+# SPDX short identifier expression after the standard tag line. The
+# expression grammar here is deliberately the flat subset (ids joined by
+# OR/AND/WITH) — group 1 captures the whole expression. Portable: no
+# lookaround, ASCII classes only.
+SPDX_PATTERN = (r"SPDX-License-Identifier:[ \t]*"
+                r"([A-Za-z0-9.+-]+(?:[ \t]+(?:OR|AND|WITH)"
+                r"[ \t]+[A-Za-z0-9.+-]+)*)")
+
+# Header-phrase fallbacks, checked IN ORDER on the uppercased head when
+# no SPDX tag is present. Phrases are the canonical first-line /
+# grant-clause wordings, specific enough that a mention in prose is the
+# acceptable false-positive trade (license scanners share this trade).
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("GNU AFFERO GENERAL PUBLIC LICENSE", "AGPL-3.0"),
+    ("GNU LESSER GENERAL PUBLIC LICENSE", "LGPL-3.0"),
+    ("GNU LIBRARY GENERAL PUBLIC LICENSE", "LGPL-2.0"),
+    ("GNU GENERAL PUBLIC LICENSE", "GPL-3.0"),
+    ("MOZILLA PUBLIC LICENSE", "MPL-2.0"),
+    ("APACHE LICENSE", "Apache-2.0"),
+    ("PERMISSION IS HEREBY GRANTED, FREE OF CHARGE", "MIT"),
+    ("REDISTRIBUTION AND USE IN SOURCE AND BINARY FORMS", "BSD-3-Clause"),
+    ("THIS IS FREE AND UNENCUMBERED SOFTWARE", "Unlicense"),
+]
+
+# family classification over the UPPERCASED resolved license id /
+# expression, checked IN ORDER (AGPL before GPL, LGPL before GPL).
+_FAMILY_RULES: list[tuple[str, str]] = [
+    ("AGPL", "copyleft"),
+    ("LGPL", "weak-copyleft"),
+    ("GPL", "copyleft"),
+    ("MPL", "weak-copyleft"),
+    ("EPL", "weak-copyleft"),
+    ("MIT", "permissive"),
+    ("BSD", "permissive"),
+    ("APACHE", "permissive"),
+    ("ISC", "permissive"),
+    ("UNLICENSE", "permissive"),
+    ("CC0", "permissive"),
+]
+
+
+def scan_licenses(df: DataFrame, content_col: str,
+                  head_chars: int = 4096) -> DataFrame:
+    """Append license columns to a code corpus: ``license`` (the SPDX
+    tag expression if present, else a header-phrase match, else NULL),
+    ``license_family`` (permissive / weak-copyleft / copyleft /
+    unknown / none) and ``has_license``.
+
+    Training-data curation for code filters on exactly this verdict
+    (keep permissive, drop copyleft, review unknown), so it must be
+    corpus-scan cheap: only the first ``head_chars`` characters are
+    examined (license headers lead the file — bounding the regex cost
+    per file regardless of blob size), everything is one codegen'd
+    zero-shuffle projection, and the SPDX regex + phrase table are
+    engine-portable so the DuckDB oracle reproduces every verdict.
+
+    NULL content → NULL license, family 'none' stays NULL-safe as
+    'none' only for non-NULL content (NULL rows keep NULL family — the
+    null-content violation path owns them).
+    """
+    head = F.upper(F.substring(F.col(content_col), 1, head_chars))
+    raw_head = F.substring(F.col(content_col), 1, head_chars)
+    spdx = F.nullif(F.regexp_extract(raw_head, SPDX_PATTERN, 1), F.lit(""))
+    phrase = F.lit(None).cast("string")
+    for probe, lic in reversed(LICENSE_PHRASES):
+        phrase = F.when(head.contains(probe), F.lit(lic)).otherwise(phrase)
+    license_col = F.coalesce(spdx, phrase)
+    up = F.upper(license_col)
+    family = F.lit("unknown")
+    for probe, fam in reversed(_FAMILY_RULES):
+        family = F.when(up.contains(probe), F.lit(fam)).otherwise(family)
+    family = (F.when(F.col(content_col).isNull(),
+                     F.lit(None).cast("string"))
+              .when(license_col.isNull(), F.lit("none"))
+              .otherwise(family))
+    return (df.withColumn("license", license_col)
+            .withColumn("license_family", family)
+            .withColumn("has_license", F.when(F.col(content_col).isNull(),
+                                              F.lit(None).cast("boolean"))
+                        .otherwise(license_col.isNotNull())))

@@ -133,3 +133,70 @@ def test_module_document_frequency(spark):
     assert got["os"] == (4, 3)          # files 0,1,2,4 across all 3 repos
     assert got["json"] == (1, 1)
     assert got["numpy.linalg"] == (1, 1)
+
+
+# ---------------------------------------------------------------- licenses
+
+def _license_corpus(spark):
+    rows = [
+        (0, "# SPDX-License-Identifier: MIT\ndef f(): pass\n"),
+        (1, "// SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception\n"),
+        (2, "/* SPDX-License-Identifier: MIT OR GPL-3.0-only */\n"),
+        (3, "Licensed under the Apache License, Version 2.0\ncode\n"),
+        (4, "Permission is hereby granted, free of charge, to any person\n"),
+        (5, "This program is free software: GNU General Public License\n"),
+        (6, "GNU Lesser General Public License v2.1\n"),
+        (7, "GNU Affero General Public License\n"),
+        (8, "Redistribution and use in source and binary forms, with or\n"),
+        (9, "Mozilla Public License 2.0\n"),
+        (10, "just code, no license anywhere\n"),
+        (11, None),
+        (12, "SPDX-License-Identifier: WTFPL\n"),   # unknown family
+    ]
+    return spark.createDataFrame(rows, "id long, content string")
+
+
+def test_scan_licenses_spdx_and_phrases(spark):
+    from peri_spark.functions import scan_licenses
+    got = {r.id: r for r in
+           scan_licenses(_license_corpus(spark), "content").collect()}
+    assert got[0].license == "MIT" and got[0].license_family == "permissive"
+    assert got[1].license == "Apache-2.0 WITH LLVM-exception"
+    assert got[1].license_family == "permissive"
+    # conservative: any GPL in the expression classifies copyleft
+    assert got[2].license == "MIT OR GPL-3.0-only"
+    assert got[2].license_family == "copyleft"
+    assert got[3].license == "Apache-2.0"
+    assert got[4].license == "MIT"
+    assert got[5].license == "GPL-3.0" and got[5].license_family == "copyleft"
+    assert got[6].license == "LGPL-3.0"
+    assert got[6].license_family == "weak-copyleft"
+    assert got[7].license == "AGPL-3.0" and got[7].license_family == "copyleft"
+    assert got[8].license == "BSD-3-Clause"
+    assert got[9].license == "MPL-2.0"
+    assert got[9].license_family == "weak-copyleft"
+    assert got[10].license is None and got[10].license_family == "none"
+    assert got[10].has_license is False
+    assert got[11].license is None and got[11].license_family is None
+    assert got[11].has_license is None
+    assert got[12].license == "WTFPL"
+    assert got[12].license_family == "unknown"
+
+
+def test_scan_licenses_head_bound(spark):
+    from peri_spark.functions import scan_licenses
+    # license text past head_chars is invisible — the scan is bounded
+    df = spark.createDataFrame(
+        [(0, "x" * 5000 + "\nSPDX-License-Identifier: MIT\n")],
+        "id long, content string")
+    r = scan_licenses(df, "content", head_chars=4096).collect()[0]
+    assert r.license is None and r.license_family == "none"
+    r2 = scan_licenses(df, "content", head_chars=6000).collect()[0]
+    assert r2.license == "MIT"
+
+
+def test_scan_licenses_plan_zero_shuffle(spark):
+    from peri_spark.functions import scan_licenses
+    plan = scan_licenses(_license_corpus(spark), "content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
