@@ -1393,6 +1393,34 @@ WHERE content IS NOT NULL
 """
 
 
+# Deterministic perturbation of orders for table_diff: shifted keys
+# (right-only), dropped keys (left-only) and two mismatching column
+# classes. IDENTICAL SQL in both engines.
+_RECON_STAGE_SQL = """
+SELECT o_orderkey
+         + CASE WHEN o_orderkey % 17 = 2 THEN 10000000 ELSE 0 END
+         AS o_orderkey,
+       CASE WHEN o_orderkey % 11 = 3 THEN 'X'
+            ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 13 <> 5
+"""
+
+
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed reconciliation of orders vs a deterministically perturbed
+    copy: per-column equal/diff counts plus key-set membership. One
+    full-outer key join + one global aggregate."""
+    from peri_spark.constraints import table_diff
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    right = spark.sql(_RECON_STAGE_SQL)
+    left = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return table_diff(left, right, ["o_orderkey"])
+
+
 def q_zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over (doc_id, n_chars) at 8 bits/dim — the layout
     key write_clustered consumes for multi-dimensional file pruning.
@@ -1760,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_shape_code_files": q_code_shape_code_files,
         "import_df_code_files": q_import_df_code_files,
         "licenses_code_files": q_licenses_code_files,
+        "table_diff_orders": q_table_diff_orders,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
@@ -3339,6 +3368,34 @@ def oracle_sql() -> dict[str, str]:
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
+        "table_diff_orders": f"""
+    WITH r AS ({_RECON_STAGE_SQL}),
+    l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    j AS (SELECT l.o_orderkey lk, r.o_orderkey rk,
+                 l.o_orderstatus ls, r.o_orderstatus rs,
+                 l.o_totalprice lp, r.o_totalprice rp
+          FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+    agg AS (SELECT
+      CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) lo,
+      CAST(sum(CASE WHEN rk IS NOT NULL AND lk IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) ro,
+      CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) co,
+      CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                AND ls IS NOT DISTINCT FROM rs
+               THEN 1 ELSE 0 END) AS BIGINT) eq_s,
+      CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                AND lp IS NOT DISTINCT FROM rp
+               THEN 1 ELSE 0 END) AS BIGINT) eq_p
+      FROM j)
+    SELECT 'o_orderstatus' AS "column", lo AS n_left_only,
+           ro AS n_right_only, co AS n_common, eq_s AS n_equal,
+           co - eq_s AS n_diff FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', lo, ro, co, eq_p, co - eq_p FROM agg
+    """,
+
         # rank ties break by value ascending in both engines; DuckDB
         # row_number is BIGINT where Spark's is INT — cast to match
         "top_values_documents": """

@@ -12,6 +12,7 @@ from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, psi_drift, histogram
 from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
+from .reconcile import table_diff
 from .numstats import (benford_drift, corr_matrix, fd_violations,
                        robust_outliers)
 
@@ -21,4 +22,5 @@ __all__ = [
     "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",
     "robust_outliers", "benford_drift", "corr_matrix", "fd_violations",
+    "table_diff",
 ]
