@@ -1409,6 +1409,19 @@ WHERE o_orderkey % 13 <> 5
 """
 
 
+def q_metric_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly tripwire over a per-day run history: daily event
+    counts per event_type; the latest day's count vs the zscore of all
+    prior days. One exchange on the series key; the trailing partial
+    day typically flags — both engines must agree either way."""
+    from peri_spark.constraints import metric_anomalies
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = ev.groupBy("event_type",
+                      F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("value"))
+    return metric_anomalies(hist, ["event_type"], "day", threshold=2.0)
+
+
 def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation of orders vs a deterministically perturbed
     copy: per-column equal/diff counts plus key-set membership. One
@@ -1789,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_df_code_files": q_import_df_code_files,
         "licenses_code_files": q_licenses_code_files,
         "table_diff_orders": q_table_diff_orders,
+        "metric_anomalies_events": q_metric_anomalies_events,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
@@ -3368,6 +3382,30 @@ def oracle_sql() -> dict[str, str]:
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
+        "metric_anomalies_events": """
+    WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         CAST(count(*) AS DOUBLE) AS value
+                  FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY day DESC, value DESC) AS rn FROM hist),
+    a AS (SELECT event_type,
+            max(CASE WHEN rn = 1 THEN day END) AS latest_day,
+            max(CASE WHEN rn = 1 THEN value END) AS latest_value,
+            CAST(count(CASE WHEN rn > 1 THEN value END) AS BIGINT)
+              AS n_prior,
+            avg(CASE WHEN rn > 1 THEN value END) AS mean,
+            stddev_samp(CASE WHEN rn > 1 THEN value END) AS std
+          FROM r GROUP BY 1)
+    SELECT event_type, latest_day, latest_value, n_prior,
+           mean AS baseline,
+           CASE WHEN std > 0 THEN (latest_value - mean) / std
+                END AS deviation,
+           CASE WHEN n_prior < 3 THEN NULL
+                WHEN std > 0
+                  THEN abs((latest_value - mean) / std) > 2.0
+                ELSE latest_value <> mean END AS is_anomaly
+    FROM a
+    """,
         "table_diff_orders": f"""
     WITH r AS ({_RECON_STAGE_SQL}),
     l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

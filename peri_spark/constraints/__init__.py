@@ -13,6 +13,7 @@ from .drift import chi_square_drift, ks_drift, psi_drift, histogram
 from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
 from .reconcile import table_diff
+from .anomaly import metric_anomalies
 from .numstats import (benford_drift, corr_matrix, fd_violations,
                        robust_outliers)
 
@@ -22,5 +23,5 @@ __all__ = [
     "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",
     "robust_outliers", "benford_drift", "corr_matrix", "fd_violations",
-    "table_diff",
+    "table_diff", "metric_anomalies",
 ]
