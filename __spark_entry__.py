@@ -1422,6 +1422,15 @@ def q_metric_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_anomalies(hist, ["event_type"], "day", threshold=2.0)
 
 
+def q_value_dist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape metrics (entropy / distinctness / uniqueness)
+    for three documents columns off ONE stacked-explode scan; both
+    shuffles bounded by distinct values."""
+    from peri_spark.constraints import value_distribution_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return value_distribution_stats(docs, ["lang", "source", "n_chars"])
+
+
 def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation of orders vs a deterministically perturbed
     copy: per-column equal/diff counts plus key-set membership. One
@@ -1803,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "licenses_code_files": q_licenses_code_files,
         "table_diff_orders": q_table_diff_orders,
         "metric_anomalies_events": q_metric_anomalies_events,
+        "value_dist_documents": q_value_dist_documents,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
         "verdict_diff_documents": q_verdict_diff_documents,
@@ -3382,6 +3392,29 @@ def oracle_sql() -> dict[str, str]:
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
+        "value_dist_documents": """
+    WITH pairs AS (
+      SELECT 'lang' AS "column", lang AS value
+      FROM documents WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT 'source', source FROM documents WHERE source IS NOT NULL
+      UNION ALL
+      SELECT 'n_chars', CAST(n_chars AS STRING)
+      FROM documents WHERE n_chars IS NOT NULL),
+    c AS (SELECT "column", value, count(*) AS c FROM pairs GROUP BY 1, 2),
+    a AS (SELECT "column", CAST(sum(c) AS BIGINT) AS n_values,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 sum(c * ln(c)) AS clnc,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS singles
+          FROM c GROUP BY 1)
+    SELECT "column", n_values, n_distinct,
+           ln(n_values) - clnc / n_values AS entropy,
+           n_distinct / CAST(n_values AS DOUBLE) AS distinctness,
+           singles / CAST(n_values AS DOUBLE) AS uniqueness,
+           singles / CAST(n_distinct AS DOUBLE) AS unique_value_ratio
+    FROM a
+    """,
         "metric_anomalies_events": """
     WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,
                          CAST(count(*) AS DOUBLE) AS value

@@ -6,7 +6,7 @@ row-level and table-level violations union into one frame.
 """
 
 from .stats import (column_quantiles, column_stats, stats_violations,
-                    top_values)
+                    top_values, value_distribution_stats)
 from .uniqueness import uniqueness_violations
 from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, psi_drift, histogram
@@ -19,6 +19,7 @@ from .numstats import (benford_drift, corr_matrix, fd_violations,
 
 __all__ = [
     "column_stats", "column_quantiles", "top_values",
+    "value_distribution_stats",
     "stats_violations", "uniqueness_violations",
     "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["column_stats", "column_quantiles", "top_values",
-           "stats_violations"]
+           "value_distribution_stats", "stats_violations"]
 
 
 def column_stats(df: DataFrame, columns: list[str] | None = None,
@@ -145,6 +145,53 @@ def top_values(df: DataFrame, columns: list[str], k: int = 10,
     return (counts.select("column", "value", "n",
                           F.row_number().over(w).alias("rank"))
             .where(F.col("rank") <= k))
+
+
+def value_distribution_stats(df: DataFrame,
+                             columns: list[str]) -> DataFrame:
+    """Distribution-shape metrics per column, unpivoted to
+    ``(column, n_values, n_distinct, entropy, distinctness, uniqueness,
+    unique_value_ratio)`` — Deequ's Entropy / Distinctness / Uniqueness
+    / UniqueValueRatio analyzers re-expressed as two bounded shuffles:
+
+    - ``entropy``: Shannon entropy (natural log) of the value
+      distribution, ``ln(n) - sum(c*ln(c))/n`` — computed from exact
+      counts so it is engine-portable to the SQL oracle.
+    - ``distinctness``: n_distinct / n_values.
+    - ``uniqueness``: fraction of ROWS whose value appears exactly once.
+    - ``unique_value_ratio``: fraction of VALUES appearing exactly once.
+
+    All columns share ONE scan (the same stacked explode as
+    ``top_values``); the first shuffle carries map-side-combined
+    (column, value) counts — bounded by distinct values, the skewed
+    case is the cheap case — and the second reduces |columns| groups.
+    NULLs are excluded (column_stats owns null accounting). Like
+    ``top_values``, id-like columns whose distinct count approaches the
+    row count belong in column_stats' HLL path, not here.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])).alias("p")).select("p.column", "p.value")
+    counts = (pairs.where(F.col("value").isNotNull())
+              .groupBy("column", "value")
+              .agg(F.count(F.lit(1)).alias("c")))
+    c = F.col("c")
+    agg = counts.groupBy("column").agg(
+        F.sum(c).alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+        F.sum(F.when(c == 1, 1).otherwise(0)).alias("__singles"))
+    n = F.col("n_values")
+    return agg.select(
+        "column", "n_values", "n_distinct",
+        (F.log(n) - F.col("__clnc") / n).alias("entropy"),
+        (F.col("n_distinct") / n).alias("distinctness"),
+        (F.col("__singles") / n).alias("uniqueness"),
+        (F.col("__singles") / F.col("n_distinct"))
+        .alias("unique_value_ratio"))
 
 
 def stats_violations(stats: DataFrame, thresholds: dict[str, dict]) -> DataFrame:
