@@ -35,6 +35,7 @@ from .engine import VIOLATIONS_COLUMN, ValidationResult, validate
 from .constraints import (benford_drift, chi_square_drift, column_stats,
                           corr_matrix, fd_violations, ks_drift,
                           robust_outliers, top_values,
+                          value_distribution_stats,
                           partition_verdicts, referential_violations,
                           uniqueness_violations)
 
@@ -83,6 +84,7 @@ class SuiteResult:
     benford: dict[str, DataFrame] = field(default_factory=dict)
     correlations: DataFrame | None = None
     fd: dict[str, DataFrame] = field(default_factory=dict)
+    value_dist: DataFrame | None = None
     verdicts: DataFrame | None = None
     timings: dict[str, float] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
@@ -138,6 +140,7 @@ class ValidationSuite:
         self._benford: list[tuple] = []
         self._corr: list[str] | None = None
         self._fd: list[tuple] = []
+        self._value_dist: list[str] | None = None
         self._stats = True
         self._max_bad_ratio = 0.0
         # above this many (partition × bucket) groups the fused derivation
@@ -262,6 +265,17 @@ class ValidationSuite:
         self._fd.append((list(determinant), dependent))
         return self
 
+    def with_value_distribution(self, columns: list[str]):
+        """Distribution-shape stage (entropy / distinctness /
+        uniqueness) over low-cardinality ``columns``
+        (:func:`peri_spark.constraints.value_distribution_stats`).
+        One stacked-explode scan, shuffles bounded by distinct values.
+        Result lands in ``result.value_dist``."""
+        if not columns:
+            raise ValueError("with_value_distribution needs >=1 column")
+        self._value_dist = list(columns)
+        return self
+
     def _numstats_thunks(self, df: DataFrame, out: "SuiteResult"):
         """(name, action) per configured numeric-distribution stage.
         Separate pruned scans by design: percentile state and the corr
@@ -295,6 +309,12 @@ class ValidationSuite:
                 out.fd[name] = v
                 counters[f"n_fd_violations:{name}"] = v.count()
             thunks.append((f"fd:{name}", fd))
+        if self._value_dist:
+            def vd():
+                out.value_dist = value_distribution_stats(
+                    df, self._value_dist)
+                counters["n_value_dist_cols"] = out.value_dist.count()
+            thunks.append(("value_dist", vd))
         return thunks
 
     def run(self, df: DataFrame, eager: bool = True, persist: bool = False,
@@ -992,6 +1012,12 @@ class ValidationSuite:
             if eager:
                 counters[f"n_fd_violations:{name}"] = out.fd[name].count()
             timings[f"fd:{name}"] = time.perf_counter() - t
+        if self._value_dist:
+            t = time.perf_counter()
+            out.value_dist = value_distribution_stats(df, self._value_dist)
+            if eager:
+                counters["n_value_dist_cols"] = out.value_dist.count()
+            timings["value_dist"] = time.perf_counter() - t
 
         return out
 

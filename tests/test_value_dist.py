@@ -48,3 +48,25 @@ def test_value_distribution_validates_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_suite_value_distribution_all_paths(spark):
+    from peri_spark.suite import ValidationSuite
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "id int, cat string")
+    schema = {"id": ("required", "integer"), "cat": ("required", "string")}
+    for runner in ("run", "run_sequential", "run_fused"):
+        suite = (ValidationSuite(schema)
+                 .with_value_distribution(["cat"]))
+        if runner == "run_fused":
+            suite = suite.with_partitioning("cat")
+        if runner == "run":
+            res = suite.run(df)
+        elif runner == "run_sequential":
+            res = suite.run(df, concurrent=False)
+        else:
+            res = suite.run_fused(df)
+        rows = {r.column: r for r in res.value_dist.collect()}
+        assert rows["cat"].n_distinct == 3
+        assert res.counters.get("n_value_dist_cols") == 1
