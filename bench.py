@@ -783,6 +783,17 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
           .collect()[0])
     sh_wall = round(time.monotonic() - t0, 3)
 
+    # licenses + imports: same zero-shuffle scan class as scan_secrets
+    from peri_spark.functions import (module_document_frequency,
+                                      scan_licenses)
+    t0 = time.monotonic()
+    li = (scan_licenses(df, "content")
+          .groupBy("license_family").count().count())
+    li_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    im = module_document_frequency(df, "content", repo_col="repo").count()
+    im_wall = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     up_rows = weighted_mix(
         df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
@@ -880,6 +891,12 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
                                  "lines": int(sh.lines),
                                  "minified": int(sh.minified),
                                  "rows_per_sec": round(n / sh_wall, 1)},
+            "scan_licenses": {"wall_sec": li_wall,
+                              "families": int(li),
+                              "rows_per_sec": round(n / li_wall, 1)},
+            "import_census": {"wall_sec": im_wall,
+                              "modules": int(im),
+                              "rows_per_sec": round(n / im_wall, 1)},
             "upsample_mix": {"wall_sec": up_wall,
                              "emitted_rows": int(up_rows),
                              "rows_per_sec": round(n / up_wall, 1)},
@@ -1041,7 +1058,9 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
     from pyspark.sql import functions as F
     sys.path.insert(0, REPO)
     from peri_spark.constraints import (benford_drift, corr_matrix,
-                                        fd_violations, robust_outliers)
+                                        fd_violations, metric_anomalies,
+                                        robust_outliers, table_diff,
+                                        value_distribution_stats)
 
     spark = (SparkSession.builder.master(f"local[{workers}]")
              .appName(f"bench-numstats-{workers}")
@@ -1068,18 +1087,39 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
                              .alias("drifted")).collect()[0])
     metrics = df.select(
         "clen",
-        F.size(F.split("content", "\n")).cast("long").alias("n_lines"),
+        F.size(F.split("content", " ")).cast("long").alias("n_words"),
         F.length("path").cast("long").alias("plen"))
     cm_wall, cm_n = timed(lambda: corr_matrix(
-        metrics, ["clen", "n_lines", "plen"]).count())
+        metrics, ["clen", "n_words", "plen"]).count())
     fd_wall, fd_n = timed(lambda: fd_violations(
         df, ["repo", "path"], "commit").count())
+    vd_wall, vd_n = timed(lambda: value_distribution_stats(
+        df, ["lang", "repo"]).count())
+    # keyed reconciliation: corpus vs a perturbed view of itself — the
+    # full-outer key join IS the cost being measured
+    left = df.select("repo", "path", "commit", "clen")
+    right = (left.withColumn(
+        "clen", F.when(F.col("clen") % 7 == 0, F.col("clen") + 1)
+        .otherwise(F.col("clen")))
+        .where(F.col("clen") % 13 != 5))
+    td_wall, td = timed(lambda: table_diff(
+        left, right, ["repo", "path", "commit"]).collect())
+    td_diff = int(next(r.n_diff for r in td if r.column == "clen"))
+    # metric anomalies over a synthetic 30-run history per lang (the
+    # history build scans the corpus; the stage itself is metrics-sized)
+    hist = df.groupBy("lang", (F.col("clen") % 30).alias("run")).agg(
+        F.count(F.lit(1)).cast("double").alias("value"))
+    ma_wall, ma_n = timed(lambda: metric_anomalies(
+        hist, ["lang"], "run").count())
     spark.stop()
     sec = {"robust_outliers": (ro_wall, {"outliers": int(ro_n)}),
            "benford": (bf_wall, {"groups": int(bf.groups),
                                  "drifted": int(bf.drifted or 0)}),
            "corr_matrix": (cm_wall, {"pairs": int(cm_n)}),
-           "fd_violations": (fd_wall, {"violating_keys": int(fd_n)})}
+           "fd_violations": (fd_wall, {"violating_keys": int(fd_n)}),
+           "value_dist": (vd_wall, {"columns": int(vd_n)}),
+           "table_diff": (td_wall, {"diff_rows": td_diff}),
+           "metric_anomalies": (ma_wall, {"series": int(ma_n)})}
     return {"workers": workers, "n_rows": n,
             **{k: {"wall_sec": w, **extra,
                    "rows_per_sec": round(n / w, 1)}

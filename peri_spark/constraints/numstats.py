@@ -147,15 +147,25 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations in ONE aggregate.
 
     Returns (col_x, col_y, corr) for every unordered pair (x < y by
-    position). ``F.corr`` partial-aggregates map-side (sum, sum-of-
-    squares, co-moments), so the corpus crosses the wire as k·(k-1)/2
+    position). The co-moment aggregates (covar, two stddevs) partial-
+    aggregate map-side, so the corpus crosses the wire as k·(k-1)/2
     scalar triples per partition regardless of row count — then the
     k²-sized result unpivots driver-free via an inline stack.
+
+    Built from ``covar_samp / (stddev·stddev)`` with ``try_divide``
+    rather than ``F.corr``: a zero-variance column must yield a NULL
+    correlation (matching DuckDB/ANSI ``corr``), but Spark's ``corr``
+    raises DIVIDE_BY_ZERO under the ANSI default — a constant metric
+    column would otherwise kill the whole stats job.
     """
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     assert pairs, "corr_matrix needs at least two columns"
-    agg = df.agg(*[F.corr(a, b).alias(f"__c_{i}")
-                   for i, (a, b) in enumerate(pairs)])
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.try_divide(
+            F.covar_samp(a, b),
+            F.stddev_samp(a) * F.stddev_samp(b)).alias(f"__c_{i}"))
+    agg = df.agg(*aggs)
     rows = [F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
                      F.col(f"__c_{i}").alias("corr"))
             for i, (a, b) in enumerate(pairs)]

@@ -147,3 +147,16 @@ def test_benford_absent_digits_counted(spark):
            + sum(p * n for p in BENFORD_P[1:]))
     assert math.isclose(row.chi2, exp, rel_tol=1e-9)
     assert row.drifted is True
+
+
+def test_corr_matrix_constant_column_is_null_not_error(spark):
+    """A zero-variance column yields NULL corr (ANSI corr would raise
+    DIVIDE_BY_ZERO and kill the stats job)."""
+    from peri_spark.constraints import corr_matrix
+    df = spark.createDataFrame([(i, 1.0, float(i)) for i in range(10)],
+                               "a int, const double, b double")
+    got = {(r.col_x, r.col_y): r.corr
+           for r in corr_matrix(df, ["a", "const", "b"]).collect()}
+    assert got[("a", "const")] is None
+    assert got[("const", "b")] is None
+    assert got[("a", "b")] == pytest.approx(1.0)
