@@ -1409,6 +1409,28 @@ WHERE o_orderkey % 13 <> 5
 """
 
 
+def q_sample_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled validation pre-flight: the events schema over the
+    deterministic 20% hash-coin slice, violation rate + Wilson 95%
+    bounds. One pruned scan of the slice, one scalar reduce."""
+    from peri_spark.constraints import sample_validate
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sample_validate(ev, EVENTS_SCHEMA, "event_id", 0.2)
+
+
+def q_completeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition completeness over the events days with every 5th day
+    deterministically dropped: the dense spine must surface each hole
+    with n_rows=0. NULL timestamps are excluded here (unit tests cover
+    the NULL-partition row) so the frame stays totally ordered for the
+    hash compare."""
+    from peri_spark.constraints import partition_completeness
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts").isNotNull()
+                 & (F.dayofmonth("ts") % 5 != 0)))
+    return partition_completeness(ev, "ts")
+
+
 def q_metric_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric anomaly tripwire over a per-day run history: daily event
     counts per event_type; the latest day's count vs the zscore of all
@@ -1812,6 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "licenses_code_files": q_licenses_code_files,
         "table_diff_orders": q_table_diff_orders,
         "metric_anomalies_events": q_metric_anomalies_events,
+        "sample_validate_events": q_sample_validate_events,
+        "completeness_events": q_completeness_events,
         "value_dist_documents": q_value_dist_documents,
         "top_values_documents": q_top_values_documents,
         "profile_documents": q_profile_documents,
@@ -1842,6 +1866,39 @@ _CF = f"({code_files_sql('duckdb')})"
 def _ph(expr: str) -> str:
     """DuckDB rendering of peri_spark.functions.portable_hash64."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _sample_validate_oracle_sql() -> str:
+    """DuckDB reproduction of q_sample_validate_events: identical md5
+    hash-coin slice (seed 42, 20%), the generated bad-row predicate
+    (the SQL mirror of permissive mode's size(_violations) > 0), and
+    the same Wilson-score expression term-for-term (z spelled to the
+    same double literal)."""
+    pred = po.bad_row_predicate_sql(EVENTS_SCHEMA)
+    coin = _ph("CAST(event_id AS VARCHAR) || chr(31) || '42'") + " % 1000000"
+    z = "1.959963984540054"
+    return f"""
+    WITH s AS (SELECT * FROM events WHERE {coin} < 200000),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad
+          FROM s),
+    w AS (SELECT n_sampled, n_bad,
+                 CAST(n_sampled AS DOUBLE) AS n,
+                 n_bad / CAST(n_sampled AS DOUBLE) AS p
+          FROM a)
+    SELECT n_sampled, n_bad,
+      CASE WHEN n_sampled > 0 THEN p END AS bad_rate,
+      CASE WHEN n_sampled > 0 THEN greatest(0.0,
+        (p + {z}*{z}/(2*n)) / (1.0 + {z}*{z}/n)
+        - ({z} * sqrt(p*(1.0-p)/n + {z}*{z}/(4*n*n)))
+          / (1.0 + {z}*{z}/n)) END AS ci_low,
+      CASE WHEN n_sampled > 0 THEN least(1.0,
+        (p + {z}*{z}/(2*n)) / (1.0 + {z}*{z}/n)
+        + ({z} * sqrt(p*(1.0-p)/n + {z}*{z}/(4*n*n)))
+          / (1.0 + {z}*{z}/n)) END AS ci_high
+    FROM w
+    """
 
 
 def _minhash_oracle_sql() -> str:
@@ -3414,6 +3471,21 @@ def oracle_sql() -> dict[str, str]:
            singles / CAST(n_values AS DOUBLE) AS uniqueness,
            singles / CAST(n_distinct AS DOUBLE) AS unique_value_ratio
     FROM a
+    """,
+        "sample_validate_events": _sample_validate_oracle_sql(),
+        "completeness_events": """
+    WITH f AS (SELECT CAST(ts AS DATE) AS partition FROM events
+               WHERE ts IS NOT NULL AND EXTRACT(day FROM ts) % 5 <> 0),
+    c AS (SELECT partition, CAST(count(*) AS BIGINT) AS n_rows
+          FROM f GROUP BY 1),
+    b AS (SELECT min(partition) AS lo, max(partition) AS hi FROM c),
+    spine AS (SELECT CAST(unnest(generate_series(
+                CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                INTERVAL 1 DAY)) AS DATE) AS partition
+              FROM b WHERE lo IS NOT NULL)
+    SELECT s.partition, coalesce(c.n_rows, 0) AS n_rows,
+           coalesce(c.n_rows, 0) > 0 AS present
+    FROM spine s LEFT JOIN c USING (partition)
     """,
         "metric_anomalies_events": """
     WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1,0 +1,71 @@
+"""Partition completeness: find the holes in a partitioned table.
+
+A checkpointed pipeline over a date/hour-partitioned corpus needs one
+more verdict the row-level checks can't give: "which expected
+partitions have NO rows at all?" — a silently missing day reads as
+zero violations to every other stage. This stage densifies the
+partition axis (the same re-aggregate-then-span spine trick as
+``resample``'s gap fill) and reports every expected bucket with its
+row count and a ``present`` flag.
+
+Plan shape: one partial-aggregated groupBy bounded by the number of
+partitions (tiny by definition), a 1-row min/max re-aggregate of that
+frame to derive the spine (never a second corpus scan), a spine
+explode capped by ``max_buckets`` (a load-bearing ``raise_error`` —
+one corrupt far-future timestamp must not fan out a billion-row
+spine), and one join between two partition-sized frames. Corpus bytes
+never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["partition_completeness"]
+
+
+def partition_completeness(df: DataFrame, date_col: str,
+                           start=None, end=None,
+                           max_buckets: int = 100_000) -> DataFrame:
+    """Row counts per calendar day for ``date_col`` (cast to DATE),
+    densified so missing days appear with ``n_rows = 0`` and
+    ``present = false``.
+
+    ``start``/``end`` (date strings) pin the expected range — the form
+    an orchestrator uses ("this backfill must cover Jan 1..Mar 31");
+    either side defaults to the observed min/max, which still exposes
+    every INTERIOR gap. NULL dates are excluded from the spine but
+    reported as one extra ``partition = NULL`` row when present, so
+    they cannot hide.
+    """
+    d = F.col(date_col).cast("date")
+    counts = (df.groupBy(d.alias("partition"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    lo = F.lit(start).cast("date") if start is not None else \
+        F.min("partition")
+    hi = F.lit(end).cast("date") if end is not None else \
+        F.max("partition")
+    bounds = counts.where(F.col("partition").isNotNull()).agg(
+        lo.alias("lo"), hi.alias("hi"))
+    span = F.datediff(F.col("hi"), F.col("lo")) + 1
+    spine = (bounds
+             .where(F.col("lo").isNotNull())
+             .select(F.when(span <= max_buckets, F.col("lo"))
+                     .otherwise(F.raise_error(F.format_string(
+                         "partition_completeness: %s-day spine exceeds "
+                         "max_buckets=%s — corrupt outlier date or a "
+                         "genuinely huge range; pin start/end or raise "
+                         "max_buckets", span.cast("string"),
+                         F.lit(str(max_buckets))))).alias("lo"),
+                     F.col("hi"))
+             .select(F.explode(F.sequence(
+                 F.col("lo"), F.col("hi"),
+                 F.expr("interval 1 day"))).alias("partition")))
+    dense = (spine.join(counts, "partition", "left")
+             .select("partition",
+                     F.coalesce("n_rows", F.lit(0)).alias("n_rows")))
+    nulls = (counts.where(F.col("partition").isNull())
+             .select("partition", "n_rows"))
+    return (dense.unionByName(nulls)
+            .withColumn("present", F.col("n_rows") > 0))

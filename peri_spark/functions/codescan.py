@@ -300,13 +300,24 @@ def scan_licenses(df: DataFrame, content_col: str,
     'none' only for non-NULL content (NULL rows keep NULL family — the
     null-content violation path owns them).
     """
-    head = F.upper(F.substring(F.col(content_col), 1, head_chars))
-    raw_head = F.substring(F.col(content_col), 1, head_chars)
-    spdx = F.nullif(F.regexp_extract(raw_head, SPDX_PATTERN, 1), F.lit(""))
+    # the head substrings materialize in their own projection so the
+    # probe chain consumes ATTRIBUTES — the repo's standing fix for
+    # Catalyst re-evaluating a non-cheap captured expression once per
+    # consumer (SURVEY §11 HOF/CASE materialization sweep)
+    staged = df.withColumn(
+        "__h", F.substring(F.col(content_col), 1, head_chars))
+    staged = staged.withColumn("__hu", F.upper(F.col("__h")))
+    h, hu = F.col("__h"), F.col("__hu")
+    # literal anchor guard: `contains` is a substring scan ~10× cheaper
+    # than the regex engine, and the tag line IS a literal in the regex
+    spdx = F.when(
+        h.contains("SPDX-License-Identifier"),
+        F.nullif(F.regexp_extract(h, SPDX_PATTERN, 1), F.lit("")))
     phrase = F.lit(None).cast("string")
     for probe, lic in reversed(LICENSE_PHRASES):
-        phrase = F.when(head.contains(probe), F.lit(lic)).otherwise(phrase)
-    license_col = F.coalesce(spdx, phrase)
+        phrase = F.when(hu.contains(probe), F.lit(lic)).otherwise(phrase)
+    staged = staged.withColumn("license", F.coalesce(spdx, phrase))
+    license_col = F.col("license")
     up = F.upper(license_col)
     family = F.lit("unknown")
     for probe, fam in reversed(_FAMILY_RULES):
@@ -315,8 +326,9 @@ def scan_licenses(df: DataFrame, content_col: str,
                      F.lit(None).cast("string"))
               .when(license_col.isNull(), F.lit("none"))
               .otherwise(family))
-    return (df.withColumn("license", license_col)
+    return (staged
             .withColumn("license_family", family)
             .withColumn("has_license", F.when(F.col(content_col).isNull(),
                                               F.lit(None).cast("boolean"))
-                        .otherwise(license_col.isNotNull())))
+                        .otherwise(license_col.isNotNull()))
+            .drop("__h", "__hu"))

@@ -1,0 +1,68 @@
+"""sample_validate + partition_completeness tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peri_spark.constraints import partition_completeness, sample_validate
+
+
+def test_sample_validate_estimates_rate(spark):
+    # 1000 rows, every 10th has a NULL required field -> true rate 0.1
+    df = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else f"u{i}") for i in range(1000)],
+        "id long, name string")
+    schema = {"id": ("required", "integer"),
+              "name": ("required", "string")}
+    r = sample_validate(df, schema, "id", 0.5).collect()[0]
+    assert 300 < r.n_sampled < 700            # hash coin ~ uniform
+    assert r.bad_rate == pytest.approx(r.n_bad / r.n_sampled)
+    assert 0.0 <= r.ci_low < r.bad_rate < r.ci_high <= 1.0
+    assert r.ci_low < 0.1 < r.ci_high         # true rate inside the CI
+
+
+def test_sample_validate_determinism_and_fraction_guard(spark):
+    df = spark.createDataFrame([(i, "x") for i in range(100)],
+                               "id long, name string")
+    schema = {"name": ("required", "string")}
+    a = sample_validate(df, schema, "id", 0.3).collect()[0]
+    b = sample_validate(df, schema, "id", 0.3).collect()[0]
+    assert a == b                              # same coin, same slice
+    with pytest.raises(ValueError, match="fraction"):
+        sample_validate(df, schema, "id", 0.0)
+
+
+def test_sample_validate_empty_sample_is_null(spark):
+    df = spark.createDataFrame([(None, "x")], "id long, name string")
+    schema = {"name": ("required", "string")}
+    r = sample_validate(df, schema, "id", 0.5).collect()[0]
+    # NULL keys never sample; no evidence -> NULL rate, not 0.0
+    assert r.n_sampled == 0 and r.bad_rate is None and r.ci_low is None
+
+
+def test_partition_completeness_interior_gap(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-01",), ("2024-01-02",),
+         ("2024-01-05",), (None,)], "d string")
+    out = {str(r.partition): r for r in
+           partition_completeness(df, "d").collect()}
+    assert out["2024-01-01"].n_rows == 2 and out["2024-01-01"].present
+    assert out["2024-01-03"].n_rows == 0 and not out["2024-01-03"].present
+    assert out["2024-01-04"].n_rows == 0
+    assert out["2024-01-05"].present
+    assert out["None"].n_rows == 1            # NULL dates cannot hide
+    assert len(out) == 6                      # 5-day spine + NULL row
+
+
+def test_partition_completeness_pinned_range(spark):
+    df = spark.createDataFrame([("2024-01-02",)], "d string")
+    out = {str(r.partition): r.present for r in partition_completeness(
+        df, "d", start="2024-01-01", end="2024-01-04").collect()}
+    assert out == {"2024-01-01": False, "2024-01-02": True,
+                   "2024-01-03": False, "2024-01-04": False}
+
+
+def test_partition_completeness_spine_cap(spark):
+    df = spark.createDataFrame([("2024-01-01",), ("9999-01-01",)],
+                               "d string")
+    with pytest.raises(Exception, match="max_buckets"):
+        partition_completeness(df, "d", max_buckets=1000).collect()
