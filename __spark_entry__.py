@@ -1328,6 +1328,30 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Definition-line planting for extract_symbols: def/async def/class
+# lines with md5-derived names, keyed on length(content) %% 8. Bucket 0
+# plants a DUPLICATE name across def and class (dedup probe). Same
+# IDENTICAL-SQL discipline as _SECRET_STAGE_SQL.
+_SYMBOL_STAGE_SQL = """
+SELECT repo, path, lang,
+  CASE WHEN length(content) % 8 = 0
+         THEN 'def s' || substr(md5(path), 1, 3) || '(x):' || chr(10)
+              || 'class s' || substr(md5(path), 1, 3) || ':' || chr(10)
+              || content
+       WHEN length(content) % 8 = 1
+         THEN 'async def a' || substr(md5(path), 1, 2) || '():'
+              || chr(10) || content
+       WHEN length(content) % 8 = 2
+         THEN chr(9) || 'def indented(self):' || chr(10) || content
+       WHEN length(content) % 8 = 3
+         THEN 'class C' || substr(md5(repo), 1, 2) || ':' || chr(10)
+              || content
+       ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
+
 # Import-line planting for extract_imports/module_document_frequency:
 # documents text has no import statements, so deterministic `import` /
 # `from .. import` lines (modules keyed off md5(path)) are prepended at
@@ -1726,6 +1750,22 @@ def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_document_frequency(staged, "content", repo_col="repo")
 
 
+def q_symbols_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang definition census over code_files with planted def /
+    async def / class lines (one bucket plants a duplicate name across
+    labels to exercise the distinct-symbol dedup). extract_symbols is
+    zero-shuffle; only per-lang sums aggregate."""
+    from peri_spark.functions import extract_symbols
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_SYMBOL_STAGE_SQL.format(cf="code_files"))
+    return (extract_symbols(staged, "content")
+            .groupBy("lang")
+            .agg(F.sum("n_function").alias("functions"),
+                 F.sum("n_async_function").alias("async_functions"),
+                 F.sum("n_class").alias("classes"),
+                 F.sum("n_symbols_distinct").alias("distinct_symbols")))
+
+
 def q_licenses_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License census over code_files with deterministically planted
     SPDX tags and header phrases: per (license, family), file count.
@@ -1832,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_shape_code_files": q_code_shape_code_files,
         "import_df_code_files": q_import_df_code_files,
         "licenses_code_files": q_licenses_code_files,
+        "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
         "metric_anomalies_events": q_metric_anomalies_events,
         "sample_validate_events": q_sample_validate_events,
@@ -3449,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
+        "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
     WITH pairs AS (
       SELECT 'lang' AS "column", lang AS value
@@ -3636,6 +3678,33 @@ def _imports_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
     FROM edges GROUP BY module, root_module
+    """
+
+
+def _symbols_oracle_sql() -> str:
+    """DuckDB reproduction of q_symbols_code_files: identical plant,
+    the same SYMBOL_PATTERNS via len(regexp_extract_all(·, 1)) and a
+    list_distinct over the concatenated name lists."""
+    from peri_spark.functions.codescan import SYMBOL_PATTERNS
+    staged = _SYMBOL_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    lits = {k: p.replace("'", "''") for k, p in SYMBOL_PATTERNS.items()}
+    arrs = [f"regexp_extract_all(content, '{p}', 1)"
+            for p in lits.values()]
+    merged = " || ".join(arrs)
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(content, '{p}', 1)) AS n_{k}"
+        for k, p in lits.items())
+    return f"""
+    WITH staged AS ({staged}),
+    e AS (SELECT lang,
+           {counts},
+           len(list_distinct({merged})) AS n_distinct
+          FROM staged)
+    SELECT lang, CAST(sum(n_function) AS BIGINT) AS functions,
+           CAST(sum(n_async_function) AS BIGINT) AS async_functions,
+           CAST(sum(n_class) AS BIGINT) AS classes,
+           CAST(sum(n_distinct) AS BIGINT) AS distinct_symbols
+    FROM e GROUP BY lang
     """
 
 

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "code_shape_stats", "IMPORT_PATTERNS", "extract_imports",
            "import_edges", "module_document_frequency",
-           "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses"]
+           "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses",
+           "SYMBOL_PATTERNS", "extract_symbols"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -332,3 +333,41 @@ def scan_licenses(df: DataFrame, content_col: str,
                                               F.lit(None).cast("boolean"))
                         .otherwise(license_col.isNotNull()))
             .drop("__h", "__hu"))
+
+
+# ------------------------------------------------------------------ symbols
+
+# label -> (portable line-anchored regex, group 1 = symbol name).
+# async defs are their own pattern: the plain def pattern is anchored to
+# the line start (modulo indent) so `async def` never half-matches.
+SYMBOL_PATTERNS: dict[str, str] = {
+    "function": r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "async_function": r"(?m)^[ \t]*async[ \t]+def[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    "class": r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+}
+
+
+def extract_symbols(df: DataFrame, content_col: str,
+                    patterns: dict[str, str] | None = None) -> DataFrame:
+    """Append ``n_<label>`` definition counts and ``n_symbols_distinct``
+    (distinct defined names across all labels) per file — the
+    shape signal that separates real modules from vendored blobs and
+    generated code, and the per-file input to an API-surface census.
+
+    Same contract as :func:`extract_imports`: one codegen'd zero-shuffle
+    projection, engine-portable regexes (line-anchored, no lookaround),
+    NULL content → NULL counts.
+    """
+    patterns = SYMBOL_PATTERNS if patterns is None else patterns
+    c = F.col(content_col)
+    out = df
+    alls = []
+    for label, pat in patterns.items():
+        arr = F.regexp_extract_all(c, F.lit(pat), 1)
+        alls.append(arr)
+        out = out.withColumn(f"n_{label}", F.size(arr).cast("long"))
+    merged = alls[0]
+    for a in alls[1:]:
+        merged = F.concat(merged, a)
+    return out.withColumn("n_symbols_distinct",
+                          F.size(F.array_distinct(merged)).cast("long"))

@@ -200,3 +200,39 @@ def test_scan_licenses_plan_zero_shuffle(spark):
     plan = scan_licenses(_license_corpus(spark), "content") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- symbols
+
+def test_extract_symbols_counts(spark):
+    from peri_spark.functions import extract_symbols
+    rows = [
+        (0, "def f(x):\n    return x\nclass A:\n    def g(self): pass\n"),
+        (1, "async def h():\n  pass\ndef h():\n  pass\n"),
+        (2, "x = 1  # def not_a_def\n'class NotAClass'\n"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {r.id: r for r in extract_symbols(df, "content").collect()}
+    r0 = got[0]
+    assert (r0.n_function, r0.n_async_function, r0.n_class) == (2, 0, 1)
+    assert r0.n_symbols_distinct == 3          # f, g, A
+    r1 = got[1]
+    # `async def h` must count ONLY as async (the def pattern is
+    # line-anchored so it can't half-match), and h dedups across labels
+    assert (r1.n_function, r1.n_async_function) == (1, 1)
+    assert r1.n_symbols_distinct == 1
+    r2 = got[2]
+    assert (r2.n_function, r2.n_class, r2.n_symbols_distinct) == (0, 0, 0)
+    assert got[3].n_function is None and got[3].n_symbols_distinct is None
+    assert got[4].n_symbols_distinct == 0
+
+
+def test_extract_symbols_plan_zero_shuffle(spark):
+    from peri_spark.functions import extract_symbols
+    df = spark.createDataFrame([(0, "def a(): pass")],
+                               "id long, content string")
+    plan = extract_symbols(df, "content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
