@@ -149,3 +149,36 @@ class RunLedger:
         return self.entries().select(
             "run_id", "partition_id", "status", "n_rows", "n_violations",
             "wall_seconds", "completed_at", "metrics_json")
+
+    def metrics_long(self, metric_cols: tuple[str, ...] = (
+            "n_rows", "n_violations", "wall_seconds")) -> DataFrame:
+        """The ledger's metrics unpivoted to the long anomaly-stage
+        shape ``(partition_id, metric, completed_at, value)`` — one row
+        per (partition, metric, run), completed runs only. The stacked
+        explode stays on the already-tiny ledger frame."""
+        e = self.entries().where(F.col("status") == "completed")
+        pairs = F.array(*[
+            F.struct(F.lit(m).alias("metric"),
+                     F.col(m).cast("double").alias("value"))
+            for m in metric_cols])
+        return (e.select("partition_id", "completed_at",
+                         F.explode(pairs).alias("p"))
+                .select("partition_id", F.col("p.metric").alias("metric"),
+                        "completed_at", "p.value"))
+
+    def anomalies(self, method: str = "zscore", threshold: float = 3.0,
+                  min_history: int = 3,
+                  metric_cols: tuple[str, ...] = (
+                      "n_rows", "n_violations")) -> DataFrame:
+        """Anomaly verdicts over this ledger's own metric history:
+        each (partition, metric) series' latest completed run vs its
+        prior runs (:func:`peri_spark.constraints.metric_anomalies`).
+        The nightly tripwire the north rule's metrics table exists
+        for — a partition whose row count collapses or violation count
+        spikes flags here even though every row-level check passed."""
+        from .constraints import metric_anomalies
+        return metric_anomalies(
+            self.metrics_long(metric_cols),
+            keys=["partition_id", "metric"],
+            order_col="completed_at", value_col="value",
+            method=method, threshold=threshold, min_history=min_history)

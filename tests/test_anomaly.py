@@ -64,3 +64,20 @@ def test_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_runledger_anomalies_end_to_end(spark, tmp_path):
+    """Three healthy runs then a collapsed-row-count run: the ledger's
+    own anomaly view must flag n_rows for the bad partition only."""
+    from peri_spark.runledger import RunLedger
+    path = str(tmp_path / "ledger")
+    for day, rows_p0 in enumerate([1000, 1010, 990, 100]):
+        led = RunLedger(spark, path, schema_fp="fp", input_snapshot="s")
+        led.record("p0", "completed", rows_p0, rows_p0 // 100, 1.0)
+        led.record("p1", "completed", 500, 5, 1.0)
+    out = RunLedger(spark, path).anomalies(threshold=2.0, min_history=2)
+    got = {(r.partition_id, r.metric): r for r in out.collect()}
+    assert got[("p0", "n_rows")].is_anomaly is True
+    assert got[("p0", "n_rows")].latest_value == 100.0
+    assert got[("p1", "n_rows")].is_anomaly is False
+    assert got[("p1", "n_violations")].is_anomaly is False
