@@ -3659,6 +3659,14 @@ def _secrets_oracle_sql() -> str:
     """
 
 
+# DuckDB mirror of codescan._normalize_lines: Java's (?m)^ matches
+# after \r/U+0085/U+2028/U+2029 where RE2's matches only after \n, so
+# both engines normalize exotic terminators to \n before any
+# line-anchored extraction ('g' — DuckDB replaces first-only without it)
+_NORM_LINES_SQL = ("regexp_replace(content, '[' || chr(13) || chr(133)"
+                   " || chr(8232) || chr(8233) || ']', chr(10), 'g')")
+
+
 def _imports_oracle_sql() -> str:
     """DuckDB reproduction of q_import_df_code_files: identical
     _IMPORT_STAGE_SQL plant, then the same (?m)-anchored IMPORT_PATTERNS
@@ -3667,12 +3675,14 @@ def _imports_oracle_sql() -> str:
     list_distinct, unnest to edges, group to the census."""
     from peri_spark.functions.codescan import IMPORT_PATTERNS
     staged = _IMPORT_STAGE_SQL.format(cf=f"{_CF} AS code_files")
-    parts = [f"regexp_extract_all(content, '{p.replace(chr(39), chr(39)*2)}', 1)"
+    norm = _NORM_LINES_SQL
+    parts = [f"regexp_extract_all(__norm, '{p.replace(chr(39), chr(39)*2)}', 1)"
              for p in IMPORT_PATTERNS.values()]
     merged = " || ".join(parts)
     return f"""
     WITH staged AS ({staged}),
-    ex AS (SELECT repo, list_distinct({merged}) AS mods FROM staged),
+    nn AS (SELECT repo, {norm} AS __norm FROM staged),
+    ex AS (SELECT repo, list_distinct({merged}) AS mods FROM nn),
     edges AS (SELECT repo, unnest(mods) AS module FROM ex)
     SELECT module, string_split(module, '.')[1] AS root_module,
            CAST(count(*) AS BIGINT) AS n_files,
@@ -3688,18 +3698,19 @@ def _symbols_oracle_sql() -> str:
     from peri_spark.functions.codescan import SYMBOL_PATTERNS
     staged = _SYMBOL_STAGE_SQL.format(cf=f"{_CF} AS code_files")
     lits = {k: p.replace("'", "''") for k, p in SYMBOL_PATTERNS.items()}
-    arrs = [f"regexp_extract_all(content, '{p}', 1)"
+    arrs = [f"regexp_extract_all(__norm, '{p}', 1)"
             for p in lits.values()]
     merged = " || ".join(arrs)
     counts = ",\n           ".join(
-        f"len(regexp_extract_all(content, '{p}', 1)) AS n_{k}"
+        f"len(regexp_extract_all(__norm, '{p}', 1)) AS n_{k}"
         for k, p in lits.items())
     return f"""
     WITH staged AS ({staged}),
+    nn AS (SELECT lang, {_NORM_LINES_SQL} AS __norm FROM staged),
     e AS (SELECT lang,
            {counts},
            len(list_distinct({merged})) AS n_distinct
-          FROM staged)
+          FROM nn)
     SELECT lang, CAST(sum(n_function) AS BIGINT) AS functions,
            CAST(sum(n_async_function) AS BIGINT) AS async_functions,
            CAST(sum(n_class) AS BIGINT) AS classes,

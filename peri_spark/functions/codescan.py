@@ -22,7 +22,7 @@ oracle reproduces every count and flag bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
@@ -176,6 +176,19 @@ IMPORT_PATTERNS: dict[str, str] = {
 }
 
 
+# Java's (?m)^ matches after \r, \u0085, \u2028 and \u2029; RE2's (and
+# therefore DuckDB's) matches only after \n. Every line-anchored
+# extractor normalizes the exotic terminators to \n FIRST — on both
+# engines — so a bare-\r (classic-Mac) or U+2028 file cannot make the
+# engines disagree about where a line starts. (\r\n becomes \n\n,
+# which is transparent to line-start anchoring.)
+_LINE_TERMINATORS = "[\r\u0085\u2028\u2029]"
+
+
+def _normalize_lines(c: Column) -> Column:
+    return F.regexp_replace(c, _LINE_TERMINATORS, "\n")
+
+
 def extract_imports(df: DataFrame, content_col: str,
                     patterns: dict[str, str] | None = None,
                     out_col: str = "imported_modules") -> DataFrame:
@@ -191,13 +204,19 @@ def extract_imports(df: DataFrame, content_col: str,
     rows); a file with no imports yields an empty array.
     """
     patterns = IMPORT_PATTERNS if patterns is None else patterns
-    c = F.col(content_col)
+    # normalized copy materializes in its own projection so each
+    # pattern's regexp_extract_all consumes the ATTRIBUTE (Catalyst
+    # re-evaluates captured expressions once per consumer otherwise)
+    staged = df.withColumn("__norm", _normalize_lines(F.col(content_col)))
+    c = F.col("__norm")
     parts = [F.regexp_extract_all(c, F.lit(p), 1)
              for p in patterns.values()]
     merged = parts[0]
     for p in parts[1:]:
         merged = F.concat(merged, p)
-    return df.withColumn(out_col, F.array_sort(F.array_distinct(merged)))
+    return (staged.withColumn(out_col,
+                              F.array_sort(F.array_distinct(merged)))
+            .drop("__norm"))
 
 
 def import_edges(df: DataFrame, content_col: str,
@@ -359,8 +378,8 @@ def extract_symbols(df: DataFrame, content_col: str,
     NULL content → NULL counts.
     """
     patterns = SYMBOL_PATTERNS if patterns is None else patterns
-    c = F.col(content_col)
-    out = df
+    out = df.withColumn("__norm", _normalize_lines(F.col(content_col)))
+    c = F.col("__norm")
     alls = []
     for label, pat in patterns.items():
         arr = F.regexp_extract_all(c, F.lit(pat), 1)
@@ -369,5 +388,6 @@ def extract_symbols(df: DataFrame, content_col: str,
     merged = alls[0]
     for a in alls[1:]:
         merged = F.concat(merged, a)
-    return out.withColumn("n_symbols_distinct",
-                          F.size(F.array_distinct(merged)).cast("long"))
+    return (out.withColumn("n_symbols_distinct",
+                           F.size(F.array_distinct(merged)).cast("long"))
+            .drop("__norm"))

@@ -236,3 +236,47 @@ def test_extract_symbols_plan_zero_shuffle(spark):
     plan = extract_symbols(df, "content") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_line_anchored_extraction_portable_on_exotic_terminators(spark):
+    """Java's (?m)^ matches after \\r, U+0085, U+2028, U+2029; RE2's
+    (DuckDB's) only after \\n. The normalization must make both engines
+    agree on exactly these inputs."""
+    import duckdb
+    from peri_spark.functions import extract_imports, extract_symbols
+    from peri_spark.functions.codescan import (IMPORT_PATTERNS,
+                                               SYMBOL_PATTERNS)
+    rows = [
+        (0, "x = 1\rimport os"),                     # bare CR (classic Mac)
+        (1, "x = 1\u2028import sys"),                # U+2028 line separator
+        (2, "x = 1\u0085def f(): pass"),             # NEL
+        (3, "a\r\nimport json\r\nclass B: pass"),   # CRLF
+        (4, "x = 1\u2029async def g(): pass"),       # U+2029
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    imp = {r.id: r.imported_modules
+           for r in extract_imports(df, "content").collect()}
+    sym = {r.id: (r.n_function, r.n_async_function, r.n_class)
+           for r in extract_symbols(df, "content").collect()}
+
+    con = duckdb.connect()
+    norm = ("regexp_replace(content, '[' || chr(13) || chr(133) || "
+            "chr(8232) || chr(8233) || ']', chr(10), 'g')")
+    for rid, content in rows:
+        duck_mods = set()
+        for pat in IMPORT_PATTERNS.values():
+            got = con.execute(
+                f"SELECT regexp_extract_all({norm}, ?, 1) "
+                f"FROM (SELECT ? AS content)", [pat, content]).fetchone()[0]
+            duck_mods.update(got)
+        assert sorted(duck_mods) == imp[rid], (rid, content)
+        duck_counts = []
+        for pat in SYMBOL_PATTERNS.values():
+            got = con.execute(
+                f"SELECT len(regexp_extract_all({norm}, ?, 1)) "
+                f"FROM (SELECT ? AS content)", [pat, content]).fetchone()[0]
+            duck_counts.append(got)
+        assert tuple(duck_counts) == sym[rid], (rid, content)
+    # and the divergent inputs actually extract (the anchor works)
+    assert imp[0] == ["os"] and imp[1] == ["sys"] and imp[3] == ["json"]
+    assert sym[2][0] == 1 and sym[4][1] == 1
