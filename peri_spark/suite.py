@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from .engine import VIOLATIONS_COLUMN, ValidationResult, validate
 from .constraints import (benford_drift, chi_square_drift, column_stats,
                           corr_matrix, fd_violations, ks_drift,
+                          partition_completeness,
                           robust_outliers, top_values,
                           value_distribution_stats,
                           partition_verdicts, referential_violations,
@@ -85,6 +86,7 @@ class SuiteResult:
     correlations: DataFrame | None = None
     fd: dict[str, DataFrame] = field(default_factory=dict)
     value_dist: DataFrame | None = None
+    completeness: DataFrame | None = None
     verdicts: DataFrame | None = None
     timings: dict[str, float] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
@@ -141,6 +143,7 @@ class ValidationSuite:
         self._corr: list[str] | None = None
         self._fd: list[tuple] = []
         self._value_dist: list[str] | None = None
+        self._completeness: tuple | None = None
         self._stats = True
         self._max_bad_ratio = 0.0
         # above this many (partition × bucket) groups the fused derivation
@@ -276,6 +279,16 @@ class ValidationSuite:
         self._value_dist = list(columns)
         return self
 
+    def with_completeness(self, date_col: str, start=None, end=None,
+                          max_buckets: int = 100_000):
+        """Partition-completeness stage over a date column
+        (:func:`peri_spark.constraints.partition_completeness`): the
+        dense calendar spine exposes days with zero rows — the failure
+        mode every row-level check is blind to. Result lands in
+        ``result.completeness``; counter ``n_missing_partitions``."""
+        self._completeness = (date_col, start, end, max_buckets)
+        return self
+
     def _numstats_thunks(self, df: DataFrame, out: "SuiteResult"):
         """(name, action) per configured numeric-distribution stage.
         Separate pruned scans by design: percentile state and the corr
@@ -315,6 +328,15 @@ class ValidationSuite:
                     df, self._value_dist)
                 counters["n_value_dist_cols"] = out.value_dist.count()
             thunks.append(("value_dist", vd))
+        if self._completeness:
+            dc, st, en, mb = self._completeness
+
+            def cp():
+                out.completeness = partition_completeness(
+                    df, dc, start=st, end=en, max_buckets=mb)
+                counters["n_missing_partitions"] = (
+                    out.completeness.where(~F.col("present")).count())
+            thunks.append(("completeness", cp))
         return thunks
 
     def run(self, df: DataFrame, eager: bool = True, persist: bool = False,
@@ -1018,6 +1040,15 @@ class ValidationSuite:
             if eager:
                 counters["n_value_dist_cols"] = out.value_dist.count()
             timings["value_dist"] = time.perf_counter() - t
+        if self._completeness:
+            dc, st, en, mb = self._completeness
+            t = time.perf_counter()
+            out.completeness = partition_completeness(
+                df, dc, start=st, end=en, max_buckets=mb)
+            if eager:
+                counters["n_missing_partitions"] = (
+                    out.completeness.where(~F.col("present")).count())
+            timings["completeness"] = time.perf_counter() - t
 
         return out
 

@@ -66,3 +66,19 @@ def test_partition_completeness_spine_cap(spark):
                                "d string")
     with pytest.raises(Exception, match="max_buckets"):
         partition_completeness(df, "d", max_buckets=1000).collect()
+
+
+def test_suite_with_completeness_all_paths(spark):
+    from peri_spark.suite import ValidationSuite
+    df = spark.createDataFrame(
+        [(i, ["2024-01-01", "2024-01-02", "2024-01-04"][i % 3])
+         for i in range(9)], "id int, d string")
+    schema = {"id": ("required", "integer"), "d": ("required", "string")}
+    for runner in ("run", "run_sequential"):
+        suite = ValidationSuite(schema).with_completeness("d")
+        res = (suite.run(df) if runner == "run"
+               else suite.run(df, concurrent=False))
+        assert res.counters["n_missing_partitions"] == 1   # Jan 3
+        missing = [str(r.partition) for r in
+                   res.completeness.where("NOT present").collect()]
+        assert missing == ["2024-01-03"]
