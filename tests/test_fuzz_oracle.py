@@ -279,3 +279,70 @@ def test_normalize_text_matches_duckdb(spark, duck, vals):
                   pd.DataFrame({"row_id": range(len(vals)), "t": vals}))
     want = dict(duck.execute(_NORM_ORACLE).fetchall())
     assert got == want, f"vals={vals!r}"
+
+
+# --------------------------------------------------------------- licenses
+
+# fragments compose adversarial license headers: real SPDX tags, broken
+# tags, phrase snippets in scrambled case, expression operators, exotic
+# terminators, and filler — scan_licenses and the SQL mirror must agree
+# on license AND family for every composition.
+_lic_frag = st.sampled_from([
+    "SPDX-License-Identifier: MIT", "SPDX-License-Identifier:\tGPL-3.0",
+    "SPDX-License-Identifier: Apache-2.0 OR GPL-2.0-only",
+    "SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception",
+    "SPDX-License-Identifier:", "SPDX-License-Identifier: ",
+    "spdx-license-identifier: MIT",          # tag is case-sensitive
+    "Mozilla Public License", "mozilla public license",
+    "Apache License", "PERMISSION IS HEREBY GRANTED, FREE OF CHARGE",
+    "GNU LESSER General Public License", "GNU General Public License",
+    "gnu affero general public license",
+    "Redistribution and use in source and binary forms",
+    "This is free and unencumbered software",
+    "x = 1", "\n", "\r", "\u2028", " ", "\t", "// ", "# ", "*",
+    "OR", "AND", "WITH", "MIT", "BSD-3-Clause", "WTFPL",
+])
+_lic_docs = st.lists(_lic_frag, min_size=0, max_size=10).map(" ".join)
+
+
+def _lic_mirror_sql():
+    from peri_spark.functions.codescan import (LICENSE_PHRASES,
+                                               SPDX_PATTERN,
+                                               _FAMILY_RULES)
+    spdx_lit = SPDX_PATTERN.replace("'", "''")
+    phrase_whens = " ".join(
+        f"WHEN contains(head, '{p}') THEN '{l}'"
+        for p, l in LICENSE_PHRASES)
+    fam_whens = " ".join(
+        f"WHEN contains(upper(license), '{p}') THEN '{f}'"
+        for p, f in _FAMILY_RULES)
+    return f"""
+    WITH h AS (SELECT row_id,
+                 upper(substr(t, 1, 4096)) AS head,
+                 nullif(regexp_extract(substr(t, 1, 4096),
+                                       '{spdx_lit}', 1), '') AS spdx
+               FROM lic_t),
+    lic AS (SELECT row_id, coalesce(spdx, CASE {phrase_whens}
+                                    ELSE NULL END) AS license FROM h)
+    SELECT row_id, license,
+           CASE WHEN license IS NULL THEN 'none' {fam_whens}
+                ELSE 'unknown' END AS fam
+    FROM lic ORDER BY row_id
+    """
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_lic_docs, min_size=1, max_size=8))
+def test_scan_licenses_matches_duckdb(spark, duck, vals):
+    from peri_spark.functions import scan_licenses
+    df = spark.createDataFrame(list(enumerate(vals)),
+                               "row_id long, t string")
+    got = {r["row_id"]: (r["license"], r["license_family"])
+           for r in scan_licenses(df, "t").collect()}
+    duck.register("lic_t",
+                  pd.DataFrame({"row_id": range(len(vals)), "t": vals}))
+    want = {rid: (lic, fam) for rid, lic, fam in
+            duck.execute(_lic_mirror_sql()).fetchall()}
+    assert got == want, f"vals={vals!r}"
