@@ -1489,6 +1489,22 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(left, right, ["o_orderkey"])
 
 
+def q_diff_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of orders vs the perturbed copy: only
+    the disagreeing keys survive, with status + the disagreeing column
+    list (comma-joined — DuckDB's array_to_string([]) is NULL where
+    Spark's array_join gives '', so strings keep the hash portable)."""
+    from peri_spark.constraints import diff_rows
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    right = spark.sql(_RECON_STAGE_SQL)
+    left = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return (diff_rows(left, right, ["o_orderkey"])
+            .select("o_orderkey", "status",
+                    F.array_join("diff_columns", ",")
+                    .alias("diff_columns")))
+
+
 def q_zorder_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over (doc_id, n_chars) at 8 bits/dim — the layout
     key write_clustered consumes for multi-dimensional file pruning.
@@ -1874,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "licenses_code_files": q_licenses_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
+        "diff_rows_orders": q_diff_rows_orders,
         "metric_anomalies_events": q_metric_anomalies_events,
         "sample_validate_events": q_sample_validate_events,
         "completeness_events": q_completeness_events,
@@ -3552,6 +3569,28 @@ def oracle_sql() -> dict[str, str]:
                   THEN abs((latest_value - mean) / std) > 2.0
                 ELSE latest_value <> mean END AS is_anomaly
     FROM a
+    """,
+        "diff_rows_orders": f"""
+    WITH r AS ({_RECON_STAGE_SQL}),
+    l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    j AS (SELECT l.o_orderkey lk, r.o_orderkey rk,
+                 l.o_orderstatus ls, r.o_orderstatus rs,
+                 l.o_totalprice lp, r.o_totalprice rp
+          FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey),
+    d AS (SELECT coalesce(lk, rk) AS o_orderkey,
+            CASE WHEN lk IS NOT NULL AND rk IS NULL THEN 'left_only'
+                 WHEN rk IS NOT NULL AND lk IS NULL THEN 'right_only'
+                 ELSE 'different' END AS status,
+            CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN
+              coalesce(array_to_string(list_sort(list_filter([
+                CASE WHEN NOT (ls IS NOT DISTINCT FROM rs)
+                     THEN 'o_orderstatus' END,
+                CASE WHEN NOT (lp IS NOT DISTINCT FROM rp)
+                     THEN 'o_totalprice' END],
+                x -> x IS NOT NULL)), ','), '')
+            ELSE '' END AS diff_columns
+          FROM j)
+    SELECT * FROM d WHERE status <> 'different' OR diff_columns <> ''
     """,
         "table_diff_orders": f"""
     WITH r AS ({_RECON_STAGE_SQL}),

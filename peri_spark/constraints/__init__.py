@@ -12,7 +12,7 @@ from .referential import referential_violations
 from .drift import chi_square_drift, ks_drift, psi_drift, histogram
 from .verdicts import compare_verdicts, partition_verdicts
 from .fidelity import fidelity_violations
-from .reconcile import table_diff
+from .reconcile import diff_rows, table_diff
 from .anomaly import metric_anomalies
 from .sampling import sample_validate
 from .completeness import partition_completeness
@@ -26,6 +26,6 @@ __all__ = [
     "referential_violations", "chi_square_drift", "ks_drift", "psi_drift", "histogram",
     "partition_verdicts", "compare_verdicts", "fidelity_violations",
     "robust_outliers", "benford_drift", "corr_matrix", "fd_violations",
-    "table_diff", "metric_anomalies", "sample_validate",
+    "table_diff", "diff_rows", "metric_anomalies", "sample_validate",
     "partition_completeness",
 ]

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff"]
+__all__ = ["table_diff", "diff_rows"]
 
 
 def table_diff(left: DataFrame, right: DataFrame, keys: list[str],
@@ -97,3 +97,52 @@ def table_diff(left: DataFrame, right: DataFrame, keys: list[str],
                     F.col("__co").alias("n_common"),
                     F.col("s.n_equal").alias("n_equal"),
                     (F.col("__co") - F.col("s.n_equal")).alias("n_diff")))
+
+
+def diff_rows(left: DataFrame, right: DataFrame, keys: list[str],
+              compare_cols: list[str] | None = None) -> DataFrame:
+    """The row-level companion to :func:`table_diff`: every key that is
+    NOT identical across the two tables, with why.
+
+    Returns ``(*keys, status, diff_columns)`` where status is
+    ``left_only`` / ``right_only`` / ``different`` and ``diff_columns``
+    is the sorted list of disagreeing columns (empty for the membership
+    statuses). Equal rows are filtered out map-side right after the
+    join, so the output is sized by the disagreement, not the corpus —
+    the frame a remediation job actually consumes. Same join shape and
+    null-safe column semantics as ``table_diff``.
+    """
+    if compare_cols is None:
+        rcols = set(right.columns)
+        compare_cols = [c for c in left.columns
+                        if c not in keys and c in rcols]
+    if not compare_cols:
+        raise ValueError("diff_rows: no shared non-key columns")
+
+    l = left.select(*keys, *compare_cols,
+                    F.lit(True).alias("__l")).alias("l")
+    r = right.select(*keys, *compare_cols,
+                     F.lit(True).alias("__r")).alias("r")
+    cond = None
+    for k in keys:
+        c: Column = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    j = l.join(r, cond, "full_outer")
+
+    in_l = F.col("l.__l").isNotNull()
+    in_r = F.col("r.__r").isNotNull()
+    diff_cols = F.filter(
+        F.array(*[F.when(~F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")),
+                         F.lit(c)) for c in compare_cols]),
+        lambda x: x.isNotNull())
+    status = (F.when(in_l & ~in_r, F.lit("left_only"))
+              .when(in_r & ~in_l, F.lit("right_only"))
+              .otherwise(F.lit("different")))
+    key_cols = [F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+                for k in keys]
+    return (j.select(*key_cols, status.alias("status"),
+                     F.when(in_l & in_r, F.array_sort(diff_cols))
+                     .otherwise(F.array().cast("array<string>"))
+                     .alias("diff_columns"))
+            .where((F.col("status") != "different")
+                   | (F.size("diff_columns") > 0)))

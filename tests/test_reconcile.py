@@ -62,3 +62,22 @@ def test_table_diff_single_aggregate_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # one join, one global aggregate, no window, no python
     assert "BatchEvalPython" not in plan and "Window" not in plan
+
+
+def test_diff_rows_statuses(spark):
+    from peri_spark.constraints import diff_rows
+    left, right = _frames(spark)
+    got = {r.k: (r.status, r.diff_columns) for r in
+           diff_rows(left, right, ["k"]).where("k IS NOT NULL").collect()}
+    assert got[2] == ("different", ["s"])
+    assert got[4] == ("left_only", [])
+    assert got[5] == ("right_only", [])
+    assert 1 not in got and 3 not in got      # equal rows filtered out
+
+
+def test_diff_rows_multi_column_disagreement(spark):
+    from peri_spark.constraints import diff_rows
+    l = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    r = spark.createDataFrame([(1, "b", 2.0)], "k int, s string, v double")
+    row = diff_rows(l, r, ["k"]).collect()[0]
+    assert row.status == "different" and row.diff_columns == ["s", "v"]
