@@ -3549,7 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_anomalies_events": """
     WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,
                          CAST(count(*) AS DOUBLE) AS value
-                  FROM events GROUP BY 1, 2),
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                       ORDER BY day DESC, value DESC) AS rn FROM hist),
     a AS (SELECT event_type,

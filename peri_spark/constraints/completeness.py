@@ -49,8 +49,12 @@ def partition_completeness(df: DataFrame, date_col: str,
     bounds = counts.where(F.col("partition").isNotNull()).agg(
         lo.alias("lo"), hi.alias("hi"))
     span = F.datediff(F.col("hi"), F.col("lo")) + 1
+    # a NULL bound (pinned start but no data) or an inverted range
+    # (pinned start after all observed data) means an empty expected
+    # window — report nothing rather than crash on a NULL/negative span
     spine = (bounds
-             .where(F.col("lo").isNotNull())
+             .where(F.col("lo").isNotNull() & F.col("hi").isNotNull()
+                    & (F.col("lo") <= F.col("hi")))
              .select(F.when(span <= max_buckets, F.col("lo"))
                      .otherwise(F.raise_error(F.format_string(
                          "partition_completeness: %s-day spine exceeds "

@@ -162,9 +162,15 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     assert pairs, "corr_matrix needs at least two columns"
     aggs = []
     for i, (a, b) in enumerate(pairs):
+        # pairwise-complete semantics (= F.corr / ANSI corr): each
+        # stddev conditions on the OTHER column being non-null, else a
+        # pair with asymmetric nulls mixes row populations and reports
+        # a wrong statistic
+        av = F.when(F.col(b).isNotNull(), F.col(a))
+        bv = F.when(F.col(a).isNotNull(), F.col(b))
         aggs.append(F.try_divide(
             F.covar_samp(a, b),
-            F.stddev_samp(a) * F.stddev_samp(b)).alias(f"__c_{i}"))
+            F.stddev_samp(av) * F.stddev_samp(bv)).alias(f"__c_{i}"))
     agg = df.agg(*aggs)
     rows = [F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
                      F.col(f"__c_{i}").alias("corr"))

@@ -72,15 +72,17 @@ def table_diff(left: DataFrame, right: DataFrame, keys: list[str],
     in_l = F.col("l.__l").isNotNull()
     in_r = F.col("r.__r").isNotNull()
     both = in_l & in_r
+    # count() over the filtered condition, not sum() — sum over an
+    # empty join is NULL, and a reconciliation of two empty partitions
+    # must report zeros, not an indeterminate verdict
     aggs = [
-        F.sum(F.when(in_l & ~in_r, 1).otherwise(0)).alias("__lo"),
-        F.sum(F.when(in_r & ~in_l, 1).otherwise(0)).alias("__ro"),
-        F.sum(F.when(both, 1).otherwise(0)).alias("__co"),
+        F.count(F.when(in_l & ~in_r, 1)).alias("__lo"),
+        F.count(F.when(in_r & ~in_l, 1)).alias("__ro"),
+        F.count(F.when(both, 1)).alias("__co"),
     ]
     for c in compare_cols:
         eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
-        aggs.append(F.sum(F.when(both & eq, 1).otherwise(0))
-                    .alias(f"__eq_{c}"))
+        aggs.append(F.count(F.when(both & eq, 1)).alias(f"__eq_{c}"))
     wide = j.agg(*aggs)
 
     structs = [

@@ -43,15 +43,18 @@ def sample_validate(df: DataFrame, schema: dict, key_col: str,
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    from ..functions.curation import _COIN_M, _coin
-    from ..engine import validate
+    from ..functions.curation import _coin, _threshold
+    from ..engine import VIOLATIONS_COLUMN, validate
 
     coin = _coin(F.col(key_col), seed)
-    sampled = df.where(coin < int(fraction * _COIN_M))
+    # _threshold (round, not int-truncate) keeps the boundary coin value
+    # identical to hash_split/stratified_sample and the SQL mirror
+    sampled = df.where(coin < _threshold(fraction))
     res = validate(sampled, schema, mode="permissive")
     agg = res.annotated.agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.sum((F.size("_violations") > 0).cast("long")).alias("n_bad"))
+        F.sum((F.size(VIOLATIONS_COLUMN) > 0).cast("long"))
+        .alias("n_bad"))
     n = F.col("n_sampled").cast("double")
     bad = F.col("n_bad").cast("double")
     p = bad / n

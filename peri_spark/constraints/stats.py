@@ -184,13 +184,24 @@ def value_distribution_stats(df: DataFrame,
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(c * F.log(c)).alias("__clnc"),
         F.sum(F.when(c == 1, 1).otherwise(0)).alias("__singles"))
-    n = F.col("n_values")
-    return agg.select(
-        "column", "n_values", "n_distinct",
-        (F.log(n) - F.col("__clnc") / n).alias("entropy"),
-        (F.col("n_distinct") / n).alias("distinctness"),
-        (F.col("__singles") / n).alias("uniqueness"),
-        (F.col("__singles") / F.col("n_distinct"))
+    # a fully-NULL column has no (column, value) pairs at all — it must
+    # still get a row (n_values=0, NULL metrics), not silently vanish:
+    # the degenerate column is the most interesting distribution signal
+    spark = df.sparkSession
+    all_cols = spark.createDataFrame([(c,) for c in columns],
+                                     "column string")
+    # agg's OUTPUT is ≤ |columns| rows — broadcast it so the literal
+    # frame join never adds a hash exchange on top of the two real ones
+    full = all_cols.join(F.broadcast(agg), "column", "left")
+    n = F.coalesce(F.col("n_values"), F.lit(0))
+    present = n > 0
+    return full.select(
+        "column", n.alias("n_values"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        F.when(present, F.log(n) - F.col("__clnc") / n).alias("entropy"),
+        F.when(present, F.col("n_distinct") / n).alias("distinctness"),
+        F.when(present, F.col("__singles") / n).alias("uniqueness"),
+        F.when(present, F.col("__singles") / F.col("n_distinct"))
         .alias("unique_value_ratio"))
 
 

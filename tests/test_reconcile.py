@@ -81,3 +81,11 @@ def test_diff_rows_multi_column_disagreement(spark):
     r = spark.createDataFrame([(1, "b", 2.0)], "k int, s string, v double")
     row = diff_rows(l, r, ["k"]).collect()[0]
     assert row.status == "different" and row.diff_columns == ["s", "v"]
+
+
+def test_table_diff_empty_inputs_report_zeros(spark):
+    from peri_spark.constraints import table_diff
+    empty = spark.createDataFrame([], "k int, v double")
+    got = table_diff(empty, empty, ["k"]).collect()[0]
+    assert (got.n_left_only, got.n_right_only, got.n_common,
+            got.n_equal, got.n_diff) == (0, 0, 0, 0, 0)

@@ -82,3 +82,26 @@ def test_suite_with_completeness_all_paths(spark):
         missing = [str(r.partition) for r in
                    res.completeness.where("NOT present").collect()]
         assert missing == ["2024-01-03"]
+
+
+def test_completeness_pinned_start_empty_or_inverted(spark):
+    """A pinned bound with no data, or a start past all observed data,
+    is an empty expected window — report nothing, never crash."""
+    empty = spark.createDataFrame([], "d string")
+    assert partition_completeness(empty, "d",
+                                  start="2024-01-01").collect() == []
+    df = spark.createDataFrame([("2024-01-05",)], "d string")
+    assert partition_completeness(df, "d",
+                                  start="2024-02-01").collect() == []
+
+
+def test_sample_validate_threshold_matches_hash_split_boundary(spark):
+    """round(), not int-truncate: fraction 0.3 must include coin
+    299999.99999999994-rounded boundary rows exactly like hash_split."""
+    from peri_spark.functions.curation import _COIN_M, _coin, _threshold
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    frac = 0.3
+    n_coin = df.where(_coin(F.col("id"), 42) < _threshold(frac)).count()
+    schema = {"id": ("required", "integer")}
+    r = sample_validate(df, schema, "id", frac).collect()[0]
+    assert r.n_sampled == n_coin

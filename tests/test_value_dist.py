@@ -70,3 +70,14 @@ def test_suite_value_distribution_all_paths(spark):
         rows = {r.column: r for r in res.value_dist.collect()}
         assert rows["cat"].n_distinct == 3
         assert res.counters.get("n_value_dist_cols") == 1
+
+
+def test_all_null_column_still_reported(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "x int, dead string")
+    got = {r.column: r for r in
+           value_distribution_stats(df, ["x", "dead"]).collect()}
+    d = got["dead"]
+    assert (d.n_values, d.n_distinct) == (0, 0)
+    assert d.entropy is None and d.distinctness is None
+    assert got["x"].n_values == 2
