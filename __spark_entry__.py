@@ -1477,6 +1477,21 @@ def q_value_dist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_distribution_stats(docs, ["lang", "source", "n_chars"])
 
 
+def q_metric_anomalies_rate_events(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The rate-of-change anomaly method over the same per-day history:
+    latest day's count vs the immediately previous day (threshold
+    ±40%). Exercises the __prev/rn==2 path the zscore query never
+    touches."""
+    from peri_spark.constraints import metric_anomalies
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = ev.where(F.col("ts").isNotNull()).groupBy(
+        "event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("value"))
+    return metric_anomalies(hist, ["event_type"], "day",
+                            method="rate", threshold=0.4)
+
+
 def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed reconciliation of orders vs a deterministically perturbed
     copy: per-column equal/diff counts plus key-set membership. One
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff_orders": q_table_diff_orders,
         "diff_rows_orders": q_diff_rows_orders,
         "metric_anomalies_events": q_metric_anomalies_events,
+        "metric_anomalies_rate_events": q_metric_anomalies_rate_events,
         "sample_validate_events": q_sample_validate_events,
         "completeness_events": q_completeness_events,
         "value_dist_documents": q_value_dist_documents,
@@ -3529,6 +3545,29 @@ def oracle_sql() -> dict[str, str]:
            n_distinct / CAST(n_values AS DOUBLE) AS distinctness,
            singles / CAST(n_values AS DOUBLE) AS uniqueness,
            singles / CAST(n_distinct AS DOUBLE) AS unique_value_ratio
+    FROM a
+    """,
+        "metric_anomalies_rate_events": """
+    WITH hist AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         CAST(count(*) AS DOUBLE) AS value
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY day DESC, value DESC) AS rn FROM hist),
+    a AS (SELECT event_type,
+            max(CASE WHEN rn = 1 THEN day END) AS latest_day,
+            max(CASE WHEN rn = 1 THEN value END) AS latest_value,
+            max(CASE WHEN rn = 2 THEN value END) AS prev,
+            CAST(count(CASE WHEN rn > 1 THEN value END) AS BIGINT)
+              AS n_prior
+          FROM r GROUP BY 1)
+    SELECT event_type, latest_day, latest_value, n_prior,
+           prev AS baseline,
+           CASE WHEN prev <> 0
+                THEN (latest_value - prev) / abs(prev) END AS deviation,
+           CASE WHEN n_prior < 3 THEN NULL
+                WHEN prev <> 0
+                  THEN abs((latest_value - prev) / abs(prev)) > 0.4
+                ELSE latest_value <> 0 END AS is_anomaly
     FROM a
     """,
         "sample_validate_events": _sample_validate_oracle_sql(),

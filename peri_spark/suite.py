@@ -40,7 +40,8 @@ from .constraints import (benford_drift, chi_square_drift, column_stats,
                           partition_verdicts, referential_violations,
                           uniqueness_violations)
 
-__all__ = ["ValidationSuite", "SuiteResult", "evaluate_expectations"]
+__all__ = ["ValidationSuite", "SuiteResult", "evaluate_expectations",
+           "suggest_expectations"]
 
 
 class _LazyValidation:
@@ -373,7 +374,16 @@ class ValidationSuite:
             thunks.append(("validate+verdicts", vv))
         else:
             def v():
-                counters["n_bad_rows"] = out.validation.invalid.count()
+                # n_rows + n_bad_rows off ONE aggregate over the
+                # annotated frame (ratio_lte expectations and
+                # suggest_expectations' row-count floor need n_rows on
+                # every run path, not just the partitioned one)
+                agg = out.validation.annotated.agg(
+                    F.count(F.lit(1)),
+                    F.sum((F.size(VIOLATIONS_COLUMN) > 0).cast("long"))
+                ).collect()[0]
+                counters["n_rows"] = agg[0]
+                counters["n_bad_rows"] = agg[1] or 0
             thunks.append(("validate", v))
 
         if self._stats:
@@ -1051,6 +1061,54 @@ class ValidationSuite:
             timings["completeness"] = time.perf_counter() - t
 
         return out
+
+
+# counter-name prefixes that denote "bad things" — suggested gates cap
+# them; everything else is informational (n_rows gets a floor instead)
+_BAD_COUNTER_PREFIXES = (
+    "n_bad_rows", "n_violations", "n_outliers:", "n_benford_drifted:",
+    "n_fd_violations:", "n_missing_partitions", "n_duplicate",
+    "n_ref_violations", "n_drifted")
+
+
+def suggest_expectations(result: SuiteResult, slack: float = 0.5,
+                         min_headroom: int = 10) -> dict:
+    """Derive an ``evaluate_expectations`` rules dict from a healthy
+    baseline run — Deequ's constraint-suggestion idea applied to the
+    operational gate: run the suite once on a known-good batch, freeze
+    the suggested rules, and every later batch is judged against them.
+
+    Per bad-counter (violations, outliers, drift, FD, missing
+    partitions, duplicates): a ceiling of ``observed·(1+slack)``
+    rounded up, with at least ``min_headroom`` of absolute slack so a
+    zero-violation baseline doesn't demand perpetual perfection.
+    ``n_bad_rows`` gates as a ``ratio_lte`` against n_rows (the
+    scale-robust form); ``n_rows`` gets a floor of
+    ``observed·(1-slack)``.
+
+    Guarantee (tested): the suggested rules PASS on the result they
+    were derived from. Pure driver-side arithmetic; no jobs run.
+    """
+    import math
+    c = result.counters
+    rules: dict = {}
+    n_rows = c.get("n_rows")
+    if n_rows:
+        rules["n_rows"] = ("gte", int(math.floor(n_rows * (1 - slack))))
+    for name, v in c.items():
+        if not isinstance(v, (int, float)):
+            continue
+        if not name.startswith(_BAD_COUNTER_PREFIXES):
+            continue
+        if name == "n_bad_rows" and n_rows:
+            ratio = v / n_rows
+            rules[name] = ("ratio_lte",
+                           min(1.0, round(ratio * (1 + slack)
+                                          + min_headroom / n_rows, 6)))
+        else:
+            rules[name] = ("lte",
+                           int(math.ceil(v * (1 + slack))) + min_headroom)
+    return rules
 
 
 def evaluate_expectations(result: SuiteResult, rules: dict) -> dict:

@@ -105,3 +105,28 @@ def test_sample_validate_threshold_matches_hash_split_boundary(spark):
     schema = {"id": ("required", "integer")}
     r = sample_validate(df, schema, "id", frac).collect()[0]
     assert r.n_sampled == n_coin
+
+
+def test_suggest_expectations_self_passes_and_gates(spark):
+    """Suggested rules must pass on their own baseline, and a later
+    degraded batch must fail the gate."""
+    from peri_spark.suite import (ValidationSuite, evaluate_expectations,
+                                  suggest_expectations)
+    from pyspark.sql import functions as SF
+    good = spark.createDataFrame(
+        [(i, "x" if i % 50 else None) for i in range(1000)],
+        "id long, name string")
+    schema = {"id": ("required", "integer"),
+              "name": ("required", "string")}
+    base = ValidationSuite(schema).run(good)
+    rules = suggest_expectations(base)
+    assert evaluate_expectations(base, rules)["passed"]
+    # degraded batch: half the rows, 30% nulls
+    bad = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else "x") for i in range(400)],
+        "id long, name string")
+    res2 = ValidationSuite(schema).run(bad)
+    verdict = evaluate_expectations(res2, rules)
+    assert not verdict["passed"]
+    failed = {ch["counter"] for ch in verdict["checks"] if not ch["ok"]}
+    assert "n_rows" in failed          # row-count collapse caught
