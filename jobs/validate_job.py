@@ -118,6 +118,11 @@ def main() -> int:
                          "recorded so the rerun sees the same table state")
     ap.add_argument("--schema-json", default=None,
                     help="JSON Schema file; defaults to the flagship schema")
+    ap.add_argument("--expectations-json", default=None,
+                    help="evaluate_expectations rules file "
+                         '(e.g. {"n_violations": ["ratio_lte", 0.01]}); '
+                         "a failing gate exits 1 so the orchestrator "
+                         "blocks the batch")
     args = ap.parse_args()
 
     from peri_spark.skew import recommended_conf
@@ -157,9 +162,24 @@ def main() -> int:
                                        if snap is not None else args.input))
     summary = run_pending(spark, df, schema, args.partition_col, args.mode,
                           ledger, args.output, resume=args.resume)
+    rc = 0
+    if args.expectations_json:
+        from peri_spark.suite import SuiteResult, evaluate_expectations
+        rules = {k: tuple(v) for k, v in
+                 json.load(open(args.expectations_json)).items()}
+        gate_counters = {"n_rows": summary["n_rows"],
+                         "n_bad_rows": summary.get("n_violations", 0),
+                         **summary}
+        gate = evaluate_expectations(
+            SuiteResult(validation=None, counters=gate_counters), rules)
+        summary["expectations"] = gate
+        # exit 1 on a failed gate AFTER the ledger recorded the run —
+        # the work is checkpointed either way; only the ship/block
+        # verdict changes
+        rc = 0 if gate["passed"] else 1
     print(json.dumps(summary))
     spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
