@@ -16,6 +16,8 @@ from .reconcile import diff_rows, table_diff
 from .anomaly import metric_anomalies
 from .sampling import sample_validate
 from .completeness import partition_completeness
+from .sketches import (distinct_sketches, merge_distinct_sketches,
+                       merge_quantile_sketches, quantile_sketches)
 from .numstats import (benford_drift, corr_matrix, fd_violations,
                        robust_outliers)
 
@@ -28,4 +30,6 @@ __all__ = [
     "robust_outliers", "benford_drift", "corr_matrix", "fd_violations",
     "table_diff", "diff_rows", "metric_anomalies", "sample_validate",
     "partition_completeness",
+    "distinct_sketches", "merge_distinct_sketches",
+    "quantile_sketches", "merge_quantile_sketches",
 ]

@@ -1,0 +1,114 @@
+"""Mergeable column sketches: incremental distinct counts + quantiles.
+
+The 100 TB move the ledger enables but nothing exploited yet: per-batch
+SKETCHES persist next to the metrics, and corpus-lifetime statistics
+("distinct repos ever", "p99 file size across all runs") come from
+merging kilobyte-sized sketch blobs — never from rescanning history.
+Both sketch families are Apache DataSketches via Spark built-ins
+(``hll_sketch_agg`` / ``hll_union_agg``, ``kll_sketch_agg_double`` /
+``kll_sketch_merge_double``), so merging is associative and
+order-insensitive: fold(batches) ≡ sketch(whole corpus), which is
+exactly the resumability contract the RunLedger records (tested).
+
+No SQL oracle: DuckDB has no DataSketches reader, so this subsystem is
+pytest-verified (estimate-vs-exact tolerance + fold-equals-rebuild),
+like the other pure components. Everything is one aggregate pass per
+call; sketch rows are bytes, not data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["distinct_sketches", "merge_distinct_sketches",
+           "quantile_sketches", "merge_quantile_sketches"]
+
+
+def distinct_sketches(df: DataFrame, columns: list[str],
+                      lg_k: int = 12) -> DataFrame:
+    """ONE row of HLL sketch blobs: per column a binary
+    ``<col>__hll`` plus ``n_rows``. Store it per batch (parquet binary
+    columns / the ledger directory); merge later with
+    :func:`merge_distinct_sketches`. ``lg_k=12`` ≈ 1.6% relative error
+    at 4 KiB per sketch.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.hll_sketch_agg(F.col(c).cast("string"),
+                                     F.lit(lg_k)).alias(f"{c}__hll"))
+    return df.agg(*aggs)
+
+
+def merge_distinct_sketches(history: DataFrame,
+                            columns: list[str]) -> DataFrame:
+    """Union sketch rows (one per batch) into corpus-lifetime distinct
+    estimates: ``(column, n_distinct_est, n_rows_total)``. The merge
+    touches only sketch bytes — cost is independent of how much data
+    the batches contained.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.sum("n_rows").alias("n_rows_total")]
+    for c in columns:
+        aggs.append(F.hll_sketch_estimate(
+            F.hll_union_agg(f"{c}__hll", F.lit(True)))
+            .alias(f"{c}__est"))
+    wide = history.agg(*aggs)
+    structs = [F.struct(F.lit(c).alias("column"),
+                        F.col(f"{c}__est").alias("n_distinct_est"))
+               for c in columns]
+    return (wide.select("n_rows_total",
+                        F.explode(F.array(*structs)).alias("s"))
+            .select(F.col("s.column").alias("column"),
+                    F.col("s.n_distinct_est").alias("n_distinct_est"),
+                    "n_rows_total"))
+
+
+def quantile_sketches(df: DataFrame, columns: list[str],
+                      k: int = 200) -> DataFrame:
+    """ONE row of KLL quantile sketches over DOUBLE-castable columns:
+    per column a binary ``<col>__kll``. ``k=200`` ≈ 1.7% rank error.
+    NULLs are skipped by the aggregate (never poison the sketch).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(k))
+            .alias(f"{c}__kll") for c in columns]
+    return df.agg(*aggs)
+
+
+def merge_quantile_sketches(history: DataFrame, columns: list[str],
+                            ps: list[float] = (0.5, 0.95, 0.99)
+                            ) -> DataFrame:
+    """Merge per-batch KLL rows and read quantiles off the merged
+    sketch: ``(column, p, value)`` — corpus-lifetime percentiles with
+    no rescan. Rank error is the sketch's (~1.7% at k=200), identical
+    to having sketched the concatenated corpus once.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
+    # collect the per-batch sketch blobs — one kilobyte-sized row per
+    # batch, tiny by construction — and fold them with the HOF
+    aggs = [F.collect_list(f"{c}__kll").alias(f"{c}__arr")
+            for c in columns]
+    arrs = history.agg(*aggs)
+    merged = arrs.select(*[
+        F.reduce(F.slice(F.col(f"{c}__arr"), 2,
+                         F.greatest(F.size(f"{c}__arr") - 1, F.lit(0))),
+                 F.element_at(f"{c}__arr", 1),
+                 lambda acc, x: F.kll_sketch_merge_double(acc, x))
+        .alias(f"{c}__kll") for c in columns])
+    structs = []
+    for c in columns:
+        for p in ps:
+            structs.append(F.struct(
+                F.lit(c).alias("column"),
+                F.lit(float(p)).alias("p"),
+                F.kll_sketch_get_quantile_double(
+                    f"{c}__kll", F.lit(float(p))).alias("value")))
+    return (merged.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.column", "s.p", "s.value"))
