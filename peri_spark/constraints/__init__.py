@@ -17,7 +17,8 @@ from .anomaly import metric_anomalies
 from .sampling import sample_validate
 from .completeness import partition_completeness
 from .sketches import (distinct_sketches, merge_distinct_sketches,
-                       merge_quantile_sketches, quantile_sketches)
+                       merge_quantile_sketches, novelty_estimate,
+                       quantile_sketches, theta_sketches)
 from .numstats import (benford_drift, corr_matrix, fd_violations,
                        robust_outliers)
 
@@ -32,4 +33,5 @@ __all__ = [
     "partition_completeness",
     "distinct_sketches", "merge_distinct_sketches",
     "quantile_sketches", "merge_quantile_sketches",
+    "theta_sketches", "novelty_estimate",
 ]

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["distinct_sketches", "merge_distinct_sketches",
-           "quantile_sketches", "merge_quantile_sketches"]
+           "quantile_sketches", "merge_quantile_sketches",
+           "theta_sketches", "novelty_estimate"]
 
 
 def distinct_sketches(df: DataFrame, columns: list[str],
@@ -112,3 +113,49 @@ def merge_quantile_sketches(history: DataFrame, columns: list[str],
                     f"{c}__kll", F.lit(float(p))).alias("value")))
     return (merged.select(F.explode(F.array(*structs)).alias("s"))
             .select("s.column", "s.p", "s.value"))
+
+
+def theta_sketches(df: DataFrame, columns: list[str],
+                   lg_k: int = 12) -> DataFrame:
+    """ONE row of Theta sketch blobs (``<col>__theta``) — like
+    :func:`distinct_sketches` but supporting SET ALGEBRA on merge:
+    theta sketches estimate unions, intersections AND differences,
+    which HLL cannot (no difference operator)."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    aggs = [F.expr(f"theta_sketch_agg(CAST({c} AS STRING), {lg_k})")
+            .alias(f"{c}__theta") for c in columns]
+    return df.agg(*aggs)
+
+
+def novelty_estimate(batch: DataFrame, corpus: DataFrame,
+                     columns: list[str]) -> DataFrame:
+    """How much of an arriving batch is NEW? Per column, from one
+    batch theta-sketch row and one corpus theta-sketch row
+    (:func:`theta_sketches` outputs): ``batch_distinct_est``,
+    ``new_est`` (batch ∖ corpus — keys never seen before) and
+    ``overlap_est`` (batch ∩ corpus — the dedup-able mass).
+
+    The crawl-freshness / dedup-forecast question answered from two
+    kilobyte blobs — no join against the standing corpus, no rescan.
+    Estimates carry the sketches' relative error (~1.6% at lg_k=12).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    b = batch.select(*[F.col(f"{c}__theta").alias(f"b_{c}")
+                       for c in columns])
+    s = corpus.select(*[F.col(f"{c}__theta").alias(f"s_{c}")
+                        for c in columns])
+    j = b.crossJoin(s)      # 1 row × 1 row
+    structs = [F.struct(
+        F.lit(c).alias("column"),
+        F.expr(f"theta_sketch_estimate(b_{c})")
+        .alias("batch_distinct_est"),
+        F.expr(f"theta_sketch_estimate(theta_difference(b_{c}, s_{c}))")
+        .alias("new_est"),
+        F.expr(f"theta_sketch_estimate("
+               f"theta_intersection(b_{c}, s_{c}))")
+        .alias("overlap_est")) for c in columns]
+    return (j.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.column", "s.batch_distinct_est", "s.new_est",
+                    "s.overlap_est"))

@@ -52,3 +52,29 @@ def test_sketches_null_and_arg_handling(spark):
     assert vals[0.0] == 1.0 and vals[1.0] == 2.0   # NULL skipped
     with pytest.raises(ValueError, match="non-empty"):
         distinct_sketches(df, [])
+
+
+def test_novelty_estimate(spark):
+    """Batch vs standing corpus: 2000 keys of which 500 are brand new."""
+    from peri_spark.constraints import novelty_estimate, theta_sketches
+    corpus = spark.range(10000).select(F.col("id").alias("k"))
+    batch = spark.range(8500, 10500).select(F.col("id").alias("k"))
+    nov = novelty_estimate(theta_sketches(batch, ["k"]),
+                           theta_sketches(corpus, ["k"]),
+                           ["k"]).collect()[0]
+    assert abs(nov.batch_distinct_est - 2000) / 2000 < 0.05
+    assert abs(nov.new_est - 500) / 500 < 0.10
+    assert abs(nov.overlap_est - 1500) / 1500 < 0.10
+
+
+def test_novelty_disjoint_and_subset(spark):
+    from peri_spark.constraints import novelty_estimate, theta_sketches
+    corpus = spark.range(1000).select(F.col("id").alias("k"))
+    disjoint = spark.range(5000, 5200).select(F.col("id").alias("k"))
+    nov = novelty_estimate(theta_sketches(disjoint, ["k"]),
+                           theta_sketches(corpus, ["k"]), ["k"]).collect()[0]
+    assert nov.new_est == 200.0 and nov.overlap_est == 0.0
+    subset = spark.range(100).select(F.col("id").alias("k"))
+    nov2 = novelty_estimate(theta_sketches(subset, ["k"]),
+                            theta_sketches(corpus, ["k"]), ["k"]).collect()[0]
+    assert nov2.new_est == 0.0 and nov2.overlap_est == 100.0
