@@ -1111,6 +1111,15 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
         F.count(F.lit(1)).cast("double").alias("value"))
     ma_wall, ma_n = timed(lambda: metric_anomalies(
         hist, ["lang"], "run").count())
+    # sketch build over the full corpus (one aggregate) + a 30-batch
+    # merge (sketch-bytes only — the merge cost is the point)
+    from peri_spark.constraints import (distinct_sketches,
+                                        merge_distinct_sketches)
+    sk_wall, daily = timed(lambda: distinct_sketches(
+        df, ["repo", "path"], by=["lang"]).localCheckpoint(eager=True))
+    mg_wall, mg = timed(lambda: merge_distinct_sketches(
+        daily, ["repo", "path"]).collect())
+    sk_est = {r.column: int(r.n_distinct_est) for r in mg}
     spark.stop()
     sec = {"robust_outliers": (ro_wall, {"outliers": int(ro_n)}),
            "benford": (bf_wall, {"groups": int(bf.groups),
@@ -1119,7 +1128,9 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
            "fd_violations": (fd_wall, {"violating_keys": int(fd_n)}),
            "value_dist": (vd_wall, {"columns": int(vd_n)}),
            "table_diff": (td_wall, {"diff_rows": td_diff}),
-           "metric_anomalies": (ma_wall, {"series": int(ma_n)})}
+           "metric_anomalies": (ma_wall, {"series": int(ma_n)}),
+           "hll_sketch_build": (sk_wall, {"estimates": sk_est}),
+           "hll_sketch_merge": (mg_wall, {"groups_merged": 6})}
     return {"workers": workers, "n_rows": n,
             **{k: {"wall_sec": w, **extra,
                    "rows_per_sec": round(n / w, 1)}

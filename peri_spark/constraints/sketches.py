@@ -27,10 +27,13 @@ __all__ = ["distinct_sketches", "merge_distinct_sketches",
 
 
 def distinct_sketches(df: DataFrame, columns: list[str],
-                      lg_k: int = 12) -> DataFrame:
-    """ONE row of HLL sketch blobs: per column a binary
-    ``<col>__hll`` plus ``n_rows``. Store it per batch (parquet binary
-    columns / the ledger directory); merge later with
+                      lg_k: int = 12,
+                      by: list[str] | None = None) -> DataFrame:
+    """HLL sketch blobs: per column a binary ``<col>__hll`` plus
+    ``n_rows`` — ONE row, or one row per ``by`` group (e.g. per day:
+    the rollup grain later window merges slice on — "distinct users
+    last 7 days" = merge 7 daily rows). Store per batch (parquet binary
+    columns / the ledger directory); merge with
     :func:`merge_distinct_sketches`. ``lg_k=12`` ≈ 1.6% relative error
     at 4 KiB per sketch.
     """
@@ -40,15 +43,18 @@ def distinct_sketches(df: DataFrame, columns: list[str],
     for c in columns:
         aggs.append(F.hll_sketch_agg(F.col(c).cast("string"),
                                      F.lit(lg_k)).alias(f"{c}__hll"))
+    if by:
+        return df.groupBy(*by).agg(*aggs)
     return df.agg(*aggs)
 
 
-def merge_distinct_sketches(history: DataFrame,
-                            columns: list[str]) -> DataFrame:
-    """Union sketch rows (one per batch) into corpus-lifetime distinct
-    estimates: ``(column, n_distinct_est, n_rows_total)``. The merge
-    touches only sketch bytes — cost is independent of how much data
-    the batches contained.
+def merge_distinct_sketches(history: DataFrame, columns: list[str],
+                            by: list[str] | None = None) -> DataFrame:
+    """Union sketch rows (one per batch / grain) into distinct
+    estimates: ``(*by, column, n_distinct_est, n_rows_total)``. Filter
+    the history to a window first for sliding answers ("last 7 daily
+    rows"). The merge touches only sketch bytes — cost is independent
+    of how much data the batches contained.
     """
     if not columns:
         raise ValueError("columns must be non-empty")
@@ -57,13 +63,14 @@ def merge_distinct_sketches(history: DataFrame,
         aggs.append(F.hll_sketch_estimate(
             F.hll_union_agg(f"{c}__hll", F.lit(True)))
             .alias(f"{c}__est"))
-    wide = history.agg(*aggs)
+    wide = history.groupBy(*by).agg(*aggs) if by else history.agg(*aggs)
     structs = [F.struct(F.lit(c).alias("column"),
                         F.col(f"{c}__est").alias("n_distinct_est"))
                for c in columns]
-    return (wide.select("n_rows_total",
+    return (wide.select(*(by or []), "n_rows_total",
                         F.explode(F.array(*structs)).alias("s"))
-            .select(F.col("s.column").alias("column"),
+            .select(*(by or []),
+                    F.col("s.column").alias("column"),
                     F.col("s.n_distinct_est").alias("n_distinct_est"),
                     "n_rows_total"))
 

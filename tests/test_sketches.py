@@ -78,3 +78,18 @@ def test_novelty_disjoint_and_subset(spark):
     nov2 = novelty_estimate(theta_sketches(subset, ["k"]),
                             theta_sketches(corpus, ["k"]), ["k"]).collect()[0]
     assert nov2.new_est == 0.0 and nov2.overlap_est == 100.0
+
+
+def test_distinct_sketches_by_group_window_merge(spark):
+    """Per-day sketch rows; a 2-day window merge answers 'distinct
+    users over days 1-2' without touching day 0."""
+    ev = spark.createDataFrame(
+        [(d, u) for d in range(3) for u in range(d * 50, d * 50 + 100)],
+        "day int, user int")
+    daily = distinct_sketches(ev, ["user"], by=["day"])
+    assert daily.count() == 3
+    window = daily.where("day >= 1")
+    got = merge_distinct_sketches(window, ["user"]).collect()[0]
+    # days 1,2: users 50..149 and 100..199 -> 150 distinct
+    assert abs(got.n_distinct_est - 150) <= 5
+    assert got.n_rows_total == 200
