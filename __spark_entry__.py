@@ -1781,6 +1781,21 @@ def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_document_frequency(staged, "content", repo_col="repo")
 
 
+def q_repo_licenses_code_files(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Repo-level license verdict over the planted corpus (NULL-content
+    rows kept — they count as n_no_content, never raise the verdict).
+    One zero-shuffle scan + one partial-aggregated groupBy(repo)."""
+    from peri_spark.functions import repo_license_rollup
+    _code_files(spark, sf_dir)
+    stage = _LICENSE_STAGE_SQL.replace("WHERE content IS NOT NULL", "")
+    staged = spark.sql(stage.format(cf="code_files"))
+    out = repo_license_rollup(staged, "content")
+    return out.withColumn(
+        "effective_family",
+        F.coalesce("effective_family", F.lit("(no-content)")))
+
+
 def q_symbols_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang definition census over code_files with planted def /
     async def / class lines (one bucket plants a duplicate name across
@@ -1903,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_shape_code_files": q_code_shape_code_files,
         "import_df_code_files": q_import_df_code_files,
         "licenses_code_files": q_licenses_code_files,
+        "repo_licenses_code_files": q_repo_licenses_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
         "diff_rows_orders": q_diff_rows_orders,
@@ -3523,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
         "code_shape_code_files": _code_shape_oracle_sql(),
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
+        "repo_licenses_code_files": _repo_licenses_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
     WITH pairs AS (
@@ -3766,6 +3783,57 @@ def _imports_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
     FROM edges GROUP BY module, root_module
+    """
+
+
+def _repo_licenses_oracle_sql() -> str:
+    """DuckDB reproduction of q_repo_licenses_code_files: the same
+    no-WHERE plant, the per-file family mirror (NULL content -> NULL
+    family), severity = position in the shared _FAMILY_SEVERITY order,
+    effective = family at max severity."""
+    from peri_spark.functions.codescan import (LICENSE_PHRASES,
+                                               SPDX_PATTERN,
+                                               _FAMILY_RULES,
+                                               _FAMILY_SEVERITY)
+    stage = _LICENSE_STAGE_SQL.replace("WHERE content IS NOT NULL", "")
+    staged = stage.format(cf=f"{_CF} AS code_files")
+    spdx_lit = SPDX_PATTERN.replace("'", "''")
+    phrase_whens = "\n        ".join(
+        f"WHEN contains(head, '{p}') THEN '{l}'"
+        for p, l in LICENSE_PHRASES)
+    fam_whens = "\n      ".join(
+        f"WHEN contains(upper(license), '{p}') THEN '{f}'"
+        for p, f in _FAMILY_RULES)
+    sev_whens = " ".join(f"WHEN '{f}' THEN {i + 1}"
+                         for i, f in enumerate(_FAMILY_SEVERITY))
+    fam_counts = ",\n           ".join(
+        f"CAST(count(CASE WHEN f = '{x}' THEN 1 END) AS BIGINT)"
+        f" AS n_{x.replace('-', '_')}" for x in _FAMILY_SEVERITY)
+    eff_whens = " ".join(f"WHEN {i + 1} THEN '{f}'"
+                         for i, f in enumerate(_FAMILY_SEVERITY))
+    return f"""
+    WITH staged AS ({staged}),
+    h AS (SELECT repo, content IS NULL AS nc,
+                 upper(substr(content, 1, 4096)) AS head,
+                 nullif(regexp_extract(substr(content, 1, 4096),
+                                       '{spdx_lit}', 1), '') AS spdx
+          FROM staged),
+    lic AS (SELECT repo, nc, coalesce(spdx, CASE
+        {phrase_whens}
+        ELSE NULL END) AS license FROM h),
+    fam AS (SELECT repo, CASE WHEN nc THEN NULL
+      WHEN license IS NULL THEN 'none'
+      {fam_whens}
+      ELSE 'unknown' END AS f FROM lic),
+    sev AS (SELECT repo, f,
+              CASE f {sev_whens} END AS s FROM fam)
+    SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(CASE WHEN f IS NULL THEN 1 END) AS BIGINT)
+             AS n_no_content,
+           {fam_counts},
+           coalesce(CASE max(s) {eff_whens} END, '(no-content)')
+             AS effective_family
+    FROM sev GROUP BY repo
     """
 
 

@@ -30,7 +30,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
                        import_edges, extract_symbols, module_document_frequency,
-                       scan_licenses, scan_secrets)
+                       repo_license_rollup, scan_licenses, scan_secrets)
 from .multimodal import image_duplicate_pairs, image_phash
 from .probe import probe_media, probe_metadata
 from .eventlog import cohort_retention, funnel
@@ -71,5 +71,5 @@ __all__ = [
     "cohort_retention", "funnel",
     "SECRET_PATTERNS", "scan_secrets", "code_shape_stats",
     "extract_imports", "import_edges", "module_document_frequency",
-    "scan_licenses", "extract_symbols",
+    "scan_licenses", "extract_symbols", "repo_license_rollup",
 ]

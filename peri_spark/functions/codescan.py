@@ -29,7 +29,7 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "code_shape_stats", "IMPORT_PATTERNS", "extract_imports",
            "import_edges", "module_document_frequency",
            "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses",
-           "SYMBOL_PATTERNS", "extract_symbols"]
+           "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -391,3 +391,42 @@ def extract_symbols(df: DataFrame, content_col: str,
     return (out.withColumn("n_symbols_distinct",
                            F.size(F.array_distinct(merged)).cast("long"))
             .drop("__norm"))
+
+
+# most → least restrictive; the rollup's effective verdict is the file
+# maximum, because one copyleft file contaminates the repo for training
+_FAMILY_SEVERITY: list[str] = [
+    "none", "permissive", "unknown", "weak-copyleft", "copyleft"]
+
+
+def repo_license_rollup(df: DataFrame, content_col: str,
+                        repo_col: str = "repo",
+                        head_chars: int = 4096) -> DataFrame:
+    """Per-repo license verdict: family counts plus
+    ``effective_family`` — the MOST RESTRICTIVE family any file in the
+    repo carries (one GPL file makes the whole repo copyleft for
+    curation purposes; 'unknown' outranks 'permissive' because an
+    unidentified license needs review, not silent inclusion).
+
+    ``scan_licenses``'s zero-shuffle projection feeds ONE
+    partial-aggregated groupBy(repo); only (repo, severity, counters)
+    cross the wire. Files with NULL content have a NULL family and are
+    counted separately (``n_no_content``), never raising the verdict.
+    """
+    scanned = scan_licenses(df, content_col, head_chars=head_chars)
+    fam = F.col("license_family")
+    sev = F.array_position(
+        F.array(*[F.lit(x) for x in _FAMILY_SEVERITY]), fam)
+    aggs = [F.count(F.lit(1)).alias("n_files"),
+            F.count(F.when(fam.isNull(), 1)).alias("n_no_content")]
+    for x in _FAMILY_SEVERITY:
+        aggs.append(F.count(F.when(fam == x, 1)).alias(
+            "n_" + x.replace("-", "_")))
+    aggs.append(F.max(sev).alias("__sev"))
+    rolled = scanned.groupBy(F.col(repo_col).alias("repo")).agg(*aggs)
+    eff = F.element_at(
+        F.array(*[F.lit(x) for x in _FAMILY_SEVERITY]),
+        F.col("__sev").cast("int"))
+    return rolled.withColumn(
+        "effective_family",
+        F.when(F.col("__sev").isNotNull(), eff)).drop("__sev")

@@ -280,3 +280,27 @@ def test_line_anchored_extraction_portable_on_exotic_terminators(spark):
     # and the divergent inputs actually extract (the anchor works)
     assert imp[0] == ["os"] and imp[1] == ["sys"] and imp[3] == ["json"]
     assert sym[2][0] == 1 and sym[4][1] == 1
+
+
+def test_repo_license_rollup_most_restrictive_wins(spark):
+    from peri_spark.functions import repo_license_rollup
+    rows = [
+        ("r1", "# SPDX-License-Identifier: MIT\n"),
+        ("r1", "GNU General Public License\n"),          # -> copyleft repo
+        ("r2", "# SPDX-License-Identifier: MIT\n"),
+        ("r2", "plain code\n"),                          # none < permissive
+        ("r3", None),                                    # only null content
+        ("r4", "SPDX-License-Identifier: WTFPL\n"),      # unknown
+        ("r4", "Permission is hereby granted, free of charge\n"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, content string")
+    got = {r.repo: r for r in
+           repo_license_rollup(df, "content").collect()}
+    assert got["r1"].effective_family == "copyleft"
+    assert got["r1"].n_copyleft == 1 and got["r1"].n_permissive == 1
+    assert got["r2"].effective_family == "permissive"
+    assert got["r2"].n_none == 1
+    assert got["r3"].effective_family is None
+    assert got["r3"].n_no_content == 1 and got["r3"].n_files == 1
+    # unknown outranks permissive: needs review, not silent inclusion
+    assert got["r4"].effective_family == "unknown"
