@@ -29,7 +29,8 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
-                       import_edges, extract_symbols, module_document_frequency,
+                       import_edges, extract_imports_by_lang, extract_symbols,
+                       module_document_frequency,
                        repo_license_rollup, scan_licenses, scan_secrets)
 from .multimodal import image_duplicate_pairs, image_phash
 from .probe import probe_media, probe_metadata
@@ -72,4 +73,5 @@ __all__ = [
     "SECRET_PATTERNS", "scan_secrets", "code_shape_stats",
     "extract_imports", "import_edges", "module_document_frequency",
     "scan_licenses", "extract_symbols", "repo_license_rollup",
+    "extract_imports_by_lang",
 ]

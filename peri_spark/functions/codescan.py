@@ -29,7 +29,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "code_shape_stats", "IMPORT_PATTERNS", "extract_imports",
            "import_edges", "module_document_frequency",
            "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses",
-           "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup"]
+           "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup",
+           "IMPORT_PATTERN_SETS", "extract_imports_by_lang"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -430,3 +431,69 @@ def repo_license_rollup(df: DataFrame, content_col: str,
     return rolled.withColumn(
         "effective_family",
         F.when(F.col("__sev").isNotNull(), eff)).drop("__sev")
+
+
+# per-language import-pattern sets (group 1 = module/header/crate).
+# Same portability contract as IMPORT_PATTERNS: line-anchored, no
+# lookaround, ASCII classes — Java regex ≡ RE2 on every construct.
+IMPORT_PATTERN_SETS: dict[str, dict[str, str]] = {
+    "python": IMPORT_PATTERNS,
+    "javascript": {
+        # import x from 'mod' / import 'mod' — capture the quoted module
+        "js_import": r"""(?m)^[ \t]*import[^\n]*?["']([^"'\n]+)["']""",
+        "js_require": r"""require\(["']([^"'\n]+)["']\)""",
+        "js_dyn_import": r"""import\(["']([^"'\n]+)["']\)""",
+    },
+    "java": {
+        "java_import": r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?"
+                       r"([A-Za-z_][A-Za-z0-9_.]*[A-Za-z0-9_*])[ \t]*;",
+    },
+    "go": {
+        # single import "pkg"; block members are bare "pkg" lines
+        "go_import": r"""(?m)^[ \t]*import[ \t]+[A-Za-z_.]*[ \t]*"([^"\n]+)\"""",
+        "go_block": r"""(?m)^[ \t]+(?:[A-Za-z0-9_.]+[ \t]+)?"([^"\n]+)"[ \t]*$""",
+    },
+    "rust": {
+        "rust_use": r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+"
+                    r"([A-Za-z_][A-Za-z0-9_]*(?:::[A-Za-z0-9_*{]+)*)",
+        "rust_extern": r"(?m)^[ \t]*extern[ \t]+crate[ \t]+"
+                       r"([A-Za-z_][A-Za-z0-9_]*)",
+    },
+    "c": {
+        "c_include": r"""(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([^>"\n]+)[>"]""",
+    },
+}
+
+
+def extract_imports_by_lang(df: DataFrame, content_col: str,
+                            lang_col: str,
+                            sets: dict[str, dict[str, str]] | None = None,
+                            out_col: str = "imported_modules") -> DataFrame:
+    """Language-dispatched import extraction: each row's ``lang_col``
+    picks its pattern set from ``IMPORT_PATTERN_SETS`` (unknown
+    languages yield an empty array, NULL content NULL — same contract
+    as :func:`extract_imports`).
+
+    One projection: codegen CASE branches evaluate lazily, so each row
+    pays only its own language's regexes; the normalized copy
+    materializes once like the single-language path.
+    """
+    sets = IMPORT_PATTERN_SETS if sets is None else sets
+    staged = df.withColumn("__norm",
+                           _normalize_lines(F.col(content_col)))
+    c = F.col("__norm")
+
+    def merged_for(patterns: dict[str, str]):
+        parts = [F.regexp_extract_all(c, F.lit(p), 1)
+                 for p in patterns.values()]
+        m = parts[0]
+        for p in parts[1:]:
+            m = F.concat(m, p)
+        return F.array_sort(F.array_distinct(m))
+
+    expr = F.when(c.isNull(), F.lit(None).cast("array<string>"))
+    for lang, patterns in sets.items():
+        expr = expr.when(F.col(lang_col) == lang, merged_for(patterns))
+    expr = expr.otherwise(
+        F.when(c.isNotNull(), F.array().cast("array<string>")))
+    return staged.withColumn(out_col, expr).drop("__norm")

@@ -304,3 +304,44 @@ def test_repo_license_rollup_most_restrictive_wins(spark):
     assert got["r3"].n_no_content == 1 and got["r3"].n_files == 1
     # unknown outranks permissive: needs review, not silent inclusion
     assert got["r4"].effective_family == "unknown"
+
+
+def test_extract_imports_by_lang(spark):
+    from peri_spark.functions import extract_imports_by_lang
+    rows = [
+        (0, "python", "import os\nfrom a.b import c\n"),
+        (1, "javascript",
+         "import React from 'react';\nconst fs = require(\"fs\");\n"
+         "const m = await import('./lazy.js');\n"),
+        (2, "java",
+         "package x;\nimport java.util.List;\n"
+         "import static org.junit.Assert.*;\n"),
+        (3, "go",
+         'import "fmt"\nimport (\n\t"os"\n\tio2 "io"\n)\n'),
+        (4, "rust",
+         "use std::collections::HashMap;\npub use crate::x;\n"
+         "extern crate serde;\n"),
+        (5, "c", '#include <stdio.h>\n#  include "local.h"\n'),
+        (6, "cobol", "COPY BOOK.\n"),          # unknown lang -> []
+        (7, "python", None),                    # NULL content -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, content string")
+    got = {r.id: r.imported_modules for r in
+           extract_imports_by_lang(df, "content", "lang").collect()}
+    assert got[0] == ["a.b", "os"]
+    assert got[1] == ["./lazy.js", "fs", "react"]
+    assert got[2] == ["java.util.List", "org.junit.Assert.*"]
+    assert got[3] == ["fmt", "io", "os"]
+    assert got[4] == ["crate::x", "serde", "std::collections::HashMap"]
+    assert got[5] == ["local.h", "stdio.h"]
+    assert got[6] == []
+    assert got[7] is None
+
+
+def test_extract_imports_by_lang_plan_zero_shuffle(spark):
+    from peri_spark.functions import extract_imports_by_lang
+    df = spark.createDataFrame([(0, "python", "import os")],
+                               "id long, lang string, content string")
+    plan = extract_imports_by_lang(df, "content", "lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
