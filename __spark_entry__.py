@@ -1372,6 +1372,21 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# High/low-entropy token planting for high_entropy_tokens: mixed-case
+# 64-char md5-derived tokens (alphabet ~22 symbols, H≈4.2-4.4) vs a
+# 24-char constant run (H=0) vs none. IDENTICAL SQL in both engines.
+_ENTROPY_STAGE_SQL = """
+SELECT repo, path,
+  CASE WHEN length(content) % 5 = 0
+         THEN content || ' token=' || md5(path) || upper(md5(repo))
+       WHEN length(content) % 5 = 1
+         THEN content || ' pad=' || repeat('A', 24)
+       ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
+
 # License-header planting for scan_licenses: SPDX tags, phrase headers
 # and one unknown-family tag keyed on length(content) % 9. Same
 # IDENTICAL-SQL discipline as _SECRET_STAGE_SQL.
@@ -1781,6 +1796,20 @@ def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_document_frequency(staged, "content", repo_col="repo")
 
 
+def q_entropy_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic high-entropy secret signal over code_files with planted
+    random-ish and constant tokens (threshold 4.0 bits/char).
+    max_entropy coalesces to -1.0 for candidate-free rows so the frame
+    stays totally ordered for the hash compare."""
+    from peri_spark.functions import high_entropy_tokens
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_ENTROPY_STAGE_SQL.format(cf="code_files"))
+    out = high_entropy_tokens(staged, "content", "repo", "path",
+                              threshold=4.0)
+    return out.withColumn("max_entropy",
+                          F.coalesce("max_entropy", F.lit(-1.0)))
+
+
 def q_repo_licenses_code_files(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Repo-level license verdict over the planted corpus (NULL-content
@@ -1919,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_df_code_files": q_import_df_code_files,
         "licenses_code_files": q_licenses_code_files,
         "repo_licenses_code_files": q_repo_licenses_code_files,
+        "entropy_code_files": q_entropy_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
         "diff_rows_orders": q_diff_rows_orders,
@@ -3540,6 +3570,7 @@ def oracle_sql() -> dict[str, str]:
         "import_df_code_files": _imports_oracle_sql(),
         "licenses_code_files": _licenses_oracle_sql(),
         "repo_licenses_code_files": _repo_licenses_oracle_sql(),
+        "entropy_code_files": _entropy_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
     WITH pairs AS (
@@ -3783,6 +3814,34 @@ def _imports_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
     FROM edges GROUP BY module, root_module
+    """
+
+
+def _entropy_oracle_sql() -> str:
+    """DuckDB reproduction of q_entropy_code_files: identical plant and
+    candidate regex, per-candidate char entropy via nested list lambdas
+    (log2(n) − Σ c·log2(c)/n — same formula; summation order differs
+    only at the ~1e-15 level, absorbed by the 4dp round and by verdicts
+    never landing within an ulp of the threshold)."""
+    from peri_spark.functions.codescan import ENTROPY_CANDIDATE_PATTERN
+    staged = _ENTROPY_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    pat = ENTROPY_CANDIDATE_PATTERN.replace("'", "''")
+    chars = "list_filter(string_split(cand, ''), ch -> ch <> '')"
+    cnt = f"len(list_filter({chars}, c2 -> c2 = d))"
+    h = (f"log2(len({chars})) - list_sum(list_transform("
+         f"list_distinct({chars}), d -> {cnt} * log2({cnt})))"
+         f" / len({chars})")
+    return f"""
+    WITH staged AS ({staged}),
+    e AS (SELECT repo, path,
+            list_transform(regexp_extract_all(content, '{pat}'),
+                           cand -> {h}) AS hs
+          FROM staged)
+    SELECT repo, path,
+           CAST(len(hs) AS BIGINT) AS n_candidates,
+           coalesce(round(list_max(hs), 4), -1.0) AS max_entropy,
+           coalesce(list_max(hs) >= 4.0, false) AS has_high_entropy
+    FROM e
     """
 
 

@@ -30,7 +30,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "import_edges", "module_document_frequency",
            "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses",
            "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup",
-           "IMPORT_PATTERN_SETS", "extract_imports_by_lang"]
+           "IMPORT_PATTERN_SETS", "extract_imports_by_lang",
+           "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -497,3 +498,64 @@ def extract_imports_by_lang(df: DataFrame, content_col: str,
     expr = expr.otherwise(
         F.when(c.isNotNull(), F.array().cast("array<string>")))
     return staged.withColumn(out_col, expr).drop("__norm")
+
+
+# candidate shape for generic secret detection: long unbroken runs of
+# base64/hex-ish characters. The pattern SELECTS candidates cheaply;
+# the entropy test then separates random material (keys, tokens) from
+# structured runs (identifiers, repeated padding).
+ENTROPY_CANDIDATE_PATTERN = r"[A-Za-z0-9+/=_-]{20,}"
+
+
+def high_entropy_tokens(df: DataFrame, text_col: str, *id_cols: str,
+                        threshold: float = 4.3,
+                        pattern: str = ENTROPY_CANDIDATE_PATTERN
+                        ) -> DataFrame:
+    """Generic (pattern-free) secret signal: per row, the maximum
+    character-level Shannon entropy (bits) over candidate tokens —
+    ``(*id_cols, n_candidates, max_entropy, has_high_entropy)``.
+    Catches credential formats :data:`SECRET_PATTERNS` has no shape
+    for: random base64 runs ≥ ``threshold`` bits/char (≈4.3 flags
+    random hex and anything denser; English-ish identifiers sit ~3).
+
+    Fully relational — and therefore exactly SQL-oracle-able: the
+    candidate regex runs in the scan projection; only candidate tokens
+    explode (suspicious runs are rare, so the exploded frames are
+    candidate-sized, never corpus-sized); two partial-aggregated
+    groupBys compute per-token char entropy ``log2(n) − Σc·log2(c)/n``
+    and the per-row max; a left join restores candidate-free rows
+    (``max_entropy`` NULL, flag false). NULL text → NULL columns.
+    """
+    if not id_cols:
+        raise ValueError("high_entropy_tokens needs id column(s)")
+    base = df.select(*id_cols, F.col(text_col).alias("__t"))
+    cands = base.select(
+        *id_cols,
+        F.posexplode(F.regexp_extract_all("__t", F.lit(pattern), 0))
+        .alias("__cp", "__cand"))
+    chars = cands.select(
+        *id_cols, "__cp",
+        F.explode(F.split("__cand", "")).alias("__ch")) \
+        .where(F.col("__ch") != "")
+    freq = (chars.groupBy(*id_cols, "__cp", "__ch")
+            .agg(F.count(F.lit(1)).alias("c")))
+    ent = (freq.groupBy(*id_cols, "__cp")
+           .agg((F.log2(F.sum("c"))
+                 - F.sum(F.col("c") * F.log2("c")) / F.sum("c"))
+                .alias("__h")))
+    per_row = (ent.groupBy(*id_cols)
+               .agg(F.count(F.lit(1)).alias("n_candidates"),
+                    F.round(F.max("__h"), 4).alias("max_entropy")))
+    out = (base.join(per_row, list(id_cols), "left")
+           .select(*id_cols,
+                   F.when(F.col("__t").isNull(),
+                          F.lit(None).cast("long"))
+                   .otherwise(F.coalesce("n_candidates", F.lit(0)))
+                   .alias("n_candidates"),
+                   "max_entropy",
+                   F.when(F.col("__t").isNull(),
+                          F.lit(None).cast("boolean"))
+                   .otherwise(F.coalesce(
+                       F.col("max_entropy") >= threshold, F.lit(False)))
+                   .alias("has_high_entropy")))
+    return out

@@ -345,3 +345,37 @@ def test_extract_imports_by_lang_plan_zero_shuffle(spark):
     plan = extract_imports_by_lang(df, "content", "lang") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_high_entropy_tokens(spark):
+    import math
+    from peri_spark.functions import high_entropy_tokens
+    rows = [
+        (0, "key = 'kJ8x2Qw9ZpLm4Rv7NtYc3BdF6GhS1'"),    # random-ish
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"),              # long, 0 bits
+        (2, "the quick brown fox"),                       # no candidate
+        (3, None),
+        (4, "x = get_user_account_manager_handle()"),     # identifier
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r for r in
+           high_entropy_tokens(df, "t", "id").collect()}
+    assert got[0].has_high_entropy is True and got[0].n_candidates == 1
+    assert got[1].max_entropy == 0.0 and got[1].has_high_entropy is False
+    assert got[2].n_candidates == 0 and got[2].max_entropy is None
+    assert got[2].has_high_entropy is False
+    assert got[3].n_candidates is None and got[3].has_high_entropy is None
+    assert got[4].has_high_entropy is False   # structured identifier
+    # exact bits for an all-distinct 32-char token: log2(32) = 5
+    df2 = spark.createDataFrame(
+        [(0, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdef")], "id long, t string")
+    r = high_entropy_tokens(df2, "t", "id").collect()[0]
+    assert r.max_entropy == 5.0
+
+
+def test_high_entropy_requires_ids(spark):
+    from peri_spark.functions import high_entropy_tokens
+    df = spark.createDataFrame([(0, "x")], "id long, t string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="id column"):
+        high_entropy_tokens(df, "t")
