@@ -794,6 +794,17 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
     im = module_document_frequency(df, "content", repo_col="repo").count()
     im_wall = round(time.monotonic() - t0, 3)
 
+    from peri_spark.functions import high_entropy_tokens, repo_license_rollup
+    t0 = time.monotonic()
+    he = (high_entropy_tokens(df, "content", "repo", "path")
+          .agg(F.count(F.lit(1)).alias("rows"),
+               F.sum(F.col("has_high_entropy").cast("int")).alias("hits"))
+          .collect()[0])
+    he_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    rl = repo_license_rollup(df, "content").count()
+    rl_wall = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     up_rows = weighted_mix(
         df.select(F.xxhash64("repo", "path", "commit").alias("fid"),
@@ -897,6 +908,12 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
             "import_census": {"wall_sec": im_wall,
                               "modules": int(im),
                               "rows_per_sec": round(n / im_wall, 1)},
+            "entropy_scan": {"wall_sec": he_wall,
+                             "high_entropy_rows": int(he.hits or 0),
+                             "rows_per_sec": round(n / he_wall, 1)},
+            "repo_license_rollup": {"wall_sec": rl_wall,
+                                    "repos": int(rl),
+                                    "rows_per_sec": round(n / rl_wall, 1)},
             "upsample_mix": {"wall_sec": up_wall,
                              "emitted_rows": int(up_rows),
                              "rows_per_sec": round(n / up_wall, 1)},
