@@ -1796,6 +1796,25 @@ def q_import_df_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_document_frequency(staged, "content", repo_col="repo")
 
 
+# schema v2 for the migration-impact query: tightened lang enum and a
+# content length floor — a realistic "raise the bar" migration
+def _flagship_v2() -> dict:
+    v2 = dict(FLAGSHIP_SCHEMA)
+    v2["lang"] = ("enum", ["en", "es", "de"])
+    v2["content"] = ("required", ("string", ("min", 50)))
+    return v2
+
+
+def q_migration_impact_code_files(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """How much real data does a schema migration break? Flagship v1 vs
+    a tightened v2 over code_files, every row classified in ONE scan
+    (both compiled violation arrays in the same projection, no join)."""
+    from peri_spark.walker import migration_impact
+    df = _code_files(spark, sf_dir)
+    return migration_impact(df, FLAGSHIP_SCHEMA, _flagship_v2())
+
+
 def q_entropy_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic high-entropy secret signal over code_files with planted
     random-ish and constant tokens (threshold 4.0 bits/char).
@@ -1949,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "licenses_code_files": q_licenses_code_files,
         "repo_licenses_code_files": q_repo_licenses_code_files,
         "entropy_code_files": q_entropy_code_files,
+        "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
         "diff_rows_orders": q_diff_rows_orders,
@@ -3571,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "licenses_code_files": _licenses_oracle_sql(),
         "repo_licenses_code_files": _repo_licenses_oracle_sql(),
         "entropy_code_files": _entropy_oracle_sql(),
+        "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
     WITH pairs AS (
@@ -3814,6 +3835,23 @@ def _imports_oracle_sql() -> str:
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
     FROM edges GROUP BY module, root_module
+    """
+
+
+def _migration_oracle_sql() -> str:
+    """DuckDB reproduction of q_migration_impact_code_files: the same
+    generated bad-row predicates for v1 and v2 classify each row."""
+    p1 = po.bad_row_predicate_sql(FLAGSHIP_SCHEMA)
+    p2 = po.bad_row_predicate_sql(_flagship_v2())
+    return f"""
+    WITH cf AS (SELECT * FROM {_CF} AS code_files),
+    s AS (SELECT CASE
+            WHEN NOT ({p1}) AND NOT ({p2}) THEN 'still_valid'
+            WHEN NOT ({p1}) AND ({p2}) THEN 'newly_invalid'
+            WHEN ({p1}) AND NOT ({p2}) THEN 'newly_valid'
+            ELSE 'still_invalid' END AS status
+          FROM cf)
+    SELECT status, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY status
     """
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 __all__ = ["walk", "make_all_optional", "drop_keys", "rename_keys",
-           "schema_diff"]
+           "schema_diff", "migration_impact"]
 
 _NESTING = {"required", "meta"}  # single-inner-type wrappers to recurse
 
@@ -180,3 +180,35 @@ def schema_diff(old: dict, new: dict) -> dict:
     out["breaking"] = bool(out["removed"] or out["changed"]
                            or out["required_added"] or added_required)
     return out
+
+
+def migration_impact(df, old_schema: dict, new_schema: dict):
+    """The DYNAMIC complement to :func:`schema_diff`: run BOTH schema
+    versions over the same frame and classify every row —
+    ``(status, n)`` with status ``still_valid`` / ``newly_invalid``
+    (the migration's breakage set) / ``newly_valid`` /
+    ``still_invalid``. ``schema_diff`` says what changed; this says how
+    much real data it breaks — the number a migration review actually
+    wants.
+
+    ONE pruned scan: both schemas compile to violation-array
+    expressions evaluated in the same projection (lean structs — only
+    emptiness matters), then a 4-row aggregate. No join, no row ids
+    needed, duplicate rows count once each.
+    """
+    from pyspark.sql import functions as F
+
+    from .compiler import compile_fields
+    from .dsl import parse
+    from .engine import _concat_viols
+
+    def bad(schema):
+        outs = compile_fields(parse(schema).args[0], df.schema,
+                              "permissive", lean=True)
+        return F.size(_concat_viols([o.viols for o in outs])) > 0
+    status = (F.when(~bad(old_schema) & ~bad(new_schema), "still_valid")
+              .when(~bad(old_schema) & bad(new_schema), "newly_invalid")
+              .when(bad(old_schema) & ~bad(new_schema), "newly_valid")
+              .otherwise("still_invalid"))
+    return (df.select(status.alias("status"))
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n")))

@@ -84,3 +84,31 @@ def test_expectations_unknown_op_raises():
     with pytest.raises(ValueError):
         evaluate_expectations(_result({"n_rows": 1}),
                               {"n_rows": ("approx", 1)})
+
+
+def test_migration_impact_classifies_rows(spark):
+    """v2 tightens the enum and adds a range: the breakage set must be
+    exactly the rows valid under v1 but not v2."""
+    from peri_spark.walker import migration_impact
+    rows = [(1, "en", 5.0), (2, "xx", 5.0), (3, "en", 99.0),
+            (4, "xx", 99.0)]
+    df = spark.createDataFrame(rows, "id int, lang string, v double")
+    v1 = {"id": ("required", "integer"), "lang": ("enum", ["en", "xx"]),
+          "v": "float"}
+    v2 = {"id": ("required", "integer"), "lang": ("enum", ["en"]),
+          "v": ("float", ("lte", 50.0))}
+    got = {r.status: r.n for r in
+           migration_impact(df, v1, v2).collect()}
+    # row1 ok->ok, row2 enum breaks, row3 range breaks, row4 both break
+    assert got == {"still_valid": 1, "newly_invalid": 3}
+
+
+def test_migration_impact_newly_valid(spark):
+    from peri_spark.walker import migration_impact
+    df = spark.createDataFrame([(1, None), (2, "a")],
+                               "id int, s string")
+    strict = {"id": ("required", "integer"), "s": ("required", "string")}
+    relaxed = {"id": ("required", "integer"), "s": "string"}
+    got = {r.status: r.n for r in
+           migration_impact(df, strict, relaxed).collect()}
+    assert got == {"still_valid": 1, "newly_valid": 1}
