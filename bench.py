@@ -1134,6 +1134,7 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
                                         merge_distinct_sketches)
     sk_wall, daily = timed(lambda: distinct_sketches(
         df, ["repo", "path"], by=["lang"]).localCheckpoint(eager=True))
+    n_groups = daily.count()
     mg_wall, mg = timed(lambda: merge_distinct_sketches(
         daily, ["repo", "path"]).collect())
     sk_est = {r.column: int(r.n_distinct_est) for r in mg}
@@ -1147,7 +1148,7 @@ def run_numstats(workers: int, input_path: str, runs: int) -> dict:
            "table_diff": (td_wall, {"diff_rows": td_diff}),
            "metric_anomalies": (ma_wall, {"series": int(ma_n)}),
            "hll_sketch_build": (sk_wall, {"estimates": sk_est}),
-           "hll_sketch_merge": (mg_wall, {"groups_merged": 6})}
+           "hll_sketch_merge": (mg_wall, {"groups_merged": int(n_groups)})}
     return {"workers": workers, "n_rows": n,
             **{k: {"wall_sec": w, **extra,
                    "rows_per_sec": round(n / w, 1)}

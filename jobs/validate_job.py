@@ -167,16 +167,25 @@ def main() -> int:
         from peri_spark.suite import SuiteResult, evaluate_expectations
         rules = {k: tuple(v) for k, v in
                  json.load(open(args.expectations_json)).items()}
-        gate_counters = {"n_rows": summary["n_rows"],
-                         "n_bad_rows": summary.get("n_violations", 0),
-                         **summary}
-        gate = evaluate_expectations(
-            SuiteResult(validation=None, counters=gate_counters), rules)
-        summary["expectations"] = gate
-        # exit 1 on a failed gate AFTER the ledger recorded the run —
-        # the work is checkpointed either way; only the ship/block
-        # verdict changes
-        rc = 0 if gate["passed"] else 1
+        if args.resume and summary["n_partitions"] == 0:
+            # an idempotent rerun validated NOTHING new: n_rows=0 would
+            # fail every floor/ratio gate and block a batch that
+            # already passed — skip the gate, the prior run judged it
+            summary["expectations"] = {
+                "skipped": "resume with no pending partitions"}
+        else:
+            # the job's counters ARE the gate inputs: n_violations is
+            # the TOTAL violation count (a row can carry several), a
+            # different metric than the suite's n_bad_rows — rules for
+            # this job reference n_rows / n_violations / n_partitions
+            gate = evaluate_expectations(
+                SuiteResult(validation=None, counters=dict(summary)),
+                rules)
+            summary["expectations"] = gate
+            # exit 1 on a failed gate AFTER the ledger recorded the
+            # run — the work is checkpointed either way; only the
+            # ship/block verdict changes
+            rc = 0 if gate["passed"] else 1
     print(json.dumps(summary))
     spark.stop()
     return rc

@@ -104,10 +104,12 @@ def merge_quantile_sketches(history: DataFrame, columns: list[str],
     aggs = [F.collect_list(f"{c}__kll").alias(f"{c}__arr")
             for c in columns]
     arrs = history.agg(*aggs)
+    # try_element_at: an EMPTY history (a window matching no batches)
+    # must yield NULL quantiles, not an ANSI INVALID_ARRAY_INDEX error
     merged = arrs.select(*[
         F.reduce(F.slice(F.col(f"{c}__arr"), 2,
                          F.greatest(F.size(f"{c}__arr") - 1, F.lit(0))),
-                 F.element_at(f"{c}__arr", 1),
+                 F.try_element_at(f"{c}__arr", F.lit(1)),
                  lambda acc, x: F.kll_sketch_merge_double(acc, x))
         .alias(f"{c}__kll") for c in columns])
     structs = []

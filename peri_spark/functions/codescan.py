@@ -191,6 +191,18 @@ def _normalize_lines(c: Column) -> Column:
     return F.regexp_replace(c, _LINE_TERMINATORS, "\n")
 
 
+def _merged_modules(c, patterns: dict[str, str]):
+    """Shared extract-merge-dedup-sort over a normalized content
+    attribute — the single definition both the single-language and
+    per-language dispatch paths consume."""
+    parts = [F.regexp_extract_all(c, F.lit(p), 1)
+             for p in patterns.values()]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = F.concat(merged, p)
+    return F.array_sort(F.array_distinct(merged))
+
+
 def extract_imports(df: DataFrame, content_col: str,
                     patterns: dict[str, str] | None = None,
                     out_col: str = "imported_modules") -> DataFrame:
@@ -210,14 +222,8 @@ def extract_imports(df: DataFrame, content_col: str,
     # pattern's regexp_extract_all consumes the ATTRIBUTE (Catalyst
     # re-evaluates captured expressions once per consumer otherwise)
     staged = df.withColumn("__norm", _normalize_lines(F.col(content_col)))
-    c = F.col("__norm")
-    parts = [F.regexp_extract_all(c, F.lit(p), 1)
-             for p in patterns.values()]
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = F.concat(merged, p)
     return (staged.withColumn(out_col,
-                              F.array_sort(F.array_distinct(merged)))
+                              _merged_modules(F.col("__norm"), patterns))
             .drop("__norm"))
 
 
@@ -440,8 +446,10 @@ def repo_license_rollup(df: DataFrame, content_col: str,
 IMPORT_PATTERN_SETS: dict[str, dict[str, str]] = {
     "python": IMPORT_PATTERNS,
     "javascript": {
-        # import x from 'mod' / import 'mod' — capture the quoted module
-        "js_import": r"""(?m)^[ \t]*import[^\n]*?["']([^"'\n]+)["']""",
+        # import x from 'mod' / import 'mod' / import {a} from 'mod' —
+        # a separator after the keyword ([ \t{*]) keeps identifiers
+        # like `important_flag` or `imports[...]` from matching
+        "js_import": r"""(?m)^[ \t]*import[ \t{*][^\n]*?["']([^"'\n]+)["']""",
         "js_require": r"""require\(["']([^"'\n]+)["']\)""",
         "js_dyn_import": r"""import\(["']([^"'\n]+)["']\)""",
     },
@@ -455,8 +463,10 @@ IMPORT_PATTERN_SETS: dict[str, dict[str, str]] = {
         "go_block": r"""(?m)^[ \t]+(?:[A-Za-z0-9_.]+[ \t]+)?"([^"\n]+)"[ \t]*$""",
     },
     "rust": {
+        # brace groups (`use std::{fs, io};`) resolve to the BASE path
+        # before the brace — crate granularity, never a mangled fragment
         "rust_use": r"(?m)^[ \t]*(?:pub[ \t]+)?use[ \t]+"
-                    r"([A-Za-z_][A-Za-z0-9_]*(?:::[A-Za-z0-9_*{]+)*)",
+                    r"([A-Za-z_][A-Za-z0-9_]*(?:::[A-Za-z0-9_]+)*)",
         "rust_extern": r"(?m)^[ \t]*extern[ \t]+crate[ \t]+"
                        r"([A-Za-z_][A-Za-z0-9_]*)",
     },
@@ -484,17 +494,10 @@ def extract_imports_by_lang(df: DataFrame, content_col: str,
                            _normalize_lines(F.col(content_col)))
     c = F.col("__norm")
 
-    def merged_for(patterns: dict[str, str]):
-        parts = [F.regexp_extract_all(c, F.lit(p), 1)
-                 for p in patterns.values()]
-        m = parts[0]
-        for p in parts[1:]:
-            m = F.concat(m, p)
-        return F.array_sort(F.array_distinct(m))
-
     expr = F.when(c.isNull(), F.lit(None).cast("array<string>"))
     for lang, patterns in sets.items():
-        expr = expr.when(F.col(lang_col) == lang, merged_for(patterns))
+        expr = expr.when(F.col(lang_col) == lang,
+                         _merged_modules(c, patterns))
     expr = expr.otherwise(
         F.when(c.isNotNull(), F.array().cast("array<string>")))
     return staged.withColumn(out_col, expr).drop("__norm")
@@ -528,34 +531,44 @@ def high_entropy_tokens(df: DataFrame, text_col: str, *id_cols: str,
     """
     if not id_cols:
         raise ValueError("high_entropy_tokens needs id column(s)")
-    base = df.select(*id_cols, F.col(text_col).alias("__t"))
+    # the grouping key is a CONTENT hash, not the caller's ids: ids can
+    # repeat (the corpus plants duplicate (repo,path,commit) rows, and
+    # (repo,path) repeats across commits), and pooling two different
+    # texts' candidate chars corrupts the entropy. Rows identical in
+    # (ids, text) still pool — harmless: entropy is invariant under
+    # uniform count scaling and the (uid, position) key keeps
+    # n_candidates per-row.
+    uid = F.xxhash64(*id_cols, F.col(text_col)).alias("__uid")
+    base = df.select(*id_cols, F.col(text_col).alias("__t"), uid)
     cands = base.select(
-        *id_cols,
+        "__uid",
         F.posexplode(F.regexp_extract_all("__t", F.lit(pattern), 0))
         .alias("__cp", "__cand"))
     chars = cands.select(
-        *id_cols, "__cp",
+        "__uid", "__cp",
         F.explode(F.split("__cand", "")).alias("__ch")) \
         .where(F.col("__ch") != "")
-    freq = (chars.groupBy(*id_cols, "__cp", "__ch")
+    freq = (chars.groupBy("__uid", "__cp", "__ch")
             .agg(F.count(F.lit(1)).alias("c")))
-    ent = (freq.groupBy(*id_cols, "__cp")
+    ent = (freq.groupBy("__uid", "__cp")
            .agg((F.log2(F.sum("c"))
                  - F.sum(F.col("c") * F.log2("c")) / F.sum("c"))
                 .alias("__h")))
-    per_row = (ent.groupBy(*id_cols)
+    per_row = (ent.groupBy("__uid")
                .agg(F.count(F.lit(1)).alias("n_candidates"),
-                    F.round(F.max("__h"), 4).alias("max_entropy")))
-    out = (base.join(per_row, list(id_cols), "left")
+                    F.max("__h").alias("__hmax")))
+    # the verdict compares the UNROUNDED max (the SQL oracle does too);
+    # the reported max_entropy rounds for the display/hash surface only
+    out = (base.join(per_row, "__uid", "left")
            .select(*id_cols,
                    F.when(F.col("__t").isNull(),
                           F.lit(None).cast("long"))
                    .otherwise(F.coalesce("n_candidates", F.lit(0)))
                    .alias("n_candidates"),
-                   "max_entropy",
+                   F.round("__hmax", 4).alias("max_entropy"),
                    F.when(F.col("__t").isNull(),
                           F.lit(None).cast("boolean"))
                    .otherwise(F.coalesce(
-                       F.col("max_entropy") >= threshold, F.lit(False)))
+                       F.col("__hmax") >= threshold, F.lit(False)))
                    .alias("has_high_entropy")))
     return out

@@ -1101,10 +1101,12 @@ def suggest_expectations(result: SuiteResult, slack: float = 0.5,
         if not name.startswith(_BAD_COUNTER_PREFIXES):
             continue
         if name == "n_bad_rows" and n_rows:
+            # NO rounding: at 100M rows a 6dp round collapses a tiny
+            # nonzero budget to 0.0 and the baseline fails its own rule
             ratio = v / n_rows
             rules[name] = ("ratio_lte",
-                           min(1.0, round(ratio * (1 + slack)
-                                          + min_headroom / n_rows, 6)))
+                           min(1.0, ratio * (1 + slack)
+                               + min_headroom / n_rows))
         else:
             rules[name] = ("lte",
                            int(math.ceil(v * (1 + slack))) + min_headroom)

@@ -379,3 +379,30 @@ def test_high_entropy_requires_ids(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="id column"):
         high_entropy_tokens(df, "t")
+
+
+def test_high_entropy_duplicate_ids_not_pooled(spark):
+    """Rows sharing id columns but differing in content must each get
+    their OWN entropy — the grouping key is a content hash, not ids."""
+    from peri_spark.functions import high_entropy_tokens
+    rows = [("r", "p", "pad " + "A" * 24),                     # H = 0
+            ("r", "p", "tok ABCDEFGHIJKLMNOPQRSTUVWXYZabcdef")]  # H = 5
+    df = spark.createDataFrame(rows, "repo string, path string, t string")
+    got = sorted(r.max_entropy for r in
+                 high_entropy_tokens(df, "t", "repo", "path").collect())
+    assert got == [0.0, 5.0]
+
+
+def test_js_rust_import_pattern_precision(spark):
+    from peri_spark.functions import extract_imports_by_lang
+    rows = [
+        (0, "javascript", 'important_flag = "debug"\nimports["react"] = 1\n'),
+        (1, "javascript", "import {a, b} from 'mod';\n"),
+        (2, "rust", "use std::{fs, io};\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, content string")
+    got = {r.id: r.imported_modules for r in
+           extract_imports_by_lang(df, "content", "lang").collect()}
+    assert got[0] == []                  # identifiers never match
+    assert got[1] == ["mod"]
+    assert got[2] == ["std"]             # brace group -> base path

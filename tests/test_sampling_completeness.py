@@ -130,3 +130,14 @@ def test_suggest_expectations_self_passes_and_gates(spark):
     assert not verdict["passed"]
     failed = {ch["counter"] for ch in verdict["checks"] if not ch["ok"]}
     assert "n_rows" in failed          # row-count collapse caught
+
+
+def test_suggest_expectations_self_pass_at_scale():
+    """100M rows with 1 bad row: the ratio rule must not round to 0.0
+    and fail its own baseline (review finding)."""
+    from peri_spark.suite import SuiteResult, evaluate_expectations, \
+        suggest_expectations
+    res = SuiteResult(validation=None,
+                      counters={"n_rows": 100_000_000, "n_bad_rows": 1})
+    rules = suggest_expectations(res)
+    assert evaluate_expectations(res, rules)["passed"]

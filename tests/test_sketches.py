@@ -93,3 +93,12 @@ def test_distinct_sketches_by_group_window_merge(spark):
     # days 1,2: users 50..149 and 100..199 -> 150 distinct
     assert abs(got.n_distinct_est - 150) <= 5
     assert got.n_rows_total == 200
+
+
+def test_merge_quantile_sketches_empty_history(spark):
+    """A window matching zero batches yields NULL quantiles, never an
+    ANSI INVALID_ARRAY_INDEX error."""
+    df = spark.createDataFrame([(1.0,)], "x double")
+    hist = quantile_sketches(df, ["x"]).where("1 = 0")
+    got = merge_quantile_sketches(hist, ["x"]).collect()
+    assert [r.value for r in got] == [None, None, None]

@@ -122,3 +122,24 @@ def test_spark_submit_expectations_gate(tmp_path):
                         if l.startswith("{")][-1])
     assert not s_bad["expectations"]["passed"]
     assert s_bad["n_rows"] > 0            # work still ran + recorded
+
+    # idempotent resume of the PASSED run: nothing pending -> the gate
+    # is skipped (n_rows=0 would fail every floor), exit stays 0
+    ej = tmp_path / "exp_ok.json"
+    p_res = subprocess.run(
+        [_find_spark_submit(), "--master", "local[2]",
+         "--py-files", zip_path,
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         job, "--input", inp,
+         "--output", str(tmp_path / "out_ok"),
+         "--ledger", str(tmp_path / "led_ok"),
+         "--partition-col", "lang", "--resume",
+         "--expectations-json", str(ej)],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path), env=env)
+    assert p_res.returncode == 0, p_res.stderr[-2000:]
+    s_res = json.loads([l for l in p_res.stdout.splitlines()
+                        if l.startswith("{")][-1])
+    assert s_res["n_partitions"] == 0
+    assert "skipped" in s_res["expectations"]
