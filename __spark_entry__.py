@@ -1372,6 +1372,29 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Extension/shebang/keyword planting for detect_code_lang: rewrite the
+# uniform .py paths into a mix of extensions, extension-less scripts
+# with shebangs, and keyword-only files. IDENTICAL SQL in both engines.
+_LANGDETECT_STAGE_SQL = """
+SELECT CASE WHEN length(content) % 8 = 0 THEN replace(path, '.py', '.rs')
+            WHEN length(content) % 8 = 1 THEN replace(path, '.py', '.go')
+            WHEN length(content) % 8 = 2 THEN replace(path, '.py', '')
+            WHEN length(content) % 8 = 3
+              THEN replace(path, '.py', '.yaml')
+            WHEN length(content) % 8 = 4 THEN replace(path, '.py', '')
+            WHEN length(content) % 8 = 5 THEN replace(path, '.py', '')
+            ELSE path END AS path,
+       CASE WHEN length(content) % 8 = 2
+              THEN '#!/usr/bin/env node' || chr(10) || content
+            WHEN length(content) % 8 = 4
+              THEN 'package main' || chr(10) || content
+            WHEN length(content) % 8 = 5 THEN content
+            ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
+
 # High/low-entropy token planting for high_entropy_tokens: mixed-case
 # 64-char md5-derived tokens (alphabet ~22 symbols, H≈4.2-4.4) vs a
 # 24-char constant run (H=0) vs none. IDENTICAL SQL in both engines.
@@ -1815,6 +1838,19 @@ def q_migration_impact_code_files(spark: SparkSession,
     return migration_impact(df, FLAGSHIP_SCHEMA, _flagship_v2())
 
 
+def q_langdetect_code_files(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Language-detection census over paths rewritten into a mix of
+    extensions, shebang scripts, keyword-only files and unknowns.
+    Zero-shuffle verdict projection; only the census aggregates."""
+    from peri_spark.functions import detect_code_lang
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_LANGDETECT_STAGE_SQL.format(cf="code_files"))
+    return (detect_code_lang(staged, "path", "content")
+            .groupBy("detected_lang")
+            .agg(F.count(F.lit(1)).alias("n_files")))
+
+
 def q_entropy_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic high-entropy secret signal over code_files with planted
     random-ish and constant tokens (threshold 4.0 bits/char).
@@ -1968,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "licenses_code_files": q_licenses_code_files,
         "repo_licenses_code_files": q_repo_licenses_code_files,
         "entropy_code_files": q_entropy_code_files,
+        "langdetect_code_files": q_langdetect_code_files,
         "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
@@ -3591,6 +3628,7 @@ def oracle_sql() -> dict[str, str]:
         "licenses_code_files": _licenses_oracle_sql(),
         "repo_licenses_code_files": _repo_licenses_oracle_sql(),
         "entropy_code_files": _entropy_oracle_sql(),
+        "langdetect_code_files": _langdetect_oracle_sql(),
         "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
@@ -3852,6 +3890,39 @@ def _migration_oracle_sql() -> str:
             ELSE 'still_invalid' END AS status
           FROM cf)
     SELECT status, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY status
+    """
+
+
+def _langdetect_oracle_sql() -> str:
+    """DuckDB reproduction of q_langdetect_code_files: CASE chains
+    generated from the SAME EXT_LANG / SHEBANG_LANG / KEYWORD_LANG
+    tables the operator uses, so the mirror can never drift."""
+    from peri_spark.functions.codescan import (EXT_LANG, KEYWORD_LANG,
+                                               SHEBANG_LANG)
+    staged = _LANGDETECT_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    ext_whens = " ".join(f"WHEN '{e}' THEN '{l}'"
+                         for e, l in EXT_LANG.items())
+    sb_whens = " ".join(
+        f"WHEN contains(shebang, '{p}') THEN '{l}'"
+        for p, l in SHEBANG_LANG)
+    kw_whens = " ".join(
+        f"WHEN contains(head, '{p}') THEN '{l}'"
+        for p, l in KEYWORD_LANG)
+    return f"""
+    WITH staged AS ({staged}),
+    h AS (SELECT path, substr(content, 1, 512) AS head FROM staged),
+    f AS (SELECT
+        lower(regexp_extract(path, '\\.([A-Za-z0-9_]+)$', 1)) AS ext,
+        CASE WHEN head LIKE '#!%' THEN split_part(head, chr(10), 1)
+             END AS shebang,
+        head FROM h),
+    v AS (SELECT coalesce(
+        CASE ext {ext_whens} END,
+        CASE {sb_whens} END,
+        CASE {kw_whens} END,
+        'unknown') AS detected_lang FROM f)
+    SELECT detected_lang, CAST(count(*) AS BIGINT) AS n_files
+    FROM v GROUP BY detected_lang
     """
 
 

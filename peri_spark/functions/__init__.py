@@ -29,7 +29,8 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
-                       import_edges, extract_imports_by_lang, extract_symbols,
+                       import_edges, detect_code_lang, extract_imports_by_lang,
+                       extract_symbols,
                        high_entropy_tokens,
                        module_document_frequency,
                        repo_license_rollup, scan_licenses, scan_secrets)
@@ -75,4 +76,5 @@ __all__ = [
     "extract_imports", "import_edges", "module_document_frequency",
     "scan_licenses", "extract_symbols", "repo_license_rollup",
     "extract_imports_by_lang", "high_entropy_tokens",
+    "detect_code_lang",
 ]

@@ -31,7 +31,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "SPDX_PATTERN", "LICENSE_PHRASES", "scan_licenses",
            "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup",
            "IMPORT_PATTERN_SETS", "extract_imports_by_lang",
-           "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens"]
+           "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens",
+           "EXT_LANG", "SHEBANG_LANG", "KEYWORD_LANG", "detect_code_lang"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -572,3 +573,78 @@ def high_entropy_tokens(df: DataFrame, text_col: str, *id_cols: str,
                        F.col("__hmax") >= threshold, F.lit(False)))
                    .alias("has_high_entropy")))
     return out
+
+
+# ------------------------------------------------------------ lang detect
+
+# extension -> language (the authoritative signal when present)
+EXT_LANG: dict[str, str] = {
+    "py": "python", "pyi": "python",
+    "js": "javascript", "jsx": "javascript", "mjs": "javascript",
+    "ts": "typescript", "tsx": "typescript",
+    "java": "java", "go": "go", "rs": "rust",
+    "c": "c", "h": "c", "cpp": "cpp", "cc": "cpp", "hpp": "cpp",
+    "rb": "ruby", "php": "php", "cs": "csharp",
+    "sh": "shell", "bash": "shell",
+    "md": "markdown", "rst": "markdown",
+    "json": "config", "yaml": "config", "yml": "config", "toml": "config",
+}
+
+# shebang interpreter substring -> language (second signal)
+SHEBANG_LANG: list[tuple[str, str]] = [
+    ("python", "python"), ("node", "javascript"),
+    ("bash", "shell"), ("/sh", "shell"), ("ruby", "ruby"),
+    ("perl", "perl"),
+]
+
+# content keyword probes, checked IN ORDER (most distinctive first);
+# plain `contains` so the fallback costs substring scans, not regexes
+KEYWORD_LANG: list[tuple[str, str]] = [
+    ("public static void main", "java"),
+    ("package main", "go"),
+    ("fn main(", "rust"),
+    ("#include", "c"),
+    ("<?php", "php"),
+    ("def ", "python"),
+    ("function ", "javascript"),
+]
+
+
+def detect_code_lang(df: DataFrame, path_col: str, content_col: str,
+                     out_col: str = "detected_lang",
+                     head_chars: int = 512) -> DataFrame:
+    """Detect each file's programming language: extension map first
+    (authoritative), then the shebang interpreter, then ordered content
+    keyword probes over the first ``head_chars`` chars, else
+    ``'unknown'``. Corpus lang columns are routinely missing or wrong;
+    downstream per-language dispatch (``extract_imports_by_lang``,
+    lang-keyed dedup/stats) needs this verdict.
+
+    One zero-shuffle codegen projection; the head materializes in its
+    own projection so the probe chain consumes the attribute. NULL
+    content rows still classify by extension; NULL path AND NULL
+    content → NULL.
+    """
+    ext = F.lower(F.regexp_extract(F.col(path_col),
+                                   r"\.([A-Za-z0-9_]+)$", 1))
+    staged = df.withColumn(
+        "__head", F.substring(F.col(content_col), 1, head_chars))
+    head = F.col("__head")
+    shebang = F.when(head.startswith("#!"),
+                     F.substring_index(head, "\n", 1))
+    by_ext = F.lit(None).cast("string")
+    for e, lang in reversed(EXT_LANG.items()):
+        by_ext = F.when(ext == e, F.lit(lang)).otherwise(by_ext)
+    by_shebang = F.lit(None).cast("string")
+    for probe, lang in reversed(SHEBANG_LANG):
+        by_shebang = (F.when(shebang.contains(probe), F.lit(lang))
+                      .otherwise(by_shebang))
+    by_kw = F.lit(None).cast("string")
+    for probe, lang in reversed(KEYWORD_LANG):
+        by_kw = F.when(head.contains(probe), F.lit(lang)).otherwise(by_kw)
+    verdict = F.coalesce(by_ext, by_shebang, by_kw)
+    verdict = (F.when(F.col(path_col).isNull()
+                      & F.col(content_col).isNull(),
+                      F.lit(None).cast("string"))
+               .otherwise(F.coalesce(verdict, F.lit("unknown"))))
+    return staged.withColumn(out_col, verdict).drop("__head")

@@ -406,3 +406,37 @@ def test_js_rust_import_pattern_precision(spark):
     assert got[0] == []                  # identifiers never match
     assert got[1] == ["mod"]
     assert got[2] == ["std"]             # brace group -> base path
+
+
+def test_detect_code_lang_priority(spark):
+    from peri_spark.functions import detect_code_lang
+    rows = [
+        (0, "src/app.py", "function x() {}"),        # ext beats keywords
+        (1, "bin/run", "#!/usr/bin/env python\nx=1"),  # shebang
+        (2, "bin/tool", "#!/bin/bash\necho hi"),
+        (3, "mystery", "public static void main(String[] a) {}"),
+        (4, "mystery2", "package main\nfunc main() {}"),
+        (5, "noext", "just text"),                   # unknown
+        (6, "lib.rs", None),                         # ext works w/o content
+        (7, None, None),                             # nothing -> NULL
+        (8, "x.tsx", "const a = 1"),
+        (9, "conf.yaml", "a: 1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, path string, content string")
+    got = {r.id: r.detected_lang for r in
+           detect_code_lang(df, "path", "content").collect()}
+    assert got[0] == "python" and got[1] == "python"
+    assert got[2] == "shell" and got[3] == "java" and got[4] == "go"
+    assert got[5] == "unknown"
+    assert got[6] == "rust"
+    assert got[7] is None
+    assert got[8] == "typescript" and got[9] == "config"
+
+
+def test_detect_code_lang_plan_zero_shuffle(spark):
+    from peri_spark.functions import detect_code_lang
+    df = spark.createDataFrame([(0, "a.py", "x")],
+                               "id long, path string, content string")
+    plan = detect_code_lang(df, "path", "content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
