@@ -1372,6 +1372,17 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Formatting-variant duplicate planting for normalize_code: every 6th
+# row also appears as a whitespace-doubled, comment-suffixed copy —
+# identical after normalization, distinct under raw sha256.
+_NORMCODE_STAGE_SQL = """
+SELECT content FROM {cf} WHERE content IS NOT NULL
+UNION ALL
+SELECT replace(content, ' ', '  ') || chr(10) || '# generated variant'
+FROM {cf} WHERE content IS NOT NULL AND length(content) % 6 = 0
+"""
+
+
 # Extension/shebang/keyword planting for detect_code_lang: rewrite the
 # uniform .py paths into a mix of extensions, extension-less scripts
 # with shebangs, and keyword-only files. IDENTICAL SQL in both engines.
@@ -1838,6 +1849,27 @@ def q_migration_impact_code_files(spark: SparkSession,
     return migration_impact(df, FLAGSHIP_SCHEMA, _flagship_v2())
 
 
+def q_normcode_dedup_code_files(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Near-exact (formatting-invariant) dedup summary: planted
+    whitespace/comment variants must collide on the normalized digest
+    while raw sha256 keeps them apart. One zero-shuffle normalization
+    + two digest-bounded aggregates."""
+    from peri_spark.functions import normalize_code
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_NORMCODE_STAGE_SQL.format(cf="code_files"))
+    norm = normalize_code(staged, "content")
+    ng = (norm.groupBy("norm_digest")
+          .agg(F.count(F.lit(1)).alias("c")).where("c > 1")
+          .agg(F.count(F.lit(1)).alias("norm_dup_groups"),
+               F.coalesce(F.sum("c"), F.lit(0)).alias("norm_dup_rows")))
+    rg = (staged.select(F.sha2(F.col("content").cast("binary"), 256)
+                        .alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).alias("c")).where("c > 1")
+          .agg(F.count(F.lit(1)).alias("raw_dup_groups")))
+    return ng.crossJoin(rg)
+
+
 def q_langdetect_code_files(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Language-detection census over paths rewritten into a mix of
@@ -2005,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_licenses_code_files": q_repo_licenses_code_files,
         "entropy_code_files": q_entropy_code_files,
         "langdetect_code_files": q_langdetect_code_files,
+        "normcode_dedup_code_files": q_normcode_dedup_code_files,
         "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
@@ -3629,6 +3662,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_licenses_code_files": _repo_licenses_oracle_sql(),
         "entropy_code_files": _entropy_oracle_sql(),
         "langdetect_code_files": _langdetect_oracle_sql(),
+        "normcode_dedup_code_files": _normcode_oracle_sql(),
         "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
@@ -3890,6 +3924,32 @@ def _migration_oracle_sql() -> str:
             ELSE 'still_invalid' END AS status
           FROM cf)
     SELECT status, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY status
+    """
+
+
+def _normcode_oracle_sql() -> str:
+    """DuckDB reproduction of q_normcode_dedup_code_files: identical
+    plant and the same comment-strip + whitespace-collapse chain (the
+    'g' flag — DuckDB replaces first-match-only without it)."""
+    staged = _NORMCODE_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    norm = ("trim(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(content,"
+            " '(?m)#[^\n]*', '', 'g'),"
+            " '/\\*[\\s\\S]*?\\*/', '', 'g'),"
+            " '(?m)//[^\n]*', '', 'g'),"
+            " '[ \t\r\n]+', ' ', 'g'))")
+    return f"""
+    WITH staged AS ({staged}),
+    n AS (SELECT sha256({norm}) AS nd, sha256(content) AS rd
+          FROM staged),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS norm_dup_groups,
+                  CAST(coalesce(sum(c), 0) AS BIGINT) AS norm_dup_rows
+           FROM (SELECT nd, count(*) AS c FROM n GROUP BY nd
+                 HAVING count(*) > 1)),
+    rg AS (SELECT CAST(count(*) AS BIGINT) AS raw_dup_groups
+           FROM (SELECT rd, count(*) AS c FROM n GROUP BY rd
+                 HAVING count(*) > 1))
+    SELECT * FROM ng CROSS JOIN rg
     """
 
 

@@ -32,7 +32,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "SYMBOL_PATTERNS", "extract_symbols", "repo_license_rollup",
            "IMPORT_PATTERN_SETS", "extract_imports_by_lang",
            "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens",
-           "EXT_LANG", "SHEBANG_LANG", "KEYWORD_LANG", "detect_code_lang"]
+           "EXT_LANG", "SHEBANG_LANG", "KEYWORD_LANG", "detect_code_lang",
+           "COMMENT_PATTERNS", "normalize_code"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -648,3 +649,39 @@ def detect_code_lang(df: DataFrame, path_col: str, content_col: str,
                       F.lit(None).cast("string"))
                .otherwise(F.coalesce(verdict, F.lit("unknown"))))
     return staged.withColumn(out_col, verdict).drop("__head")
+
+
+# comment syntaxes by family; regexes are engine-portable (non-greedy
+# block comments via [\s\S]*? — no DOTALL flag needed in either engine)
+COMMENT_PATTERNS: dict[str, list[str]] = {
+    "hash": [r"(?m)#[^\n]*"],                       # python/shell/ruby
+    "c": [r"/\*[\s\S]*?\*/", r"(?m)//[^\n]*"],      # c-family/js/java/go/rust
+}
+
+
+def normalize_code(df: DataFrame, content_col: str,
+                   comment_styles: tuple[str, ...] = ("hash", "c"),
+                   out_col: str = "content_norm",
+                   digest_col: str = "norm_digest") -> DataFrame:
+    """Formatting-invariant code normalization for NEAR-EXACT dedup
+    (the big code-corpus pipelines dedup on exactly this): strip line
+    and block comments, collapse whitespace runs to single spaces,
+    trim — then ``digest_col`` = sha256 of the normalized text, the
+    key ``exact_duplicates`` / ``exact_digest_index`` consume. Two
+    files differing only in comments/indentation/blank lines collide;
+    raw sha256 would keep both.
+
+    Regex comment stripping is the standard engineering trade: a
+    string literal CONTAINING a comment marker also gets truncated
+    (both engines identically — the regexes are portable), which is
+    acceptable for a dedup KEY (false merges need the remainder to
+    also match). Zero shuffle; NULL content → NULL.
+    """
+    c = F.col(content_col)
+    for style in comment_styles:
+        for pat in COMMENT_PATTERNS[style]:
+            c = F.regexp_replace(c, pat, "")
+    c = F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+    staged = df.withColumn(out_col, c)
+    return staged.withColumn(
+        digest_col, F.sha2(F.col(out_col).cast("binary"), 256))

@@ -440,3 +440,23 @@ def test_detect_code_lang_plan_zero_shuffle(spark):
     plan = detect_code_lang(df, "path", "content") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_code_formatting_invariance(spark):
+    from peri_spark.functions import normalize_code
+    rows = [
+        (0, "def f(x):\n    return x+1  # add one\n"),
+        (1, "def f(x):   \n\treturn x+1\n\n# trailing comment\n"),
+        (2, "def f(x):\n    return x+2\n"),            # actually different
+        (3, "int a; /* block\ncomment */ int b; // end\n"),
+        (4, "int a;  int b;\n"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {r.id: (r.content_norm, r.norm_digest) for r in
+           normalize_code(df, "content").collect()}
+    assert got[0][0] == "def f(x): return x+1"
+    assert got[0][1] == got[1][1]          # formatting variants collide
+    assert got[0][1] != got[2][1]          # real change does not
+    assert got[3][0] == "int a; int b;" == got[4][0]
+    assert got[5] == (None, None)
