@@ -1372,6 +1372,25 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Path/comment planting for path_flags + comment_stats: buckets route
+# files into tests/vendored/generated/docs trees and plant a comment
+# header class. IDENTICAL SQL in both engines.
+_PATHFLAGS_STAGE_SQL = """
+SELECT CASE WHEN length(content) % 7 = 0 THEN 'tests/' || path
+            WHEN length(content) % 7 = 1 THEN 'vendor/' || path
+            WHEN length(content) % 7 = 2
+              THEN replace(path, '.py', '.pb.go')
+            WHEN length(content) % 7 = 3
+              THEN 'docs/' || replace(path, '.py', '.md')
+            ELSE path END AS path,
+       CASE WHEN length(content) % 7 = 4
+              THEN '# header comment line' || chr(10) || content
+            ELSE content END AS content
+FROM {cf}
+WHERE content IS NOT NULL
+"""
+
+
 # Formatting-variant duplicate planting for normalize_code: every 6th
 # row also appears as a whitespace-doubled, comment-suffixed copy —
 # identical after normalization, distinct under raw sha256.
@@ -1849,6 +1868,22 @@ def q_migration_impact_code_files(spark: SparkSession,
     return migration_impact(df, FLAGSHIP_SCHEMA, _flagship_v2())
 
 
+def q_path_flags_code_files(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Path-classification + comment-density census: per flag class,
+    file count and mean comment ratio. Both ops are zero-shuffle
+    projections; only the 16-class census aggregates."""
+    from peri_spark.functions import comment_stats, path_flags
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_PATHFLAGS_STAGE_SQL.format(cf="code_files"))
+    out = comment_stats(path_flags(staged, "path"), "content")
+    return (out.groupBy("is_test", "is_vendored", "is_generated",
+                        "is_docs")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.round(F.avg("comment_ratio"), 4)
+                 .alias("avg_comment_ratio")))
+
+
 def q_normcode_dedup_code_files(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Near-exact (formatting-invariant) dedup summary: planted
@@ -2038,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_code_files": q_entropy_code_files,
         "langdetect_code_files": q_langdetect_code_files,
         "normcode_dedup_code_files": q_normcode_dedup_code_files,
+        "path_flags_code_files": q_path_flags_code_files,
         "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
@@ -3663,6 +3699,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_code_files": _entropy_oracle_sql(),
         "langdetect_code_files": _langdetect_oracle_sql(),
         "normcode_dedup_code_files": _normcode_oracle_sql(),
+        "path_flags_code_files": _path_flags_oracle_sql(),
         "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
         "value_dist_documents": """
@@ -3924,6 +3961,35 @@ def _migration_oracle_sql() -> str:
             ELSE 'still_invalid' END AS status
           FROM cf)
     SELECT status, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY status
+    """
+
+
+def _path_flags_oracle_sql() -> str:
+    """DuckDB reproduction of q_path_flags_code_files: the same flag
+    regexes (regexp_matches ≡ rlike on these portable patterns) over
+    the lowered path + the comment-strip length delta."""
+    from peri_spark.functions.codescan import (COMMENT_PATTERNS,
+                                               PATH_FLAG_PATTERNS)
+    staged = _PATHFLAGS_STAGE_SQL.format(cf=f"{_CF} AS code_files")
+    flags = ",\n           ".join(
+        f"regexp_matches(lower(path), '{p}') AS {n}"
+        for n, p in PATH_FLAG_PATTERNS.items())
+    stripped = "content"
+    for style in ("hash", "c"):
+        for pat in COMMENT_PATTERNS[style]:
+            lit = pat.replace("'", "''")
+            stripped = f"regexp_replace({stripped}, '{lit}', '', 'g')"
+    return f"""
+    WITH staged AS ({staged}),
+    f AS (SELECT {flags},
+           round((length(content) - length({stripped}))
+                 / CAST(greatest(length(content), 1) AS DOUBLE), 4)
+             AS comment_ratio
+          FROM staged)
+    SELECT is_test, is_vendored, is_generated, is_docs,
+           CAST(count(*) AS BIGINT) AS n_files,
+           round(avg(comment_ratio), 4) AS avg_comment_ratio
+    FROM f GROUP BY 1, 2, 3, 4
     """
 
 

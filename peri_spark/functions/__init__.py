@@ -29,8 +29,9 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
-                       import_edges, detect_code_lang, extract_imports_by_lang,
-                       normalize_code,
+                       import_edges, comment_stats, detect_code_lang,
+                       extract_imports_by_lang, normalize_code,
+                       path_flags,
                        extract_symbols,
                        high_entropy_tokens,
                        module_document_frequency,
@@ -77,5 +78,6 @@ __all__ = [
     "extract_imports", "import_edges", "module_document_frequency",
     "scan_licenses", "extract_symbols", "repo_license_rollup",
     "extract_imports_by_lang", "high_entropy_tokens",
-    "detect_code_lang", "normalize_code",
+    "detect_code_lang", "normalize_code", "path_flags",
+    "comment_stats",
 ]

@@ -33,7 +33,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "IMPORT_PATTERN_SETS", "extract_imports_by_lang",
            "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens",
            "EXT_LANG", "SHEBANG_LANG", "KEYWORD_LANG", "detect_code_lang",
-           "COMMENT_PATTERNS", "normalize_code"]
+           "COMMENT_PATTERNS", "normalize_code",
+           "PATH_FLAG_PATTERNS", "path_flags", "comment_stats"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -685,3 +686,64 @@ def normalize_code(df: DataFrame, content_col: str,
     staged = df.withColumn(out_col, c)
     return staged.withColumn(
         digest_col, F.sha2(F.col(out_col).cast("binary"), 256))
+
+
+# path-classification probes (case-insensitive on the lowered path):
+# directory segments / filename shapes that mark files a training
+# pipeline usually EXCLUDES (vendored deps, generated artifacts) or
+# ROUTES differently (tests, docs)
+PATH_FLAG_PATTERNS: dict[str, str] = {
+    # tests: test/tests dirs, test_*.py, *_test.go, *.spec.js, *Test.java
+    "is_test": r"(^|/)(tests?|spec|__tests__)(/|$)"
+               r"|(^|/)test_[^/]*$|_test\.[a-z]+$"
+               r"|\.(spec|test)\.[a-z]+$|test\.java$",
+    # vendored dependency trees
+    "is_vendored": r"(^|/)(vendor|node_modules|third_party|thirdparty|"
+                   r"external|deps)(/|$)",
+    # generated artifacts: *.pb.go, *_pb2.py, *.g.dart, .min.js, dist/
+    "is_generated": r"\.pb\.[a-z]+$|_pb2\.py$|\.g\.[a-z]+$"
+                    r"|\.min\.(js|css)$|(^|/)(dist|build|target)(/|$)",
+    # documentation
+    "is_docs": r"(^|/)(docs?|documentation)(/|$)|\.(md|rst|txt)$",
+}
+
+
+def path_flags(df: DataFrame, path_col: str) -> DataFrame:
+    """Append boolean path-classification flags (``is_test`` /
+    ``is_vendored`` / ``is_generated`` / ``is_docs``) — the route/drop
+    signals a code-corpus curation pass applies before reading a single
+    content byte. All regexes run against the LOWERED path in one
+    zero-shuffle projection (the lowered copy materializes once);
+    portable (no lookaround), so the SQL oracle reproduces every flag.
+    NULL path → NULL flags.
+    """
+    staged = df.withColumn("__lp", F.lower(F.col(path_col)))
+    lp = F.col("__lp")
+    for name, pat in PATH_FLAG_PATTERNS.items():
+        staged = staged.withColumn(
+            name, F.when(lp.isNotNull(), lp.rlike(pat)))
+    return staged.drop("__lp")
+
+
+def comment_stats(df: DataFrame, content_col: str,
+                  comment_styles: tuple[str, ...] = ("hash", "c")
+                  ) -> DataFrame:
+    """Append ``comment_chars`` and ``comment_ratio`` (fraction of
+    characters inside comments, 4dp): near-zero flags generated or
+    minified code, near-one flags license-header boilerplate files.
+    Derived as ``length(content) − length(comments stripped)`` — no
+    per-line pass, one zero-shuffle projection, same portable
+    :data:`COMMENT_PATTERNS` chain as ``normalize_code`` (and the same
+    documented string-literal trade). NULL content → NULL.
+    """
+    c = F.col(content_col)
+    stripped = c
+    for style in comment_styles:
+        for pat in COMMENT_PATTERNS[style]:
+            stripped = F.regexp_replace(stripped, pat, "")
+    removed = F.length(c) - F.length(stripped)
+    return (df.withColumn("comment_chars", removed.cast("long"))
+            .withColumn("comment_ratio",
+                        F.round(removed
+                                / F.greatest(F.length(c), F.lit(1))
+                                .cast("double"), 4)))

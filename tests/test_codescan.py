@@ -460,3 +460,49 @@ def test_normalize_code_formatting_invariance(spark):
     assert got[0][1] != got[2][1]          # real change does not
     assert got[3][0] == "int a; int b;" == got[4][0]
     assert got[5] == (None, None)
+
+
+def test_path_flags_classification(spark):
+    from peri_spark.functions import path_flags
+    rows = [
+        (0, "src/tests/test_core.py"),
+        (1, "pkg/io_test.go"),
+        (2, "web/app.spec.js"),
+        (3, "vendor/lib/x.go"),
+        (4, "node_modules/react/index.js"),
+        (5, "gen/schema.pb.go"),
+        (6, "assets/app.min.js"),
+        (7, "docs/guide.md"),
+        (8, "src/main.py"),
+        (9, None),
+        (10, "src/java/FooTest.java"),
+        (11, "contest/entry.py"),            # 'test' inside a word: NOT a test
+    ]
+    df = spark.createDataFrame(rows, "id long, path string")
+    got = {r.id: r for r in path_flags(df, "path").collect()}
+    assert got[0].is_test and got[1].is_test and got[2].is_test
+    assert got[10].is_test
+    assert got[3].is_vendored and got[4].is_vendored
+    assert got[5].is_generated and got[6].is_generated
+    assert got[7].is_docs
+    r8 = got[8]
+    assert not (r8.is_test or r8.is_vendored or r8.is_generated
+                or r8.is_docs)
+    assert got[9].is_test is None
+    assert not got[11].is_test
+
+
+def test_comment_stats(spark):
+    from peri_spark.functions import comment_stats
+    rows = [
+        (0, "x = 1  # half of this line is comment\n"),
+        (1, "no comments here"),
+        (2, "/* all comment */"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    got = {r.id: r for r in comment_stats(df, "content").collect()}
+    assert got[0].comment_chars == len("# half of this line is comment")
+    assert got[1].comment_ratio == 0.0
+    assert got[2].comment_ratio == 1.0
+    assert got[3].comment_chars is None and got[3].comment_ratio is None
