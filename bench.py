@@ -804,6 +804,21 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
     t0 = time.monotonic()
     rl = repo_license_rollup(df, "content").count()
     rl_wall = round(time.monotonic() - t0, 3)
+    from peri_spark.functions import (comment_stats, detect_code_lang,
+                                      normalize_code, path_flags)
+    t0 = time.monotonic()
+    ld = (detect_code_lang(df, "path", "content")
+          .groupBy("detected_lang").count().count())
+    ld_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    nc = (normalize_code(df, "content")
+          .groupBy("norm_digest").count().where("count > 1").count())
+    nc_wall = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    pf = (comment_stats(path_flags(df, "path"), "content")
+          .agg(F.sum(F.col("is_test").cast("int")),
+               F.avg("comment_ratio")).collect()[0])
+    pf_wall = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     up_rows = weighted_mix(
@@ -914,6 +929,14 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
             "repo_license_rollup": {"wall_sec": rl_wall,
                                     "repos": int(rl),
                                     "rows_per_sec": round(n / rl_wall, 1)},
+            "lang_detect": {"wall_sec": ld_wall, "langs": int(ld),
+                            "rows_per_sec": round(n / ld_wall, 1)},
+            "normalize_dedup": {"wall_sec": nc_wall,
+                                "dup_groups": int(nc),
+                                "rows_per_sec": round(n / nc_wall, 1)},
+            "path_flags": {"wall_sec": pf_wall,
+                           "test_files": int(pf[0] or 0),
+                           "rows_per_sec": round(n / pf_wall, 1)},
             "upsample_mix": {"wall_sec": up_wall,
                              "emitted_rows": int(up_rows),
                              "rows_per_sec": round(n / up_wall, 1)},
