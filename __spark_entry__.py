@@ -1418,7 +1418,6 @@ SELECT CASE WHEN length(content) % 8 = 0 THEN replace(path, '.py', '.rs')
               THEN '#!/usr/bin/env node' || chr(10) || content
             WHEN length(content) % 8 = 4
               THEN 'package main' || chr(10) || content
-            WHEN length(content) % 8 = 5 THEN content
             ELSE content END AS content
 FROM {cf}
 WHERE content IS NOT NULL
@@ -3972,7 +3971,7 @@ def _path_flags_oracle_sql() -> str:
                                                PATH_FLAG_PATTERNS)
     staged = _PATHFLAGS_STAGE_SQL.format(cf=f"{_CF} AS code_files")
     flags = ",\n           ".join(
-        f"regexp_matches(lower(path), '{p}') AS {n}"
+        f"regexp_matches(path, '{p}') AS {n}"
         for n, p in PATH_FLAG_PATTERNS.items())
     stripped = "content"
     for style in ("hash", "c"):
@@ -3998,12 +3997,14 @@ def _normcode_oracle_sql() -> str:
     plant and the same comment-strip + whitespace-collapse chain (the
     'g' flag — DuckDB replaces first-match-only without it)."""
     staged = _NORMCODE_STAGE_SQL.format(cf=f"{_CF} AS code_files")
-    norm = ("trim(regexp_replace(regexp_replace(regexp_replace("
-            "regexp_replace(content,"
-            " '(?m)#[^\n]*', '', 'g'),"
-            " '/\\*[\\s\\S]*?\\*/', '', 'g'),"
-            " '(?m)//[^\n]*', '', 'g'),"
-            " '[ \t\r\n]+', ' ', 'g'))")
+    from peri_spark.functions.codescan import COMMENT_PATTERNS
+    norm = "content"
+    for style in ("hash", "c"):
+        for pat in COMMENT_PATTERNS[style]:
+            lit = pat.replace("'", "''")
+            norm = f"regexp_replace({norm}, '{lit}', '', 'g')"
+    norm = ("trim(regexp_replace(" + norm
+            + ", '[ \t\r\n]+', ' ', 'g'))")
     return f"""
     WITH staged AS ({staged}),
     n AS (SELECT sha256({norm}) AS nd, sha256(content) AS rd

@@ -630,8 +630,8 @@ def detect_code_lang(df: DataFrame, path_col: str, content_col: str,
     ext = F.lower(F.regexp_extract(F.col(path_col),
                                    r"\.([A-Za-z0-9_]+)$", 1))
     staged = df.withColumn(
-        "__head", F.substring(F.col(content_col), 1, head_chars))
-    head = F.col("__head")
+        "__peri_head", F.substring(F.col(content_col), 1, head_chars))
+    head = F.col("__peri_head")
     shebang = F.when(head.startswith("#!"),
                      F.substring_index(head, "\n", 1))
     by_ext = F.lit(None).cast("string")
@@ -649,7 +649,7 @@ def detect_code_lang(df: DataFrame, path_col: str, content_col: str,
                       & F.col(content_col).isNull(),
                       F.lit(None).cast("string"))
                .otherwise(F.coalesce(verdict, F.lit("unknown"))))
-    return staged.withColumn(out_col, verdict).drop("__head")
+    return staged.withColumn(out_col, verdict).drop("__peri_head")
 
 
 # comment syntaxes by family; regexes are engine-portable (non-greedy
@@ -660,7 +660,38 @@ COMMENT_PATTERNS: dict[str, list[str]] = {
 }
 
 
+# language -> comment styles that actually apply. Stripping the wrong
+# family is not harmless: '#include' lines are CODE in C, '//' is floor
+# division in Python — a language-blind strip merges genuinely
+# different files on the dedup key.
+LANG_COMMENT_STYLES: dict[str, tuple[str, ...]] = {
+    "python": ("hash",), "shell": ("hash",), "ruby": ("hash",),
+    "config": ("hash",),
+    "c": ("c",), "cpp": ("c",), "javascript": ("c",),
+    "typescript": ("c",), "java": ("c",), "go": ("c",), "rust": ("c",),
+    "php": ("c", "hash"), "csharp": ("c",),
+}
+
+
+def _strip_comments(c: Column, styles: tuple[str, ...]) -> Column:
+    """The ONE comment-strip chain both normalize_code and
+    comment_stats consume (and the SQL oracles mirror)."""
+    for style in styles:
+        for pat in COMMENT_PATTERNS[style]:
+            c = F.regexp_replace(c, pat, "")
+    return c
+
+
+def _strip_by_lang(c: Column, lang: Column) -> Column:
+    out = c  # unknown language: strip NOTHING (conservative)
+    for lg, styles in LANG_COMMENT_STYLES.items():
+        out = F.when(lang == lg, _strip_comments(c, styles)) \
+            .otherwise(out)
+    return out
+
+
 def normalize_code(df: DataFrame, content_col: str,
+                   lang_col: str | None = None,
                    comment_styles: tuple[str, ...] = ("hash", "c"),
                    out_col: str = "content_norm",
                    digest_col: str = "norm_digest") -> DataFrame:
@@ -672,16 +703,21 @@ def normalize_code(df: DataFrame, content_col: str,
     files differing only in comments/indentation/blank lines collide;
     raw sha256 would keep both.
 
-    Regex comment stripping is the standard engineering trade: a
-    string literal CONTAINING a comment marker also gets truncated
-    (both engines identically — the regexes are portable), which is
-    acceptable for a dedup KEY (false merges need the remainder to
-    also match). Zero shuffle; NULL content → NULL.
+    Pass ``lang_col`` (e.g. ``detect_code_lang``'s verdict) to strip
+    only the language's OWN comment syntax — without it the default
+    strips both families, which treats '#include' lines in C and '//'
+    floor division in Python as comments and can merge genuinely
+    different files (acceptable only when the corpus is known
+    single-family). Unknown languages under ``lang_col`` strip
+    nothing. String literals containing a comment marker still
+    truncate (the standard regex-strip trade, identical in both
+    engines). Zero shuffle; NULL content → NULL.
     """
     c = F.col(content_col)
-    for style in comment_styles:
-        for pat in COMMENT_PATTERNS[style]:
-            c = F.regexp_replace(c, pat, "")
+    if lang_col is not None:
+        c = _strip_by_lang(c, F.col(lang_col))
+    else:
+        c = _strip_comments(c, comment_styles)
     c = F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
     staged = df.withColumn(out_col, c)
     return staged.withColumn(
@@ -692,19 +728,24 @@ def normalize_code(df: DataFrame, content_col: str,
 # directory segments / filename shapes that mark files a training
 # pipeline usually EXCLUDES (vendored deps, generated artifacts) or
 # ROUTES differently (tests, docs)
+# matched against the RAW path: (?i:...) groups handle the
+# case-insensitive parts, while the *Test.java convention stays
+# case-SENSITIVE (lowering the path made `latest.java` a test)
 PATH_FLAG_PATTERNS: dict[str, str] = {
     # tests: test/tests dirs, test_*.py, *_test.go, *.spec.js, *Test.java
-    "is_test": r"(^|/)(tests?|spec|__tests__)(/|$)"
-               r"|(^|/)test_[^/]*$|_test\.[a-z]+$"
-               r"|\.(spec|test)\.[a-z]+$|test\.java$",
+    "is_test": r"(?i:(^|/)(tests?|spec|__tests__)(/|$))"
+               r"|(?i:(^|/)test_[^/]*$)|(?i:_test\.[a-z]+$)"
+               r"|(?i:\.(spec|test)\.[a-z]+$)"
+               r"|(^|/|[a-z0-9_])Test\.java$",
     # vendored dependency trees
-    "is_vendored": r"(^|/)(vendor|node_modules|third_party|thirdparty|"
-                   r"external|deps)(/|$)",
+    "is_vendored": r"(?i:(^|/)(vendor|node_modules|third_party|"
+                   r"thirdparty|external|deps)(/|$))",
     # generated artifacts: *.pb.go, *_pb2.py, *.g.dart, .min.js, dist/
-    "is_generated": r"\.pb\.[a-z]+$|_pb2\.py$|\.g\.[a-z]+$"
-                    r"|\.min\.(js|css)$|(^|/)(dist|build|target)(/|$)",
-    # documentation
-    "is_docs": r"(^|/)(docs?|documentation)(/|$)|\.(md|rst|txt)$",
+    "is_generated": r"(?i:\.pb\.[a-z]+$|_pb2\.py$|\.g\.[a-z]+$"
+                    r"|\.min\.(js|css)$|(^|/)(dist|build|target)(/|$))",
+    # documentation dirs + doc markup; bare .txt deliberately NOT a doc
+    # signal (requirements.txt / CMakeLists.txt are build inputs)
+    "is_docs": r"(?i:(^|/)(docs?|documentation)(/|$)|\.(md|rst)$)",
 }
 
 
@@ -717,15 +758,15 @@ def path_flags(df: DataFrame, path_col: str) -> DataFrame:
     portable (no lookaround), so the SQL oracle reproduces every flag.
     NULL path → NULL flags.
     """
-    staged = df.withColumn("__lp", F.lower(F.col(path_col)))
-    lp = F.col("__lp")
+    p = F.col(path_col)
+    out = df
     for name, pat in PATH_FLAG_PATTERNS.items():
-        staged = staged.withColumn(
-            name, F.when(lp.isNotNull(), lp.rlike(pat)))
-    return staged.drop("__lp")
+        out = out.withColumn(name, F.when(p.isNotNull(), p.rlike(pat)))
+    return out
 
 
 def comment_stats(df: DataFrame, content_col: str,
+                  lang_col: str | None = None,
                   comment_styles: tuple[str, ...] = ("hash", "c")
                   ) -> DataFrame:
     """Append ``comment_chars`` and ``comment_ratio`` (fraction of
@@ -733,14 +774,16 @@ def comment_stats(df: DataFrame, content_col: str,
     minified code, near-one flags license-header boilerplate files.
     Derived as ``length(content) − length(comments stripped)`` — no
     per-line pass, one zero-shuffle projection, same portable
-    :data:`COMMENT_PATTERNS` chain as ``normalize_code`` (and the same
-    documented string-literal trade). NULL content → NULL.
+    :data:`COMMENT_PATTERNS` chain as ``normalize_code`` — including
+    its ``lang_col`` language dispatch and the documented
+    string-literal / language-blind-default trades. NULL content →
+    NULL.
     """
     c = F.col(content_col)
-    stripped = c
-    for style in comment_styles:
-        for pat in COMMENT_PATTERNS[style]:
-            stripped = F.regexp_replace(stripped, pat, "")
+    if lang_col is not None:
+        stripped = _strip_by_lang(c, F.col(lang_col))
+    else:
+        stripped = _strip_comments(c, comment_styles)
     removed = F.length(c) - F.length(stripped)
     return (df.withColumn("comment_chars", removed.cast("long"))
             .withColumn("comment_ratio",

@@ -506,3 +506,39 @@ def test_comment_stats(spark):
     assert got[1].comment_ratio == 0.0
     assert got[2].comment_ratio == 1.0
     assert got[3].comment_chars is None and got[3].comment_ratio is None
+
+
+def test_path_flags_case_conventions(spark):
+    """Review regressions: latest.java is not a test; requirements.txt
+    is not documentation; case-insensitive dirs still classify."""
+    from peri_spark.functions import path_flags
+    rows = [(0, "src/latest.java"), (1, "src/FooTest.java"),
+            (2, "requirements.txt"), (3, "CMakeLists.txt"),
+            (4, "Docs/Guide.MD"), (5, "TESTS/x.py"),
+            (6, "src/Test.java")]
+    df = spark.createDataFrame(rows, "id long, path string")
+    got = {r.id: r for r in path_flags(df, "path").collect()}
+    assert not got[0].is_test and got[1].is_test and got[6].is_test
+    assert not got[2].is_docs and not got[3].is_docs
+    assert got[4].is_docs and got[5].is_test
+
+
+def test_normalize_code_language_aware(spark):
+    """Review regression: with a lang column, '#include' is CODE in C
+    (two different C files must NOT merge) and '//' is floor division
+    in python."""
+    from peri_spark.functions import normalize_code
+    rows = [
+        (0, "c", "#include <stdio.h>\nint main(){return 0;}"),
+        (1, "c", "#include <assert.h>\nint main(){return 0;}"),
+        (2, "python", "x = a // b  # halve\n"),
+        (3, "python", "x = a // c  # halve\n"),
+        (4, "cobol", "MOVE A TO B. * not stripped\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, content string")
+    got = {r.id: r for r in
+           normalize_code(df, "content", lang_col="lang").collect()}
+    assert got[0].norm_digest != got[1].norm_digest   # includes kept
+    assert "#include <stdio.h>" in got[0].content_norm
+    assert got[2].content_norm == "x = a // b" != got[3].content_norm
+    assert got[4].content_norm == "MOVE A TO B. * not stripped"
