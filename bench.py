@@ -819,6 +819,15 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
           .agg(F.sum(F.col("is_test").cast("int")),
                F.avg("comment_ratio")).collect()[0])
     pf_wall = round(time.monotonic() - t0, 3)
+    # the FUSED one-scan profile: every signal in a single pass —
+    # compare its wall against the sum of the individual scans above
+    from peri_spark.functions import code_profile
+    t0 = time.monotonic()
+    cp = (code_profile(df, "path", "content")
+          .agg(F.count(F.lit(1)),
+               F.count_distinct("norm_digest"),
+               F.sum("n_secrets")).collect()[0])
+    cp_wall = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
     up_rows = weighted_mix(
@@ -937,6 +946,9 @@ def run_curation(workers: int, input_path: str, runs: int) -> dict:
             "path_flags": {"wall_sec": pf_wall,
                            "test_files": int(pf[0] or 0),
                            "rows_per_sec": round(n / pf_wall, 1)},
+            "code_profile_fused": {"wall_sec": cp_wall,
+                                   "distinct_norm": int(cp[1]),
+                                   "rows_per_sec": round(n / cp_wall, 1)},
             "upsample_mix": {"wall_sec": up_wall,
                              "emitted_rows": int(up_rows),
                              "rows_per_sec": round(n / up_wall, 1)},

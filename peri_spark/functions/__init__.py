@@ -29,7 +29,7 @@ from .similarity import (brute_force_topk, cosine_topk_for_query,
                          ivf_topk, normalize_embeddings,
                          semantic_dedup, train_ivf_centroids)
 from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
-                       import_edges, comment_stats, detect_code_lang,
+                       import_edges, code_profile, comment_stats, detect_code_lang,
                        extract_imports_by_lang, normalize_code,
                        path_flags,
                        extract_symbols,
@@ -79,5 +79,5 @@ __all__ = [
     "scan_licenses", "extract_symbols", "repo_license_rollup",
     "extract_imports_by_lang", "high_entropy_tokens",
     "detect_code_lang", "normalize_code", "path_flags",
-    "comment_stats",
+    "comment_stats", "code_profile",
 ]

@@ -34,7 +34,8 @@ __all__ = ["SECRET_PATTERNS", "SECRET_ANCHORS", "scan_secrets",
            "ENTROPY_CANDIDATE_PATTERN", "high_entropy_tokens",
            "EXT_LANG", "SHEBANG_LANG", "KEYWORD_LANG", "detect_code_lang",
            "COMMENT_PATTERNS", "normalize_code",
-           "PATH_FLAG_PATTERNS", "path_flags", "comment_stats"]
+           "PATH_FLAG_PATTERNS", "path_flags", "comment_stats",
+           "LANG_COMMENT_STYLES", "code_profile"]
 
 # label -> engine-portable regex. Deliberately high-precision shapes
 # (provider-prefixed token formats, PEM armor) — a corpus-scale scan
@@ -790,3 +791,28 @@ def comment_stats(df: DataFrame, content_col: str,
                         F.round(removed
                                 / F.greatest(F.length(c), F.lit(1))
                                 .cast("double"), 4)))
+
+
+def code_profile(df: DataFrame, path_col: str, content_col: str) -> DataFrame:
+    """Every per-file scan signal in ONE fused pass: path flags,
+    detected language, language-aware comment stats, license verdict,
+    credential counts, per-language imports, symbol counts, and the
+    normalized near-exact-dedup digest. All constituents are
+    zero-shuffle codegen projections, so Catalyst collapses the whole
+    profile into a single scan-stage — at 10^12 files the corpus is
+    read ONCE for the complete signal set (measured in bench.py:
+    the fused profile costs far less than the sum of separate scans).
+
+    The detected language feeds the comment stripping and the import
+    dispatch, so the signals are consistent with each other by
+    construction.
+    """
+    out = path_flags(df, path_col)
+    out = detect_code_lang(out, path_col, content_col)
+    out = comment_stats(out, content_col, lang_col="detected_lang")
+    out = scan_licenses(out, content_col)
+    out = scan_secrets(out, content_col)
+    out = extract_imports_by_lang(out, content_col, "detected_lang")
+    out = extract_symbols(out, content_col)
+    return normalize_code(out, content_col,
+                          lang_col="detected_lang").drop("content_norm")

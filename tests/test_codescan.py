@@ -542,3 +542,30 @@ def test_normalize_code_language_aware(spark):
     assert "#include <stdio.h>" in got[0].content_norm
     assert got[2].content_norm == "x = a // b" != got[3].content_norm
     assert got[4].content_norm == "MOVE A TO B. * not stripped"
+
+
+def test_code_profile_one_scan_all_signals(spark):
+    from peri_spark.functions import code_profile
+    rows = [("org/r", "src/a.py",
+             "#!/x\nimport os\ndef f():\n    pass  # c\n"),
+            ("org/r", "vendor/b.js",
+             "// dep\nconst x = require('react');\n"),
+            ("org/r", "src/c.py", None)]
+    df = spark.createDataFrame(rows,
+                               "repo string, path string, content string")
+    got = {r.path: r for r in code_profile(df, "path", "content").collect()}
+    a = got["src/a.py"]
+    assert a.detected_lang == "python" and a.imported_modules == ["os"]
+    assert a.n_function == 1 and a.comment_ratio > 0
+    assert a.license_family == "none" and a.n_secrets == 0
+    assert a.norm_digest is not None and not a.is_vendored
+    b = got["vendor/b.js"]
+    assert b.is_vendored and b.detected_lang == "javascript"
+    assert b.imported_modules == ["react"]
+    c = got["src/c.py"]
+    assert c.detected_lang == "python"     # by extension
+    assert c.norm_digest is None and c.n_secrets is None
+    # the whole profile is ONE scan stage: no exchange, no Python
+    plan = code_profile(df, "path", "content") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
