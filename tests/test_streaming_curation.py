@@ -92,3 +92,27 @@ def test_strip_data_uris_stream_matches_batch(spark, docs_batch, docs_dir):
     got = _rows(spark, "strip_stream")
     want = sorted(map(tuple, strip_data_uris(docs_batch, "text").collect()))
     assert got == want and len(got) > 0
+
+
+def test_code_profile_stream_matches_batch(spark, docs_batch, docs_dir):
+    """The fused one-scan profile is a stateless projection, so an
+    ingestion stream can compute EVERY per-file signal before anything
+    lands in the corpus — row-identical to batch."""
+    from pyspark.sql import functions as F
+
+    from peri_spark.functions import code_profile
+
+    def prep(df):
+        return df.select(
+            F.concat(F.lit("src/f"), F.col("doc_id").cast("string"),
+                     F.lit(".py")).alias("path"),
+            F.col("text").alias("content"))
+
+    batch = (code_profile(prep(docs_batch), "path", "content")
+             .drop("imported_modules"))   # arrays: compare via json
+    _drain(code_profile(prep(_stream(spark, docs_batch, docs_dir)),
+                        "path", "content").drop("imported_modules"),
+           "profile_stream")
+    got = _rows(spark, "profile_stream")
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == 500
