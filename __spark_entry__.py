@@ -1372,6 +1372,23 @@ FROM {cf}
 WHERE content IS NOT NULL
 """
 
+# Fork planting for repo_overlap_pairs: every org1* repo gets a
+# 'fork::' copy with ~20% of files edited (different digest). IDENTICAL
+# SQL in both engines.
+# {sha} = engine digest: Spark sha2(x, 256) ≡ DuckDB sha256(x)
+_FORK_STAGE_SQL = """
+SELECT repo, {sha_open}content{sha_close} AS digest
+FROM {cf} WHERE content IS NOT NULL
+UNION ALL
+SELECT 'fork::' || repo,
+       {sha_open}CASE WHEN length(content) % 5 = 0
+                 THEN content || ' EDIT' ELSE content END{sha_close}
+FROM {cf} WHERE content IS NOT NULL AND repo LIKE 'org1%'
+"""
+_FORK_SPARK = dict(sha_open="sha2(", sha_close=", 256)")
+_FORK_DUCK = dict(sha_open="sha256(", sha_close=")")
+
+
 # Path/comment planting for path_flags + comment_stats: buckets route
 # files into tests/vendored/generated/docs trees and plant a comment
 # header class. IDENTICAL SQL in both engines.
@@ -1867,6 +1884,19 @@ def q_migration_impact_code_files(spark: SparkSession,
     return migration_impact(df, FLAGSHIP_SCHEMA, _flagship_v2())
 
 
+def q_repo_overlap_code_files(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Fork detection over planted repo forks (~80% shared files):
+    containment overlap via the df-pruned inverted digest index — the
+    self-join runs on digests, never on repo pairs."""
+    from peri_spark.functions import repo_overlap_pairs
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_FORK_STAGE_SQL.format(cf="code_files",
+                                               **_FORK_SPARK))
+    return repo_overlap_pairs(staged, "repo", "digest",
+                              min_overlap=0.5)
+
+
 def q_path_flags_code_files(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Path-classification + comment-density census: per flag class,
@@ -2073,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langdetect_code_files": q_langdetect_code_files,
         "normcode_dedup_code_files": q_normcode_dedup_code_files,
         "path_flags_code_files": q_path_flags_code_files,
+        "repo_overlap_code_files": q_repo_overlap_code_files,
         "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
@@ -3698,6 +3729,31 @@ def oracle_sql() -> dict[str, str]:
         "entropy_code_files": _entropy_oracle_sql(),
         "langdetect_code_files": _langdetect_oracle_sql(),
         "normcode_dedup_code_files": _normcode_oracle_sql(),
+        "repo_overlap_code_files": f"""
+    WITH staged AS ({_FORK_STAGE_SQL.format(cf=f"(SELECT * FROM {_CF} AS cfx)", **_FORK_DUCK)}),
+    base AS (SELECT DISTINCT repo AS g, digest AS d FROM staged
+             WHERE digest IS NOT NULL),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS size
+              FROM base GROUP BY g),
+    dfreq AS (SELECT d, count(*) AS df FROM base GROUP BY d),
+    idx AS (SELECT g, base.d FROM base JOIN dfreq ON base.d = dfreq.d
+            WHERE df BETWEEN 2 AND 10000),
+    pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM idx a JOIN idx b ON a.d = b.d AND a.g < b.g
+              GROUP BY 1, 2)
+    SELECT group_a, group_b, n_shared,
+           sa.size AS size_a, sb.size AS size_b,
+           round(n_shared / CAST(least(sa.size, sb.size) AS DOUBLE), 4)
+             AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+    WHERE n_shared / CAST(least(sa.size, sb.size) AS DOUBLE)
+          >= 0.49999999
+      AND round(n_shared / CAST(least(sa.size, sb.size) AS DOUBLE), 4)
+          >= 0.5
+    """,
         "path_flags_code_files": _path_flags_oracle_sql(),
         "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),

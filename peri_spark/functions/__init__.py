@@ -23,7 +23,8 @@ from .dedup import (exact_duplicates, exact_digest_index,
                     simhash_signatures, embedding_duplicate_pairs,
                     near_dup_clusters, deduplicate_by_clusters,
                     deduplicate_by_clusters_best,
-                    dedup_chunks, portable_hash64)
+                    dedup_chunks, portable_hash64,
+                    repo_overlap_pairs)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
                          ivf_topk, normalize_embeddings,
@@ -70,7 +71,7 @@ __all__ = [
     "encode_tokens", "normalize_text", "strip_data_uris",
     "url_stats", "domain_counts",
     "sample_k_per_group",
-    "cluster_safe_split",
+    "cluster_safe_split", "repo_overlap_pairs",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
     "merge_intervals", "rolling_agg", "staleness",
     "cohort_retention", "funnel",

@@ -32,7 +32,8 @@ __all__ = ["exact_duplicates", "exact_digest_index", "exact_dedup_against",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
            "deduplicate_by_clusters_best",
-           "dedup_chunks", "portable_hash64"]
+           "dedup_chunks", "portable_hash64"           "repo_overlap_pairs",
+]
 
 
 def portable_hash64(c: Column) -> Column:
@@ -1110,3 +1111,51 @@ def deduplicate_by_clusters_best(df: DataFrame, id_col: str,
               .where(F.col("__rk") > 1).select("id"))
     return df.join(losers.withColumnRenamed("id", id_col),
                    id_col, "left_anti")
+
+
+def repo_overlap_pairs(df: DataFrame, group_col: str, digest_col: str,
+                       min_overlap: float = 0.8,
+                       max_digest_df: int = 10_000) -> DataFrame:
+    """Fork/mirror detection: pairs of groups (repos) whose FILE SETS
+    overlap — ``(group_a, group_b, n_shared, size_a, size_b, overlap)``
+    with ``overlap = shared / min(sizes)`` (containment, so a fork
+    that ADDED files still scores 1.0 against its parent) ≥
+    ``min_overlap``. Feed it ``normalize_code``'s digest and forks
+    survive reformatting too.
+
+    Scale shape (GitHub-style corpora are ~torrents of forks): the
+    inverted (digest → groups) index self-joins on digest — never on
+    group pairs — after pruning digests with document frequency
+    outside [2, ``max_digest_df``]: singletons pair with nothing and
+    boilerplate shared by everyone (empty __init__.py, standard
+    LICENSE) would quadratically explode exactly the pairs that mean
+    nothing. Shuffles carry (group, 16-byte digest) rows only;
+    the pair aggregate partial-aggregates map-side.
+    """
+    base = (df.select(F.col(group_col).alias("g"),
+                      F.col(digest_col).alias("d"))
+            .where(F.col("d").isNotNull()).distinct())
+    sizes = base.groupBy("g").agg(F.count(F.lit(1)).alias("size"))
+    dfreq = base.groupBy("d").agg(F.count(F.lit(1)).alias("df"))
+    idx = (base.join(dfreq.where((F.col("df") >= 2)
+                                 & (F.col("df") <= max_digest_df)),
+                     "d")
+           .select("g", "d"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (a.join(b, (F.col("a.d") == F.col("b.d"))
+                    & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("group_a"),
+                      F.col("b.g").alias("group_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("g").alias("group_a"),
+                      F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("g").alias("group_b"),
+                      F.col("size").alias("size_b"))
+    out = (pairs.join(sa, "group_a").join(sb, "group_b")
+           .withColumn("overlap",
+                       F.round(F.col("n_shared")
+                               / F.least("size_a", "size_b")
+                               .cast("double"), 4))
+           .where(F.col("overlap") >= min_overlap))
+    return out.select("group_a", "group_b", "n_shared",
+                      "size_a", "size_b", "overlap")
