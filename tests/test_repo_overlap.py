@@ -41,3 +41,16 @@ def test_overlap_threshold_and_duplicate_rows(spark):
     out = repo_overlap_pairs(df, "repo", "digest",
                              min_overlap=0.5, max_digest_df=3)
     assert out.count() == 1                        # still just the fork pair
+
+
+def test_fork_pairs_compose_with_cluster_dedup(spark):
+    """Fork families collapse to one canonical repo via the existing
+    pairs -> connected-components pipeline (string ids work: the
+    component minimum is lexicographic)."""
+    from peri_spark.functions import near_dup_clusters
+    pairs = repo_overlap_pairs(_corpus(spark), "repo", "digest",
+                               min_overlap=0.5, max_digest_df=3) \
+        .select(F.col("group_a").alias("id_a"),
+                F.col("group_b").alias("id_b"))
+    labels = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert labels == {"fork": "fork", "parent": "fork"}
