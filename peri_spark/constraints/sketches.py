@@ -98,19 +98,13 @@ def merge_quantile_sketches(history: DataFrame, columns: list[str],
     """
     if not columns:
         raise ValueError("columns must be non-empty")
-    # kll_sketch_merge_double is a BINARY scalar (no aggregate form):
-    # collect the per-batch sketch blobs — one kilobyte-sized row per
-    # batch, tiny by construction — and fold them with the HOF
-    aggs = [F.collect_list(f"{c}__kll").alias(f"{c}__arr")
-            for c in columns]
-    arrs = history.agg(*aggs)
-    # try_element_at: an EMPTY history (a window matching no batches)
-    # must yield NULL quantiles, not an ANSI INVALID_ARRAY_INDEX error
-    merged = arrs.select(*[
-        F.reduce(F.slice(F.col(f"{c}__arr"), 2,
-                         F.greatest(F.size(f"{c}__arr") - 1, F.lit(0))),
-                 F.try_element_at(f"{c}__arr", F.lit(1)),
-                 lambda acc, x: F.kll_sketch_merge_double(acc, x))
+    # kll_merge_agg_double merges distributively (partial-aggregated,
+    # no driver-side blob fold). On ZERO input rows it emits an empty
+    # sketch buffer that get_quantile rejects, so an empty history (a
+    # window matching no batches) is guarded to NULL → NULL quantiles.
+    merged = history.agg(*[
+        F.when(F.count(f"{c}__kll") > 0,
+               F.expr(f"kll_merge_agg_double({c}__kll)"))
         .alias(f"{c}__kll") for c in columns])
     structs = []
     for c in columns:

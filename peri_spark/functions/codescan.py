@@ -754,8 +754,10 @@ def path_flags(df: DataFrame, path_col: str) -> DataFrame:
     """Append boolean path-classification flags (``is_test`` /
     ``is_vendored`` / ``is_generated`` / ``is_docs``) — the route/drop
     signals a code-corpus curation pass applies before reading a single
-    content byte. All regexes run against the LOWERED path in one
-    zero-shuffle projection (the lowered copy materializes once);
+    content byte. All regexes match the RAW path with inline ``(?i:)``
+    groups in one zero-shuffle projection — the deliberately
+    case-sensitive ``*Test.java`` alternation (see
+    :data:`PATH_FLAG_PATTERNS`) is why the path is never lowered;
     portable (no lookaround), so the SQL oracle reproduces every flag.
     NULL path → NULL flags.
     """

@@ -32,7 +32,7 @@ __all__ = ["exact_duplicates", "exact_digest_index", "exact_dedup_against",
            "simhash_signatures", "embedding_duplicate_pairs",
            "near_dup_clusters", "deduplicate_by_clusters",
            "deduplicate_by_clusters_best",
-           "dedup_chunks", "portable_hash64"           "repo_overlap_pairs",
+           "dedup_chunks", "portable_hash64", "repo_overlap_pairs",
 ]
 
 

@@ -500,3 +500,28 @@ def test_encode_tokens_jvm_path_duplicate_ids(spark):
                  encode_tokens(df, "text", "doc_id", voc,
                                arrow=False).collect())
     assert out == [(1, (1, 1)), (1, (2, 1)), (2, (2,))]
+
+
+def test_public_module_all_lists_are_real_names():
+    # ADVICE r4: a missing comma in an __all__ silently fused two
+    # entries ('portable_hash64repo_overlap_pairs') and broke
+    # star-imports. Assert every __all__ name exists in its module,
+    # across every peri_spark (sub)module that declares one.
+    import importlib
+    import pkgutil
+
+    import peri_spark
+
+    mods = ["peri_spark"]
+    for pkg in pkgutil.walk_packages(peri_spark.__path__, "peri_spark."):
+        mods.append(pkg.name)
+    checked = 0
+    for name in mods:
+        mod = importlib.import_module(name)
+        exported = getattr(mod, "__all__", None)
+        if exported is None:
+            continue
+        missing = [n for n in exported if not hasattr(mod, n)]
+        assert not missing, f"{name}.__all__ names missing: {missing}"
+        checked += 1
+    assert checked >= 10  # the guard actually covered the tree
