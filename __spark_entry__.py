@@ -2015,7 +2015,12 @@ def q_licenses_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 NO_ORACLE: set[str] = {"streaming_violation_streaks"}
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EVERY implemented operator as its own (query, oracle) pair — the
+    full 132-entry registry. The driver contract (``queries()``) folds
+    these into ~3 dozen rows via peri_spark/composite.py so all of them
+    fit the driver's ~50-row recording window; tests parametrize over
+    THIS registry so a failure still names the single operator."""
     from peri_spark.directive_queries import DIRECTIVE_QUERIES
     # The two queries a budget-limited driver is most likely to drop
     # (the one iterative op and the embedding self-join) go FIRST:
@@ -2587,7 +2592,8 @@ def _knn_oracle_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql_full() -> dict[str, str]:
+    """DuckDB oracle for every entry in :func:`queries_full`."""
     flagship_viol = po.violations_sql(
         FLAGSHIP_SCHEMA, f"{_CF} AS code_files", _ID)
     flagship_valid = po.valid_rows_sql(
@@ -4282,3 +4288,137 @@ def _code_shape_oracle_sql() -> str:
         AS is_minified
     FROM l
     """
+
+
+# ---------------------------------------------------------------------------
+# Driver contract: the consolidated ~3-dozen-row window (VERDICT r04 #1)
+# ---------------------------------------------------------------------------
+# The external driver records roughly the FIRST 50 queries() entries per
+# round; round 4's 132-entry contract left 82 operators with no artifact
+# row. queries() now folds operator families into composite rows (see
+# peri_spark/composite.py): every member still runs in full and is
+# certified by the same rows+schema+hash gate, as the UNION ALL of
+# slot-canonicalized member results against the UNION ALL of their
+# existing DuckDB oracles. Standalone rows are kept for the flagship
+# pair, the iterative/self-join ops the driver previously dropped, and
+# the four rows VERDICT r04 explicitly asks restored by name.
+
+DRIVER_WINDOW = 48  # conservative vs the observed ~50-row recording cap
+
+STANDALONE: tuple[str, ...] = (
+    "near_dup_clusters",          # iterative connected components
+    "embedding_dups",             # embedding self-join
+    "validate_events",            # restored by name (VERDICT r04 next #1)
+    "defaults_transform_orders",  # restored by name
+    "either_customer",            # restored by name
+    "ngram_jaccard",              # restored by name
+    "flagship_violations",
+    "flagship_valid",
+    "minhash_lsh_pairs",
+    "repo_overlap_code_files",    # fan-out fix under test this round
+    "frame_offsets_events",       # multimodal plumbing
+    "streaming_violation_streaks",  # NO_ORACLE: rows-only by design
+)
+
+COMPOSITES: dict[str, tuple[str, ...]] = {
+    "directives_scalar": (
+        "literal_orders", "enum_opts_events", "num_constraints_lineitem",
+        "type_strictness_orders", "duration_strings_events",
+        "time_strings_events", "grapheme_min_documents",
+        "error_callable_customer"),
+    "directives_collections": (
+        "list_constraints_part", "list_elements_part", "map_lineitem",
+        "tuple_lineitem", "nested_customer", "additional_keys_customer",
+        "nested_defaults_customer"),
+    "directives_combinators": (
+        "oneof_nation", "cond_orders", "dependent_branches_events",
+        "dependent4_events", "custom_expr_customer", "multi_events",
+        "ref_customer", "meta_override_customer"),
+    "directives_transform": (
+        "transform_colfn_orders", "transform_root_orders"),
+    "verdicts_suite": (
+        "verdicts_events", "verdicts_composite_documents",
+        "verdict_diff_documents", "completeness_events",
+        "sample_validate_events", "sample_violations_events"),
+    "stats_suite": (
+        "stats_documents", "stats_fused_exact", "value_dist_documents",
+        "top_values_documents", "profile_documents", "quantiles_lineitem"),
+    "integrity_suite": (
+        "uniqueness_code_files", "referential_lang",
+        "referential_lineitem_orders", "fidelity_documents"),
+    "drift_suite": (
+        "drift_documents", "ks_drift_documents", "psi_drift_documents",
+        "benford_documents"),
+    "numstats_suite": (
+        "robust_outliers_events", "corr_matrix_lineitem",
+        "fd_violations_orders", "metric_anomalies_events",
+        "metric_anomalies_rate_events"),
+    "reconcile_suite": ("table_diff_orders", "diff_rows_orders"),
+    "dedup_exact_suite": (
+        "dedup_exact", "exact_incremental_documents",
+        "normcode_dedup_code_files", "dedup_by_clusters",
+        "dedup_best_documents", "chunk_dedup_documents"),
+    "lsh_family_suite": (
+        "lsh_incremental_documents", "simhash", "winnow_fp",
+        "hamming_pairs_documents", "edit_pairs_customer"),
+    "embedding_suite": (
+        "embedding_topk", "knn_lsh", "knn_ivf",
+        "semantic_dedup_embeddings"),
+    "textstats_suite": (
+        "token_count", "text_quality", "langid", "quality_scores",
+        "repetition_documents", "quality_filter_documents"),
+    "vocab_suite": (
+        "vocabulary_documents", "encode_tokens_documents",
+        "unigram_scores_documents", "bm25_documents",
+        "dsir_select_documents"),
+    "curation_split_suite": (
+        "hash_split_documents", "stratified_sample_documents",
+        "weighted_mix_documents", "upsample_mix_documents",
+        "sample_k_documents", "cluster_split_code_files"),
+    "curation_clean_suite": (
+        "clean_lines_documents", "normalize_text_documents",
+        "redact_pii_documents", "strip_data_uris_documents",
+        "decontaminate_documents"),
+    "selection_suite": (
+        "top_k_per_source_documents", "token_budget_documents",
+        "top_fraction_documents", "pack_sequences_documents"),
+    "timeseries_suite": (
+        "sessionize_events", "asof_events", "range_join_events",
+        "resample_events", "merge_intervals_events", "rolling_events",
+        "staleness_events", "cohort_retention_events", "funnel_events"),
+    "codescan_suite": (
+        "secrets_code_files", "code_shape_code_files",
+        "import_df_code_files", "licenses_code_files",
+        "repo_licenses_code_files", "entropy_code_files",
+        "langdetect_code_files", "path_flags_code_files",
+        "symbols_code_files", "migration_impact_code_files"),
+    "streaming_suite": (
+        "streaming_validate_events", "streaming_window_rates_events",
+        "streaming_dedup_events", "streaming_sessions_events"),
+    "web_skew_suite": (
+        "url_stats_documents", "domain_counts_documents",
+        "skew_report_code_files", "zorder_documents"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from peri_spark.composite import composite_spark
+    full = queries_full()
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in STANDALONE:
+        out[name] = full[name]
+    for name, members in COMPOSITES.items():
+        out[name] = composite_spark(list(members), full)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    from peri_spark.composite import composite_oracle_sql
+    full = oracle_sql_full()
+    out: dict[str, str] = {}
+    for name in STANDALONE:
+        if name in full:
+            out[name] = full[name]
+    for name, members in COMPOSITES.items():
+        out[name] = composite_oracle_sql(list(members), full)
+    return out

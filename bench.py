@@ -1435,7 +1435,51 @@ def main() -> None:
         out["scale_smoke_sf1"] = scale_smoke(headline["rows_per_sec"])
     except Exception as e:  # smoke failure must not destroy the artifact
         out["scale_smoke_sf1"] = {"error": f"{type(e).__name__}: {e}"[:500]}
-    print(json.dumps(out))
+
+    # The driver parses the FINAL stdout line from a 2000-char tail
+    # capture; r4's single giant line overflowed it and the round's
+    # numbers went unrecorded (VERDICT r04 what's-wrong #2). Full
+    # detail now goes to bench_full.json; the final line is a compact
+    # headline carrying every BASELINE.md bar quantity.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("full artifact written: " + full_path)
+
+    def _dig(d, *ks):
+        for k in ks:
+            d = d.get(k) if isinstance(d, dict) else None
+        return d
+
+    smoke = out.get("scale_smoke_sf1") or {}
+    compact = {
+        "metric": out["metric"],
+        "value": round(out["value"], 3),
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_rows": out["n_rows"],
+        "rows_per_sec": round(out["rows_per_sec"], 1),
+        "efficiency_1_to_4": eff,
+        "efficiency_cpu_1_to_4": eff_cpu,
+        "work_inflation_cpu_1_to_4": (round(cpu4 / cpu1, 3)
+                                      if cpu1 else None),
+        "ann_recall_at_10": {
+            "lsh_multiprobe2": _dig(out, "ann_recall", "lsh_multiprobe2",
+                                    "recall_at_10"),
+            "ivf_nprobe3": _dig(out, "ann_recall", "ivf_nprobe3",
+                                "recall_at_10")},
+        "sf1_suite_rows_per_sec": _dig(smoke, "suite", "rows_per_sec"),
+        "sf1_rate_vs_sf0.1": _dig(smoke, "suite", "rate_vs_sf0.1"),
+        "sf1_lsh_wall_sec": _dig(smoke, "lsh_near_dup", "wall_sec"),
+        "queries": {k: round(v, 2) for k, v in headline["stages"].items()},
+        "detail": "bench_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1400:  # belt-and-braces: never overflow the tail again
+        compact["queries"] = {"n_stages": len(headline["stages"])}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

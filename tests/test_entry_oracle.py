@@ -38,9 +38,9 @@ def _row_key(row, cols):
     return tuple(_norm(row[c]) for c in cols)
 
 
-def compare(spark, duck, name):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]
+def compare(spark, duck, name, registry=None, oracles=None):
+    q = (registry or entrymod.queries())[name]
+    sql = (oracles or entrymod.oracle_sql())[name]
     sdf = q(spark, SF_DIR)
     spark_rows = [r.asDict() for r in sdf.collect()]
     orc = duck.execute(sql)
@@ -59,8 +59,18 @@ def compare(spark, duck, name):
 
 
 @pytest.mark.parametrize("name", sorted(
-    set(entrymod.queries()) & set(entrymod.oracle_sql())))
+    set(entrymod.queries_full()) & set(entrymod.oracle_sql_full())))
 def test_query_matches_oracle(spark, duck, name):
+    """Per-operator parity over the FULL registry: a failure names the
+    single operator, not its whole composite family."""
+    compare(spark, duck, name,
+            entrymod.queries_full(), entrymod.oracle_sql_full())
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.COMPOSITES))
+def test_composite_matches_oracle(spark, duck, name):
+    """The DRIVER surface: each consolidated contract row must match its
+    UNION-ALL oracle exactly as the driver will check it."""
     compare(spark, duck, name)
 
 
@@ -71,18 +81,40 @@ def test_entry_smoke(spark):
 
 
 def test_all_queries_have_oracle_or_are_documented():
-    missing = set(entrymod.queries()) - set(entrymod.oracle_sql())
+    missing = set(entrymod.queries_full()) - set(entrymod.oracle_sql_full())
     # non-SQL-expressible ops may omit oracles; keep the list deliberate
     assert missing == entrymod.NO_ORACLE, \
         f"undocumented oracle omissions: {missing ^ entrymod.NO_ORACLE}"
+    assert (set(entrymod.queries()) - set(entrymod.oracle_sql())
+            == entrymod.NO_ORACLE)
 
 
 @pytest.mark.parametrize("name", sorted(
-    set(entrymod.queries()) - set(entrymod.oracle_sql())))
+    set(entrymod.queries_full()) - set(entrymod.oracle_sql_full())))
 def test_no_oracle_queries_run(spark, name):
     """Rows-only check for deliberately non-SQL-expressible queries."""
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = entrymod.queries_full()[name](spark, SF_DIR)
     assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_contract_fits_driver_window():
+    """VERDICT r04 #7: the artifact-coverage regression class (r3: 2
+    dropped rows, r4: 82) must not recur. The driver records ~the first
+    50 queries() entries; the whole contract must fit with headroom,
+    and every full-registry operator must be covered exactly once."""
+    contract = entrymod.queries()
+    assert len(contract) <= entrymod.DRIVER_WINDOW
+    full = set(entrymod.queries_full())
+    covered = list(entrymod.STANDALONE) + [
+        m for ms in entrymod.COMPOSITES.values() for m in ms]
+    assert len(covered) == len(set(covered)), "operator covered twice"
+    assert set(covered) == full, (
+        f"uncovered: {full - set(covered)}; stale: {set(covered) - full}")
+    # the rows VERDICT r04 requires restored by name stay standalone
+    for must in ("validate_events", "defaults_transform_orders",
+                 "either_customer", "ngram_jaccard", "near_dup_clusters",
+                 "embedding_dups"):
+        assert must in contract
 
 
 def test_bad_row_predicate_matches_violations(duck):
