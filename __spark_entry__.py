@@ -144,7 +144,9 @@ def q_robust_outliers_events(spark: SparkSession,
     from peri_spark.constraints import robust_outliers
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "value")
-    out = robust_outliers(ev, "value", "event_type")
+    # exact=True pinned: the DuckDB oracle computes exact medians, and
+    # the engine default is now auto (sketch past AUTO_EXACT_MAX_ROWS)
+    out = robust_outliers(ev, "value", "event_type", exact=True)
     return out.select("event_id", "event_type", "value",
                       "median", "mad", "robust_z")
 

@@ -24,7 +24,7 @@ from .dedup import (exact_duplicates, exact_digest_index,
                     near_dup_clusters, deduplicate_by_clusters,
                     deduplicate_by_clusters_best,
                     dedup_chunks, portable_hash64,
-                    repo_overlap_pairs)
+                    repo_overlap_pairs, repo_overlap_pairs_minhash)
 from .similarity import (brute_force_topk, cosine_topk_for_query,
                          deterministic_kmeans, hyperplane_lsh_topk,
                          ivf_topk, normalize_embeddings,
@@ -72,6 +72,7 @@ __all__ = [
     "url_stats", "domain_counts",
     "sample_k_per_group",
     "cluster_safe_split", "repo_overlap_pairs",
+    "repo_overlap_pairs_minhash",
     "sessionize", "asof_join", "range_join", "resample", "epoch_micros",
     "merge_intervals", "rolling_agg", "staleness",
     "cohort_retention", "funnel",

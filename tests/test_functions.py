@@ -525,3 +525,17 @@ def test_public_module_all_lists_are_real_names():
         assert not missing, f"{name}.__all__ names missing: {missing}"
         checked += 1
     assert checked >= 10  # the guard actually covered the tree
+
+
+def test_encode_tokens_enforces_vocab_bound(spark):
+    """VERDICT r04 #6: an unbounded vocab must not silently collect to
+    the driver dict; oracle behavior under the bound is unchanged."""
+    import pytest
+    from peri_spark.functions import encode_tokens, vocabulary
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], ["doc_id", "text"])
+    voc = vocabulary(df, "text", "doc_id")  # 6 tokens, no top_k
+    with pytest.raises(ValueError, match="max_vocab_size"):
+        encode_tokens(df, "text", "doc_id", voc, max_vocab_size=5)
+    out = encode_tokens(df, "text", "doc_id", voc, max_vocab_size=6)
+    assert out.count() == 2
