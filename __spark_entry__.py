@@ -1896,7 +1896,87 @@ def q_repo_overlap_code_files(spark: SparkSession,
     staged = spark.sql(_FORK_STAGE_SQL.format(cf="code_files",
                                                **_FORK_SPARK))
     return repo_overlap_pairs(staged, "repo", "digest",
-                              min_overlap=0.5)
+                              min_overlap=0.5, max_digest_df=10_000)
+
+
+def q_repo_overlap_minhash_code_files(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The mega-fork-family scale path (r5): per-repo file-set MinHash
+    signatures + banded LSH + integer-exact containment estimate, in
+    portable-hash mode so the DuckDB oracle reproduces every signature
+    bit. max_bucket_size=None: the oracle mirrors the uncapped
+    candidate join (the cap is exercised by tests/test_repo_overlap)."""
+    from peri_spark.functions import (portable_hash64,
+                                      repo_overlap_pairs_minhash)
+    _code_files(spark, sf_dir)
+    staged = spark.sql(_FORK_STAGE_SQL.format(cf="code_files",
+                                               **_FORK_SPARK))
+    return repo_overlap_pairs_minhash(staged, "repo", "digest",
+                                      min_overlap=0.5,
+                                      max_bucket_size=None,
+                                      hash_fn=portable_hash64)
+
+
+def _repo_overlap_minhash_oracle_sql(n_hashes: int = 64,
+                                     bands: int = 16) -> str:
+    """DuckDB reproduction of q_repo_overlap_minhash_code_files:
+    identical fork staging, portable digest hashes -> per-repo
+    per-permutation minima (64 generated MIN aggregates), identical
+    band hashing (portable hash of the comma-joined slice), candidate
+    pairs on (band, band_hash), signature-agreement count via
+    list_zip, and the same integer n_shared estimator."""
+    from peri_spark.functions.dedup import _MERSENNE, _perm_coeffs
+    a, b = _perm_coeffs(n_hashes, seed=42)
+    staged = _FORK_STAGE_SQL.format(
+        cf=f"(SELECT * FROM {_CF} AS cfx)", **_FORK_DUCK)
+    mins = ",\n             ".join(
+        f"min(({a[i]} * x + {b[i]}) % {_MERSENNE})"
+        for i in range(n_hashes))
+    rows_per_band = n_hashes // bands
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT g, size, sig, {i} AS band, "
+        + _ph("array_to_string(list_transform("
+              f"sig[{i * rows_per_band + 1}:{(i + 1) * rows_per_band}]"
+              ", v -> CAST(v AS VARCHAR)), ',')")
+        + " AS band_hash FROM sigs"
+        for i in range(bands))
+    return f"""
+    WITH staged AS ({staged}),
+    xs AS (SELECT repo AS g, digest AS d,
+                  {_ph('digest')} % {_MERSENNE} AS x
+           FROM staged WHERE digest IS NOT NULL),
+    sigs AS MATERIALIZED (
+      SELECT g, CAST(count(DISTINCT d) AS BIGINT) AS size,
+             list_value({mins}) AS sig
+      FROM xs GROUP BY g),
+    bands AS MATERIALIZED (
+      {band_rows}),
+    cands AS (
+      SELECT DISTINCT a.g AS group_a, b.g AS group_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.g < b.g),
+    ver AS (
+      SELECT group_a, group_b, sa.size AS size_a, sb.size AS size_b,
+             CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+                                  p -> p[1] = p[2])) AS BIGINT) AS k
+      FROM cands
+      JOIN sigs sa ON sa.g = group_a
+      JOIN sigs sb ON sb.g = group_b),
+    est AS (
+      SELECT group_a, group_b,
+             (k * (size_a + size_b)) // ({n_hashes} + k) AS n_shared,
+             size_a, size_b
+      FROM ver)
+    SELECT group_a, group_b, n_shared, size_a, size_b,
+           round(least(n_shared
+                       / CAST(least(size_a, size_b) AS DOUBLE),
+                       1.0), 4) AS overlap
+    FROM est
+    WHERE round(least(n_shared
+                      / CAST(least(size_a, size_b) AS DOUBLE),
+                      1.0), 4) >= 0.5
+    """
 
 
 def q_path_flags_code_files(spark: SparkSession,
@@ -2111,6 +2191,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normcode_dedup_code_files": q_normcode_dedup_code_files,
         "path_flags_code_files": q_path_flags_code_files,
         "repo_overlap_code_files": q_repo_overlap_code_files,
+        "repo_overlap_minhash_code_files": q_repo_overlap_minhash_code_files,
         "migration_impact_code_files": q_migration_impact_code_files,
         "symbols_code_files": q_symbols_code_files,
         "table_diff_orders": q_table_diff_orders,
@@ -3762,6 +3843,8 @@ def oracle_sql_full() -> dict[str, str]:
       AND round(n_shared / CAST(least(sa.size, sb.size) AS DOUBLE), 4)
           >= 0.5
     """,
+        "repo_overlap_minhash_code_files":
+            _repo_overlap_minhash_oracle_sql(),
         "path_flags_code_files": _path_flags_oracle_sql(),
         "migration_impact_code_files": _migration_oracle_sql(),
         "symbols_code_files": _symbols_oracle_sql(),
@@ -4318,6 +4401,7 @@ STANDALONE: tuple[str, ...] = (
     "flagship_valid",
     "minhash_lsh_pairs",
     "repo_overlap_code_files",    # fan-out fix under test this round
+    "repo_overlap_minhash_code_files",  # r5 mega-fork-family scale path
     "frame_offsets_events",       # multimodal plumbing
     "streaming_violation_streaks",  # NO_ORACLE: rows-only by design
 )

@@ -1188,8 +1188,8 @@ def repo_overlap_pairs_minhash(df: DataFrame, group_col: str,
                                n_hashes: int = 64, bands: int = 16,
                                seed: int = 42,
                                max_bucket_size: int | None = 10_000,
-                               dropped_counter: dict | None = None
-                               ) -> DataFrame:
+                               dropped_counter: dict | None = None,
+                               hash_fn=None) -> DataFrame:
     """Fork/mirror detection at mega-fork-family scale: the same
     ``(group_a, group_b, n_shared, size_a, size_b, overlap)`` contract
     as :func:`repo_overlap_pairs`, but ``n_shared``/``overlap`` are
@@ -1222,14 +1222,20 @@ def repo_overlap_pairs_minhash(df: DataFrame, group_col: str,
     (≤0.063 at n=64); thresholding ``overlap`` near ``min_overlap``
     can therefore flip borderline pairs vs the exact path — use the
     exact path when df-pruning suffices, this one when it cannot.
+    ``n_shared`` is computed in INTEGER arithmetic — with ``k``
+    agreeing permutations, ``k·(|A|+|B|) div (n_hashes+k)`` — so the
+    estimate is bit-identical across engines (``hash_fn=
+    portable_hash64`` makes the whole pipeline DuckDB-oracle-exact,
+    same contract as ``lsh_duplicate_pairs``).
     """
     from pyspark.sql import Window
 
     a, b = _perm_coeffs(n_hashes, seed)
+    h = hash_fn or F.xxhash64
     base = (df.select(F.col(group_col).alias("id"),
                       F.col(digest_col).alias("d"))
             .where(F.col("d").isNotNull()))
-    x = F.pmod(F.xxhash64("d"), F.lit(_MERSENNE))
+    x = F.pmod(h(F.col("d")), F.lit(_MERSENNE))
     staged = base.select("id", x.alias("x"), "d")
     mins = [F.min((F.lit(a[i]) * F.col("x") + F.lit(b[i])) % _MERSENNE)
             .alias(f"__h{i}") for i in range(n_hashes)]
@@ -1239,7 +1245,7 @@ def repo_overlap_pairs_minhash(df: DataFrame, group_col: str,
                     F.array(*[f"__h{i}" for i in range(n_hashes)])
                     .alias("sig")))
     sigs = sigs.persist()
-    bands_df = _band_explode(sigs.select("id", "sig"), bands)
+    bands_df = _band_explode(sigs.select("id", "sig"), bands, hash_fn)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_hash")
         sized = bands_df.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -1268,11 +1274,13 @@ def repo_overlap_pairs_minhash(df: DataFrame, group_col: str,
         F.zip_with("sig_a", "sig_b",
                    lambda u, v: (u == v).cast("int")),
         F.lit(0), lambda acc, v: acc + v)
-    j = agree / F.lit(float(n_hashes))
-    est_shared = F.round(j * (F.col("size_a") + F.col("size_b"))
-                         / (F.lit(1.0) + j))
+    # integer estimator: J = k/n -> shared = J(|A|+|B|)/(1+J)
+    #                                      = k(|A|+|B|) div (n+k)
     out = (cands.join(sa, "group_a").join(sb, "group_b")
-           .withColumn("n_shared", est_shared.cast("long"))
+           .withColumn("__k", agree.cast("long"))
+           .withColumn("n_shared",
+                       F.expr(f"(__k * (size_a + size_b)) div "
+                              f"({n_hashes} + __k)"))
            .withColumn("overlap",
                        F.round(F.least(
                            F.col("n_shared")
