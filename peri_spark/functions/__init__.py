@@ -38,6 +38,7 @@ from .codescan import (SECRET_PATTERNS, code_shape_stats, extract_imports,
                        module_document_frequency,
                        repo_license_rollup, scan_licenses, scan_secrets)
 from .multimodal import image_duplicate_pairs, image_phash
+from .mp4 import mp4_sample_index, scan_mp4_samples
 from .probe import probe_media, probe_metadata
 from .eventlog import cohort_retention, funnel
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
@@ -63,6 +64,7 @@ __all__ = [
     "normalize_embeddings", "deterministic_kmeans", "train_ivf_centroids",
     "ivf_topk",
     "language_id", "quality_scores", "token_counts", "winnow_fingerprints",
+    "mp4_sample_index", "scan_mp4_samples",
     "portable_hash64", "probe_media", "probe_metadata",
     "contamination_overlap", "hash_split", "stratified_sample",
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
