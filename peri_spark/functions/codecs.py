@@ -6,8 +6,9 @@ numpy — so the formats a scraped corpus actually contains get REAL
 decode/encode/resize here, and the multimodal mapInPandas operators
 (functions/multimodal.py) dispatch on magic bytes: real codec when the
 payload is one of these formats, the documented deterministic fallback
-for everything else (progressive JPEG / MP4 stay fallbacks — those
-variants genuinely need the external libraries).
+for everything else (MP4 pixel decode stays a fallback — H.264/5
+genuinely need the external libraries; progressive JPEG decodes for
+real since round 5).
 
 All functions are plain bytes/ndarray transforms — no Spark imports —
 so they run inside Arrow batches on executors with zero driver state.
@@ -316,7 +317,7 @@ def encode_wav_pcm16(samples: np.ndarray, rate_hz: int) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → uint8 (H, W, C). Raises ValueError for
     formats without a pure-stdlib codec (MP4, …) and for the JPEG
-    variants outside baseline sequential (progressive, arithmetic)."""
+    variants outside baseline/progressive DCT (arithmetic, 12-bit)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)

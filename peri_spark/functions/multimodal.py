@@ -99,10 +99,10 @@ def partition_for_decode(df: DataFrame, payload_col: str = "payload",
 def _decode_image_bytes(payload: bytes, meta) -> list[float]:
     """8-dim image feature vector.
 
-    REAL decode for PNG/BMP/PPM/GIF/baseline-JPEG (codecs.decode_image):
-    [w, h, channels, mean/255, std/255, p25/255, p75/255,
-    nonzero_fraction]. Formats with no stdlib codec (MP4, progressive
-    JPEG) fall back to the deterministic 8-bucket byte histogram —
+    REAL decode for PNG/BMP/PPM/GIF/JPEG incl. progressive
+    (codecs.decode_image): [w, h, channels, mean/255, std/255,
+    p25/255, p75/255, nonzero_fraction]. Formats with no stdlib codec
+    (MP4) fall back to the deterministic 8-bucket byte histogram —
     same arity, so downstream schemas never fork.
     """
     if payload is None:

@@ -1,15 +1,18 @@
-"""Baseline JPEG codec tests (pure stdlib+numpy, no Spark session).
+"""JPEG codec tests, baseline + progressive (pure stdlib+numpy).
 
 The codec backs `codecs.decode_image` for the most common scraped-corpus
 image format; these tests pin the roundtrip error bounds, the sampling /
-restart-marker variants, and the strict rejection of non-baseline
-streams (progressive → ValueError → multimodal operators fall back).
+restart-marker variants, the progressive (SOF2) decoder's pixel-exact
+parity with baseline decode of the same quantized coefficients, and the
+strict rejection of streams outside both (arithmetic → ValueError →
+multimodal operators fall back).
 """
 
 import numpy as np
 import pytest
 
-from peri_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from peri_spark.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                       encode_jpeg_progressive)
 from peri_spark.functions.codecs import decode_image, sniff_format
 
 
@@ -67,12 +70,83 @@ def test_decode_image_dispatches_jpeg():
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
 
 
-def test_progressive_rejected():
+def test_arithmetic_rejected():
     enc = bytearray(encode_jpeg(_rgb(16, 16), 85))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    enc[i + 1] = 0xC9  # SOF0 → SOF9 (arithmetic sequential)
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(enc))
+
+
+def _textured(h, w, c=3, seed=7):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 90 * np.sin(xx / 7.0) * np.cos(yy / 11.0))[:, :, None]
+    img = np.clip(base + rng.randint(-25, 25, (h, w, c)),
+                  0, 255).astype(np.uint8)
+    return img if c > 1 else img[:, :, 0]
+
+
+@pytest.mark.parametrize("h,w,c,sub", [
+    (16, 16, 1, False), (24, 17, 1, False), (32, 32, 3, False),
+    (40, 33, 3, True), (19, 45, 3, "422")])
+def test_progressive_matches_baseline_exactly(h, w, c, sub):
+    """SOF2 transmits the same quantized coefficients as SOF0, so the
+    decodes must be PIXEL-IDENTICAL — any refinement-bit or EOB-run
+    bug in the progressive decoder breaks exact equality somewhere."""
+    img = _textured(h, w, c)
+    base = decode_jpeg(encode_jpeg(img, 85, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85, sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_scan_script_variants():
+    img = _textured(48, 41, 3)
+    base = decode_jpeg(encode_jpeg(img, 85, True))
+    # restart markers inside progressive scans
+    assert np.array_equal(base, decode_jpeg(
+        encode_jpeg_progressive(img, 85, True, restart_interval=3)))
+    # spectral selection only (no successive approximation)
+    sc = [((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+          ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)]
+    assert np.array_equal(base, decode_jpeg(
+        encode_jpeg_progressive(img, 85, True, scans=sc)))
+    # deep successive approximation (3 refinement passes on luma AC)
+    sc = [((0, 1, 2), 0, 0, 0, 3), ((0, 1, 2), 0, 0, 1, 2),
+          ((0, 1, 2), 0, 0, 1, 1), ((0, 1, 2), 0, 0, 1, 0),
+          ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+          ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+          ((1,), 1, 63, 0, 2), ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+          ((2,), 1, 63, 0, 1), ((2,), 1, 63, 1, 0)]
+    assert np.array_equal(base, decode_jpeg(
+        encode_jpeg_progressive(img, 85, True, scans=sc)))
+
+
+def test_progressive_bands_sa_restart_422():
+    img = _textured(30, 55, 3, seed=11)
+    base = decode_jpeg(encode_jpeg(img, 70, "422"))
+    sc = [((0, 1, 2), 0, 0, 0, 1),
+          ((0,), 1, 2, 0, 1), ((0,), 3, 10, 0, 1), ((0,), 11, 63, 0, 1),
+          ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+          ((0, 1, 2), 0, 0, 1, 0),
+          ((0,), 1, 2, 1, 0), ((0,), 3, 10, 1, 0), ((0,), 11, 63, 1, 0)]
+    assert np.array_equal(base, decode_jpeg(encode_jpeg_progressive(
+        img, 70, "422", scans=sc, restart_interval=2)))
+
+
+def test_progressive_gray_restart_every_block():
+    g = _textured(25, 25, 1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 60)),
+        decode_jpeg(encode_jpeg_progressive(g, 60, restart_interval=1)))
+
+
+def test_progressive_through_decode_image():
+    """codecs.decode_image dispatches progressive JPEG transparently."""
+    img = _textured(20, 20, 3)
+    assert np.array_equal(
+        decode_image(encode_jpeg(img, 85)),
+        decode_image(encode_jpeg_progressive(img, 85)))
 
 
 def test_truncated_rejected():
