@@ -1443,9 +1443,16 @@ def main() -> None:
     # headline carrying every BASELINE.md bar quantity.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_full.json")
-    with open(full_path, "w") as f:
-        json.dump(out, f, indent=1)
-    print("full artifact written: " + full_path)
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print("full artifact written: " + full_path)
+    except OSError as e:
+        # a failed detail-file write must never destroy the final
+        # stdout line — that line IS the round's recorded artifact
+        detail_note = f"bench_full.json unwritable ({e})"[:200]
+    else:
+        detail_note = "bench_full.json"
 
     def _dig(d, *ks):
         for k in ks:
@@ -1473,7 +1480,7 @@ def main() -> None:
         "sf1_rate_vs_sf0.1": _dig(smoke, "suite", "rate_vs_sf0.1"),
         "sf1_lsh_wall_sec": _dig(smoke, "lsh_near_dup", "wall_sec"),
         "queries": {k: round(v, 2) for k, v in headline["stages"].items()},
-        "detail": "bench_full.json",
+        "detail": detail_note,
     }
     line = json.dumps(compact)
     if len(line) > 1400:  # belt-and-braces: never overflow the tail again

@@ -87,7 +87,13 @@ def robust_outliers(df: DataFrame, value_col: str,
     v = F.col(value_col)
     nn = df.where(v.isNotNull())
     if exact is None:
-        exact = nn.select(value_col).count() <= AUTO_EXACT_MAX_ROWS
+        # limit-probe, not a full count: reading one row past the
+        # threshold answers "is it big" after at most 5M+1 rows — a
+        # full count() would scan the entire corpus just to pick the
+        # engine (the same pattern encode_tokens uses for its vocab)
+        probe = (nn.select(value_col).limit(AUTO_EXACT_MAX_ROWS + 1)
+                 .count())
+        exact = probe <= AUTO_EXACT_MAX_ROWS
     gcols = [group_col] if group_col else []
     med = (nn.groupBy(*gcols).agg(_median(v, exact).alias("median"))
            .localCheckpoint(eager=True))

@@ -104,7 +104,7 @@ def merge_quantile_sketches(history: DataFrame, columns: list[str],
     # window matching no batches) is guarded to NULL → NULL quantiles.
     merged = history.agg(*[
         F.when(F.count(f"{c}__kll") > 0,
-               F.expr(f"kll_merge_agg_double({c}__kll)"))
+               F.kll_merge_agg_double(F.col(f"{c}__kll")))
         .alias(f"{c}__kll") for c in columns])
     structs = []
     for c in columns:

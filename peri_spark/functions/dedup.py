@@ -1255,7 +1255,10 @@ def repo_overlap_pairs_minhash(df: DataFrame, group_col: str,
                         F.count(F.lit(1)).alias("r")).collect()[0])
             dropped_counter["n_hot_buckets"] = hot["b"]
             dropped_counter["n_dropped_rows"] = hot["r"]
-        bands_df = sized.where(F.col("__bsz") <= max_bucket_size) \
+        # singleton buckets cannot produce a pair — drop them before
+        # the self-join, same predicate as lsh_duplicate_pairs
+        bands_df = sized.where((F.col("__bsz") >= 2)
+                               & (F.col("__bsz") <= max_bucket_size)) \
             .drop("__bsz")
     ba, bb = bands_df.alias("a"), bands_df.alias("b")
     cands = (ba.join(bb, (F.col("a.band") == F.col("b.band"))

@@ -74,6 +74,16 @@ def scan_mp4_samples(payload: bytes) -> list[dict]:
     Raises ``ValueError`` on non-MP4 bytes, MP4s without a video
     track, or inconsistent sample tables (truncated moov).
     """
+    try:
+        return _scan_mp4_samples(payload)
+    except (struct.error, IndexError) as e:
+        # a table whose declared count outruns the actual moov bytes
+        # surfaces as struct.error deep in unpack_from; the documented
+        # contract is ValueError (same wrap as jpeg.decode_jpeg)
+        raise ValueError(f"corrupt MP4 sample tables: {e}") from e
+
+
+def _scan_mp4_samples(payload: bytes) -> list[dict]:
     p = payload
     if len(p) < 16 or p[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF (ftyp) stream")

@@ -102,3 +102,15 @@ def test_mp4_sample_index_spark(spark):
     assert {r.media_id for r in bad} == {2, 3}
     sync = mp4_sample_index(df, sync_only=True).collect()
     assert [r.sample_idx for r in sync if r.error is None] == [0, 3]
+
+
+def test_scan_samples_truncated_table_raises_valueerror():
+    """Review finding r5: a declared sample count that outruns the moov
+    bytes must surface as ValueError (the documented contract), not
+    struct.error."""
+    p = bytearray(_mp4())
+    i = p.find(b"stsz")
+    # stsz body: ver/flags(4) uniform(4) count(4) — inflate the count
+    struct.pack_into(">I", p, i + 4 + 8, 1000)
+    with pytest.raises(ValueError, match="corrupt MP4"):
+        scan_mp4_samples(bytes(p))
