@@ -1285,6 +1285,129 @@ def q_frame_offsets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(media, every_ms=700)
 
 
+def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-α bigram LM scoring (r5, the CCNet-style perplexity-filter
+    statistic with an in-corpus bigram model): model trained on the
+    full documents table (min_count=1, no top_k — bounded at sf0.01,
+    and the oracle needs the untruncated model), every document scored
+    against it."""
+    from peri_spark.functions import (bigram_counts, bigram_lm_scores,
+                                      vocabulary)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bg = bigram_counts(docs, "text")
+    voc = vocabulary(docs, "text", "doc_id")
+    return bigram_lm_scores(docs, "text", "doc_id", bg, voc)
+
+
+def _bigram_lm_oracle_sql() -> str:
+    """DuckDB reproduction of q_bigram_lm_documents: identical tokenize
+    convention (lower → trim → regex split on the PORTABLE whitespace
+    class), zipped consecutive-pair lists, the same add-α term and
+    4dp-rounded mean. The whitespace class is spelled explicitly:
+    Java \\s+ (Spark split) and RE2 \\s differ on \\x0B."""
+    ws = r"[ \t\n\x0B\f\r]+"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '{ws}') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+    pairs AS (
+      SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      FROM tok,
+           UNNEST(list_zip(toks[1:len(toks) - 1],
+                           toks[2:len(toks)])) AS u(p)),
+    uni AS (
+      SELECT u.t AS token, CAST(count(*) AS BIGINT) AS c1
+      FROM tok, UNNEST(toks) AS u(t) GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY 1, 2),
+    dd AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+      FROM pairs GROUP BY 1, 2, 3)
+    SELECT dd.doc_id AS id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * ln((coalesce(bi.c12, 0) + 0.1)
+                            / (coalesce(uni.c1, 0) + 0.1 * v.vs)))
+                 / sum(m), 4) AS avg_logprob
+    FROM dd
+    LEFT JOIN bi ON dd.w1 = bi.w1 AND dd.w2 = bi.w2
+    LEFT JOIN uni ON dd.w1 = uni.token
+    CROSS JOIN v
+    GROUP BY dd.doc_id
+    """
+
+
+_LINE_BOILER = "FOLLOW US ON SOCIAL MEDIA FOR MORE UPDATES"
+
+
+def q_dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (r5, Dolma/RefinedWeb boilerplate pass):
+    a boilerplate line planted into every third document becomes
+    corpus-hot (doc-freq >= 30) and is removed; per-doc unique lines
+    and short glue survive. Runs in portable-hash mode so the oracle
+    reproduces the hot set and the per-line filter bit-for-bit; the
+    deduped text compares by md5."""
+    from peri_spark.functions import (dedup_lines_across_corpus,
+                                      portable_hash64)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit("\n" + _LINE_BOILER)))
+        .otherwise(F.col("text")).alias("text"))
+    out = dedup_lines_across_corpus(staged, "text", "doc_id",
+                                    min_doc_freq=30, min_line_chars=15,
+                                    hash_fn=portable_hash64)
+    return out.select("doc_id", "n_lines", "n_removed",
+                      F.md5(F.col("text_deduped")).alias("out_md5"))
+
+
+def _dedup_lines_oracle_sql() -> str:
+    """DuckDB reproduction of q_dedup_lines_documents: same staging,
+    same portable line hashes, distinct-doc frequency >= 30 hot set,
+    same per-line keep filter and md5 of the rejoined text."""
+    ph = _ph("line")
+    ph_l = _ph("l")
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || '{_LINE_BOILER}'
+                  ELSE text END AS text
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM staged WHERE text IS NOT NULL),
+    el AS (
+      SELECT doc_id, {ph} AS lh FROM ex WHERE length(line) >= 15),
+    hot AS (
+      SELECT lh FROM (
+        SELECT lh, count(DISTINCT doc_id) AS dfq FROM el GROUP BY lh)
+      WHERE dfq >= 30),
+    aff AS (
+      SELECT doc_id, list(DISTINCT el.lh) AS hotset
+      FROM el JOIN hot ON el.lh = hot.lh GROUP BY doc_id),
+    kept AS (
+      SELECT s.doc_id, s.text,
+             CASE WHEN s.text IS NULL THEN NULL ELSE
+               list_filter(string_split(s.text, chr(10)),
+                 l -> length(l) < 15
+                   OR NOT list_contains(coalesce(hotset, []), {ph_l}))
+             END AS keep_lines,
+             CASE WHEN s.text IS NULL THEN NULL ELSE
+               len(string_split(s.text, chr(10))) END AS nl
+      FROM staged s LEFT JOIN aff ON s.doc_id = aff.doc_id)
+    SELECT doc_id,
+           CAST(nl AS BIGINT) AS n_lines,
+           CAST(nl - len(keep_lines) AS BIGINT) AS n_removed,
+           md5(array_to_string(keep_lines, chr(10))) AS out_md5
+    FROM kept
+    """
+
+
 def q_defaults_transform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default + transform value rewrites (#28-32): null priority defaults,
     then upper-cases; validated rows only."""
@@ -2151,6 +2274,8 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix_documents": q_weighted_mix_documents,
         "upsample_mix_documents": q_upsample_mix_documents,
         "clean_lines_documents": q_clean_lines_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
+        "bigram_lm_documents": q_bigram_lm_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "sample_k_documents": q_sample_k_documents,
         "cluster_split_code_files": q_cluster_split_code_files,
@@ -3410,6 +3535,8 @@ def oracle_sql_full() -> dict[str, str]:
         "weighted_mix_documents": weighted_mix_docs,
         "upsample_mix_documents": upsample_mix_docs,
         "clean_lines_documents": clean_lines_docs,
+        "dedup_lines_documents": _dedup_lines_oracle_sql(),
+        "bigram_lm_documents": _bigram_lm_oracle_sql(),
         "normalize_text_documents": normalize_docs,
         "sample_k_documents": sample_k_docs,
         "redact_pii_documents": redact_pii,
@@ -4456,15 +4583,15 @@ COMPOSITES: dict[str, tuple[str, ...]] = {
     "vocab_suite": (
         "vocabulary_documents", "encode_tokens_documents",
         "unigram_scores_documents", "bm25_documents",
-        "dsir_select_documents"),
+        "dsir_select_documents", "bigram_lm_documents"),
     "curation_split_suite": (
         "hash_split_documents", "stratified_sample_documents",
         "weighted_mix_documents", "upsample_mix_documents",
         "sample_k_documents", "cluster_split_code_files"),
     "curation_clean_suite": (
-        "clean_lines_documents", "normalize_text_documents",
-        "redact_pii_documents", "strip_data_uris_documents",
-        "decontaminate_documents"),
+        "clean_lines_documents", "dedup_lines_documents",
+        "normalize_text_documents", "redact_pii_documents",
+        "strip_data_uris_documents", "decontaminate_documents"),
     "selection_suite": (
         "top_k_per_source_documents", "token_budget_documents",
         "top_fraction_documents", "pack_sequences_documents"),

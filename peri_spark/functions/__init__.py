@@ -7,6 +7,7 @@ UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
 from .curation import (clean_lines, cluster_safe_split,
+                       dedup_lines_across_corpus,
                        strip_data_uris, url_stats, domain_counts,
                        contamination_overlap, hash_split,
                        sample_k_per_group,
@@ -44,7 +45,8 @@ from .eventlog import cohort_retention, funnel
 from .timeseries import (asof_join, epoch_micros, merge_intervals,
                          range_join, resample, rolling_agg, sessionize,
                          staleness)
-from .textstats import (bm25_topk, encode_tokens, language_id,
+from .textstats import (bigram_counts, bigram_lm_scores,
+                        bm25_topk, encode_tokens, language_id,
                         quality_filter,
                         quality_scores,
                         repetition_stats, token_counts, unigram_logprob,
@@ -70,6 +72,7 @@ __all__ = [
     "weighted_mix", "redact_text", "pack_sequences", "dedup_chunks",
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
+    "dedup_lines_across_corpus", "bigram_counts", "bigram_lm_scores",
     "encode_tokens", "normalize_text", "strip_data_uris",
     "url_stats", "domain_counts",
     "sample_k_per_group",

@@ -34,8 +34,8 @@ __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
            "weighted_mix", "redact_text", "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
            "sample_k_per_group", "cluster_safe_split",
-           "clean_lines", "normalize_text", "strip_data_uris",
-           "url_stats", "domain_counts",
+           "clean_lines", "dedup_lines_across_corpus", "normalize_text",
+           "strip_data_uris", "url_stats", "domain_counts",
            "DATA_URI_PATTERN", "URL_PATTERN", "PORTABLE_WS_CHARS",
            "DEFAULT_PII_PATTERNS",
            "DEFAULT_DENY_SUBSTRINGS"]
@@ -782,3 +782,82 @@ def select_top_fraction(df: DataFrame, score_col: str, frac: float,
     else:
         keep = keep | (score == F.lit(cutoff))
     return df.where(score.isNotNull() & keep)
+
+
+def dedup_lines_across_corpus(df: DataFrame, text_col: str, id_col: str,
+                              min_doc_freq: int = 30,
+                              min_line_chars: int = 15,
+                              out_col: str | None = None,
+                              hash_fn=None) -> DataFrame:
+    """CORPUS-level line deduplication (the Dolma / RefinedWeb
+    boilerplate pass): remove every line that occurs, byte-identical,
+    in at least ``min_doc_freq`` DISTINCT documents — cookie banners,
+    nav menus, license headers — keeping per-document structure
+    otherwise intact. Appends ``out_col`` (surviving lines re-joined
+    with newlines), ``n_lines`` and ``n_removed``.
+
+    Only lines of at least ``min_line_chars`` characters participate
+    (short glue like ``}`` or blank lines would otherwise gut every
+    code/document corpus) — shorter lines are always kept.
+
+    Scale shape — touch only the affected documents:
+
+    1. one map-side explode to ``(line_hash, id)``, distinct, then a
+       partial-aggregated doc-frequency count → the HOT line-hash set,
+       bounded above by ``total_lines / min_doc_freq`` by definition;
+    2. the explode joins the hot set (AQE broadcasts it when small —
+       no hint, a forced broadcast would OOM on a pathological
+       corpus) and only the MATCHING rows regroup: per affected doc,
+       the set of hot hashes it contains;
+    3. one left join back to the corpus — the common-case document
+       (no hot lines) passes through with a NULL set and a pure
+       codegen line filter; nothing about unaffected rows shuffles.
+
+    The line filter runs on hashes (8 bytes/line through every
+    shuffle instead of the line text); a 64-bit collision silently
+    drops an innocent line — at ~2⁻⁶⁴ per pair, disclosed here rather
+    than defended against. ``hash_fn`` defaults to ``F.xxhash64``;
+    pass ``portable_hash64`` for an engine-portable pipeline (the
+    driver oracle does).
+    """
+    out_col = out_col or f"{text_col}_deduped"
+    clash = {out_col, "n_lines", "n_removed"} & set(df.columns)
+    if clash:
+        raise ValueError(f"output columns already exist: {sorted(clash)}")
+    h = hash_fn or F.xxhash64
+    lines = F.split(F.col(text_col), "\n")
+    eligible = df.where(F.col(text_col).isNotNull())
+    exploded = (eligible
+                .select(F.col(id_col).alias("__id"),
+                        F.explode(lines).alias("__line"))
+                .where(F.length("__line") >= min_line_chars)
+                .select("__id", h(F.col("__line")).alias("__lh")))
+    hot = (exploded.distinct()
+           .groupBy("__lh")
+           .agg(F.count(F.lit(1)).alias("__df"))
+           .where(F.col("__df") >= min_doc_freq)
+           .select("__lh"))
+    affected = (exploded.join(hot, "__lh")
+                .groupBy("__id")
+                .agg(F.collect_set("__lh").alias("__hot")))
+    joined = df.join(affected,
+                     df[id_col] == affected["__id"], "left") \
+        .drop("__id")
+    hot_here = F.coalesce(F.col("__hot"),
+                          F.array().cast("array<bigint>"))
+    kept = F.filter(lines, lambda ln:
+                    (F.length(ln) < min_line_chars)
+                    | ~F.array_contains(hot_here, h(ln)))
+    n_lines = F.size(lines)
+    out = (joined
+           .withColumn(out_col,
+                       F.when(F.col(text_col).isNotNull(),
+                              F.array_join(kept, "\n")))
+           .withColumn("n_lines",
+                       F.when(F.col(text_col).isNotNull(), n_lines)
+                       .cast("long"))
+           .withColumn("n_removed",
+                       F.when(F.col(text_col).isNotNull(),
+                              n_lines - F.size(kept)).cast("long"))
+           .drop("__hot"))
+    return out

@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["language_id", "quality_scores", "token_counts",
-           "encode_tokens",
+           "encode_tokens", "bigram_counts", "bigram_lm_scores",
            "winnow_fingerprints", "repetition_stats", "quality_filter",
            "LANG_MARKERS", "DEFAULT_QUALITY_RULES"]
 
@@ -638,3 +638,94 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
                  F.count(F.lit(1)).cast("long").alias("n_hit"))
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(k))
+
+
+def bigram_counts(df: DataFrame, text_col: str,
+                  min_count: int = 1,
+                  top_k: int | None = None) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, count)`` over the shared tokenize
+    convention (lower → trim → split whitespace; same as
+    :func:`vocabulary`) — the model half of add-α bigram language-model
+    scoring (:func:`bigram_lm_scores`), the in-repo equivalent of the
+    n-gram-LM perplexity filters CCNet-style pipelines run.
+
+    Scale shape: consecutive-pair arrays build map-side from two array
+    slices (``zip_with`` — no self-join, no window), stream through
+    explode into ONE partial-aggregated count; with ``top_k`` the
+    global order runs on the bigram VOCABULARY via distributed
+    TakeOrdered, never on the corpus. Deterministic tie-break
+    ``(count DESC, w1 ASC, w2 ASC)``.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+          .select(F.explode(pairs).alias("p"))
+          .select("p.w1", "p.w2"))
+    out = (ex.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("long").alias("count"))
+           .where(F.col("count") >= min_count))
+    if top_k is not None:
+        out = out.orderBy(F.desc("count"), F.asc("w1"),
+                          F.asc("w2")).limit(top_k)
+    return out
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str,
+                     bigrams: DataFrame, vocab: DataFrame,
+                     alpha: float = 0.1,
+                     vocab_size: int | None = None) -> DataFrame:
+    """Per-document add-α bigram LM score:
+    ``(id, n_bigrams, avg_logprob)`` with
+
+        avg_logprob = mean over document bigrams of
+            ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+
+    — higher (less negative) = more corpus-typical text; thresholding
+    the score is the perplexity filter of CCNet/Wenzek et al. 2020
+    with a bigram model instead of their external KenLM. Documents
+    with fewer than 2 tokens (no bigrams) are absent from the output.
+
+    ``bigrams`` is a :func:`bigram_counts` frame, ``vocab`` a
+    :func:`vocabulary` frame (its ``count`` is c(w1)); ``vocab_size``
+    defaults to one cheap ``vocab.count()``. Unseen bigrams/unigrams
+    back off to the α-smoothed floor via COALESCE(…, 0).
+
+    Scale shape: per-document equal bigrams pre-aggregate BEFORE the
+    model joins (shuffle carries ``(id, w1, w2, m)``, not every token
+    position); both model joins are plain equi-joins Spark broadcasts
+    when the model was built with ``top_k`` (no forced hint — an
+    unbounded model must stay a shuffle join, not OOM the driver);
+    the final per-id sum partial-aggregates map-side.
+    """
+    if vocab_size is None:
+        vocab_size = vocab.count()
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+          .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+          .select("id", "p.w1", "p.w2")
+          .groupBy("id", "w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("m")))
+    bg = bigrams.select(F.col("w1"), F.col("w2"),
+                        F.col("count").alias("__c12"))
+    ug = vocab.select(F.col("token").alias("w1"),
+                      F.col("count").alias("__c1"))
+    denom = F.coalesce(F.col("__c1"), F.lit(0)) + alpha * vocab_size
+    term = F.log((F.coalesce(F.col("__c12"), F.lit(0)) + alpha) / denom)
+    scored = (ex.join(bg, ["w1", "w2"], "left")
+              .join(ug, ["w1"], "left")
+              .groupBy("id")
+              .agg(F.sum(F.col("m") * term).alias("__lp"),
+                   F.sum("m").cast("long").alias("n_bigrams")))
+    return scored.select(
+        "id", "n_bigrams",
+        F.round(F.col("__lp") / F.col("n_bigrams"), 4)
+        .alias("avg_logprob"))
