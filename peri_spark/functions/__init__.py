@@ -6,6 +6,7 @@ built-in column functions and one-shuffle LSH joins; Arrow-batched pandas
 UDFs only where bit-twiddling (SimHash) genuinely needs them.
 """
 
+from .bpe import bpe_encode, bpe_encode_word, train_bpe_merges
 from .curation import (clean_lines, cluster_safe_split,
                        dedup_lines_across_corpus,
                        strip_data_uris, url_stats, domain_counts,
@@ -73,6 +74,7 @@ __all__ = [
     "semantic_dedup", "repetition_stats", "quality_filter",
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
     "dedup_lines_across_corpus", "bigram_counts", "bigram_lm_scores",
+    "bpe_encode", "bpe_encode_word", "train_bpe_merges",
     "encode_tokens", "normalize_text", "strip_data_uris",
     "url_stats", "domain_counts",
     "sample_k_per_group",
