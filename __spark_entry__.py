@@ -1285,6 +1285,33 @@ def q_frame_offsets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(media, every_ms=700)
 
 
+def q_temperature_mix_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Temperature source mixing (r5, mT5-style n^(1/τ) flattening):
+    τ=2 down-mix over documents.source; the oracle reproduces the
+    in-plan rate derivation (pow/anchored-max) and every hash-coin
+    keep decision."""
+    from peri_spark.functions import temperature_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mix(docs.select("doc_id", "source"),
+                           "source", "doc_id", tau=2.0) \
+        .select("doc_id", "source")
+
+
+def _temperature_mix_oracle_sql() -> str:
+    coin = _ph("CAST(doc_id AS VARCHAR) || chr(31) || '42'") + " % 1000000"
+    return f"""
+    WITH counts AS (
+      SELECT source AS src, count(*) AS n FROM documents GROUP BY 1),
+    r AS (SELECT src, pow(n, 0.5) / n AS ratio FROM counts),
+    norm AS (
+      SELECT src, ratio / (SELECT max(ratio) FROM r) AS rate FROM r)
+    SELECT doc_id, source
+    FROM documents JOIN norm ON source = norm.src
+    WHERE {coin} < CAST(round(rate * 1000000) AS BIGINT)
+    """
+
+
 def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-α bigram LM scoring (r5, the CCNet-style perplexity-filter
     statistic with an in-corpus bigram model): model trained on the
@@ -2276,6 +2303,7 @@ def queries_full() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines_documents": q_clean_lines_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
         "bigram_lm_documents": q_bigram_lm_documents,
+        "temperature_mix_documents": q_temperature_mix_documents,
         "normalize_text_documents": q_normalize_text_documents,
         "sample_k_documents": q_sample_k_documents,
         "cluster_split_code_files": q_cluster_split_code_files,
@@ -3537,6 +3565,7 @@ def oracle_sql_full() -> dict[str, str]:
         "clean_lines_documents": clean_lines_docs,
         "dedup_lines_documents": _dedup_lines_oracle_sql(),
         "bigram_lm_documents": _bigram_lm_oracle_sql(),
+        "temperature_mix_documents": _temperature_mix_oracle_sql(),
         "normalize_text_documents": normalize_docs,
         "sample_k_documents": sample_k_docs,
         "redact_pii_documents": redact_pii,
@@ -4587,6 +4616,7 @@ COMPOSITES: dict[str, tuple[str, ...]] = {
     "curation_split_suite": (
         "hash_split_documents", "stratified_sample_documents",
         "weighted_mix_documents", "upsample_mix_documents",
+        "temperature_mix_documents",
         "sample_k_documents", "cluster_split_code_files"),
     "curation_clean_suite": (
         "clean_lines_documents", "dedup_lines_documents",

@@ -14,7 +14,7 @@ from .curation import (clean_lines, cluster_safe_split,
                        sample_k_per_group,
                        normalize_text,
                        pack_sequences, redact_text, stratified_sample,
-                       weighted_mix)
+                       temperature_mix, weighted_mix)
 from .dedup import (exact_duplicates, exact_digest_index,
                     edit_distance_pairs,
                     hamming_duplicate_pairs,
@@ -75,6 +75,7 @@ __all__ = [
     "vocabulary", "unigram_logprob", "bm25_topk", "clean_lines",
     "dedup_lines_across_corpus", "bigram_counts", "bigram_lm_scores",
     "bpe_encode", "bpe_encode_word", "train_bpe_merges",
+    "temperature_mix",
     "encode_tokens", "normalize_text", "strip_data_uris",
     "url_stats", "domain_counts",
     "sample_k_per_group",

@@ -31,7 +31,8 @@ from .dedup import (portable_hash64, shingle_norm, shingles_arrow,
                     shingles_from_norm)
 
 __all__ = ["contamination_overlap", "hash_split", "stratified_sample",
-           "weighted_mix", "redact_text", "pack_sequences",
+           "weighted_mix", "temperature_mix", "redact_text",
+           "pack_sequences",
            "top_k_per_group", "token_budget_sample", "select_top_fraction",
            "sample_k_per_group", "cluster_safe_split",
            "clean_lines", "dedup_lines_across_corpus", "normalize_text",
@@ -225,14 +226,25 @@ def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
         raise ValueError(f"mode must be 'down' or 'up', got {mode!r}")
     counts = (df.groupBy(F.col(source_col).alias("__src"))
                 .agg(F.count(F.lit(1)).alias("__n")))
+    w_expr = reduce(
+        lambda acc, kv: F.when(F.col("__src") == kv[0],
+                               F.lit(float(kv[1]))).otherwise(acc),
+        weights.items(), F.lit(None).cast("double"))
+    return _mix_with_rates(df, source_col, counts, w_expr, key_col,
+                           seed, mode, copy_col)
+
+
+def _mix_with_rates(df, source_col, counts, w_expr, key_col, seed,
+                    mode, copy_col):
+    """Shared mixing tail: per-source weight expression → anchored
+    keep/replication rates → deterministic hash-coin application.
+    ``counts`` is the tiny (source, __n) frame; ``w_expr`` evaluates
+    the target weight for each source row (NULL = drop source)."""
     anchor = F.max if mode == "down" else F.min
     # ratio/extreme window over a frame with one row per source — tiny
     # by construction, so the single-partition window is no bottleneck
     rates = (counts
-             .withColumn("__w", reduce(
-                 lambda acc, kv: F.when(F.col("__src") == kv[0],
-                                        F.lit(float(kv[1]))).otherwise(acc),
-                 weights.items(), F.lit(None).cast("double")))
+             .withColumn("__w", w_expr)
              .where(F.col("__w").isNotNull())
              .withColumn("__r", F.col("__w") / F.col("__n"))
              .withColumn("__rate", F.col("__r") /
@@ -255,6 +267,31 @@ def weighted_mix(df: DataFrame, source_col: str, weights: dict[str, float],
                F.lit(0).cast("long"),
                F.col("__c") - 1)).alias(copy_col)))
     return out.drop("__src", "__rate", "__c")
+
+
+def temperature_mix(df: DataFrame, source_col: str, key_col: str,
+                    tau: float = 2.0, seed: int = 42,
+                    mode: str = "down",
+                    copy_col: str = "copy") -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-corpus
+    mix of mT5 / XLM-R: target share ∝ n_s^(1/τ), flattening source
+    skew as τ grows; τ=1 keeps the natural mix, τ→∞ approaches the
+    uniform/UniMax limit). Weights derive from the measured per-source
+    counts IN-PLAN — no caller-supplied dict, no driver collect — and
+    everything else (anchored maximal-retention down-sampling or
+    epochs-per-source up-replication, the deterministic hash coin, the
+    broadcast of the tiny rate frame) is :func:`weighted_mix`'s
+    machinery, so the corpus never shuffles.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if mode not in ("down", "up"):
+        raise ValueError(f"mode must be 'down' or 'up', got {mode!r}")
+    counts = (df.groupBy(F.col(source_col).alias("__src"))
+                .agg(F.count(F.lit(1)).alias("__n")))
+    w_expr = F.pow(F.col("__n").cast("double"), 1.0 / tau)
+    return _mix_with_rates(df, source_col, counts, w_expr, key_col,
+                           seed, mode, copy_col)
 
 
 def pack_sequences(df: DataFrame, id_col: str, token_col: str,

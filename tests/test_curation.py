@@ -190,3 +190,38 @@ def test_redact_label_with_replacement_metachars(spark):
     out = redact_text(df, "text", patterns={"price$": r"\$\d+"},
                       with_counts=False).collect()[0]
     assert out.text_redacted == "price [PRICE$] end"
+
+
+def test_temperature_mix_flattens_skew(spark):
+    from collections import Counter
+
+    from peri_spark.functions import temperature_mix
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = Counter(r.source for r in
+                   temperature_mix(df, "source", "doc_id",
+                                   tau=2.0).collect())
+    # rates: w_s = n_s^(1/2); small keeps 100% (anchor), big keeps
+    # sqrt(900)/900 / (sqrt(100)/100) = (1/30)/(1/10) = 1/3
+    assert kept["small"] == 100
+    assert abs(kept["big"] - 300) < 45        # hash-coin binomial noise
+    # tau=1 is the natural mix: everything kept
+    n1 = temperature_mix(df, "source", "doc_id", tau=1.0).count()
+    assert n1 == 1000
+
+
+def test_temperature_mix_up_mode_replicates(spark):
+    from peri_spark.functions import temperature_mix
+    rows = [(i, "big") for i in range(400)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, "source", "doc_id", tau=2.0, mode="up")
+    big = out.where("source = 'big'").count()
+    small = out.where("source = 'small'").count()
+    assert big == 400                          # anchor keeps 1 epoch
+    # small replicates at rate (10/100)/(20/400) = 2.0 epochs
+    assert small == 200
+    import pytest
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix(df, "source", "doc_id", tau=0)
