@@ -74,6 +74,8 @@ def train_bpe_merges(word_counts, n_merges: int,
                 f"{max_words}. Build it with vocabulary(..., top_k=...)"
                 f" or raise max_words deliberately.")
         word_counts = {r["token"]: r["count"] for r in probe}
+    import heapq
+
     words = {w: _word_symbols(w) for w in word_counts}
     pair_counts: Counter = Counter()
     pair_words: defaultdict[tuple, set] = defaultdict(set)
@@ -82,14 +84,26 @@ def train_bpe_merges(word_counts, n_merges: int,
         for p in zip(syms, syms[1:]):
             pair_counts[p] += c
             pair_words[p].add(w)
+    # lazy-deletion max-heap over (count, pair): selection is O(log n)
+    # per merge instead of a full pair_counts rescan (the rescan is
+    # what would dominate at MAX_DRIVER_WORDS-scale vocabularies);
+    # stale entries pop until the heap head matches the live count
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _bump(p, c):
+        if c >= min_pair_count:
+            heapq.heappush(heap, (-c, p))
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = None
-        for p, c in pair_counts.items():
-            if c >= min_pair_count and (
-                    best is None or (c, ) > (pair_counts[best], )
-                    or (c == pair_counts[best] and p < best)):
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p) == -negc and -negc >= min_pair_count:
                 best = p
+                break
+            heapq.heappop(heap)             # stale or below threshold
         if best is None:
             break
         merges.append(best)
@@ -102,6 +116,8 @@ def train_bpe_merges(word_counts, n_merges: int,
                 pair_words[p].discard(w)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
+                else:
+                    _bump(p, pair_counts[p])
             new: list[str] = []
             i = 0
             while i < len(syms):
@@ -116,6 +132,7 @@ def train_bpe_merges(word_counts, n_merges: int,
             for p in zip(words[w], words[w][1:]):
                 pair_counts[p] += c
                 pair_words[p].add(w)
+                _bump(p, pair_counts[p])
     return merges
 
 
@@ -152,8 +169,11 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
 
     ranks = {p: i for i, p in enumerate(merges)}
     ws = _re.compile(r"\s+", _re.ASCII)
+    # preserve the caller's id type (UUID/URL string ids are common) —
+    # a hardcoded LongType would fail Arrow conversion per partition
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType([
-        T.StructField("id", T.LongType()),
+        T.StructField("id", id_type),
         T.StructField("pieces", T.ArrayType(T.StringType())),
         T.StructField("n_pieces", T.LongType()),
     ])

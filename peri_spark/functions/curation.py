@@ -863,7 +863,12 @@ def dedup_lines_across_corpus(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"output columns already exist: {sorted(clash)}")
     h = hash_fn or F.xxhash64
     lines = F.split(F.col(text_col), "\n")
-    eligible = df.where(F.col(text_col).isNotNull())
+    # NULL-id documents sit outside the frequency model entirely: they
+    # would otherwise collapse to ONE pseudo-document in the distinct
+    # (and the SQL oracle's count(DISTINCT id) excludes NULL), and the
+    # final join-back can never match them anyway
+    eligible = df.where(F.col(text_col).isNotNull()
+                        & F.col(id_col).isNotNull())
     exploded = (eligible
                 .select(F.col(id_col).alias("__id"),
                         F.explode(lines).alias("__line"))

@@ -640,6 +640,19 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
             .limit(k))
 
 
+def _consecutive_pairs(text_col: str):
+    """(normalized text expr, consecutive-token pair array expr) — the
+    ONE definition of the corpus bigram convention, shared by model
+    building and scoring so they can never tokenize differently."""
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return t, pairs
+
+
 def bigram_counts(df: DataFrame, text_col: str,
                   min_count: int = 1,
                   top_k: int | None = None) -> DataFrame:
@@ -656,12 +669,7 @@ def bigram_counts(df: DataFrame, text_col: str,
     TakeOrdered, never on the corpus. Deterministic tie-break
     ``(count DESC, w1 ASC, w2 ASC)``.
     """
-    t = F.trim(F.lower(F.col(text_col)))
-    toks = F.split(t, r"\s+")
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    t, pairs = _consecutive_pairs(text_col)
     ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
           .select(F.explode(pairs).alias("p"))
           .select("p.w1", "p.w2"))
@@ -691,7 +699,10 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str,
 
     ``bigrams`` is a :func:`bigram_counts` frame, ``vocab`` a
     :func:`vocabulary` frame (its ``count`` is c(w1)); ``vocab_size``
-    defaults to one cheap ``vocab.count()``. Unseen bigrams/unigrams
+    defaults to ``vocab.count()`` — on an UNCACHED vocab frame that
+    re-runs the whole corpus word aggregation once just for |V|, so at
+    scale either persist the vocab first or pass ``vocab_size``
+    explicitly. Unseen bigrams/unigrams
     back off to the α-smoothed floor via COALESCE(…, 0).
 
     Scale shape: per-document equal bigrams pre-aggregate BEFORE the
@@ -703,12 +714,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str,
     """
     if vocab_size is None:
         vocab_size = vocab.count()
-    t = F.trim(F.lower(F.col(text_col)))
-    toks = F.split(t, r"\s+")
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    t, pairs = _consecutive_pairs(text_col)
     ex = (df.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
           .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
           .select("id", "p.w1", "p.w2")

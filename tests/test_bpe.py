@@ -68,3 +68,15 @@ def test_vocab_frame_bound_enforced(spark):
     voc = vocabulary(df, "text", "doc_id")
     with pytest.raises(ValueError, match="max_words"):
         train_bpe_merges(voc, n_merges=5, max_words=3)
+
+
+def test_encode_preserves_string_ids(spark):
+    """Review finding r5: id output type must follow the input id
+    column (UUID/URL string ids), not hardcode long."""
+    df = spark.createDataFrame(
+        [("doc-a", "hello world hello"), ("doc-b", "world")],
+        "doc_id string, text string")
+    merges = train_bpe_merges({"hello": 2, "world": 2}, n_merges=5)
+    out = {r.id: r.n_pieces for r in
+           bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert set(out) == {"doc-a", "doc-b"}

@@ -63,3 +63,18 @@ def test_unaffected_docs_identical_and_plan_joins_left(spark):
     assert all(r.n_removed in (0, None) for r in rows)
     assert all(r.text == r.text_deduped for r in rows
                if r.text is not None)
+
+
+def test_null_id_docs_outside_frequency_model(spark):
+    """Review finding r5: NULL-id documents must not collapse into one
+    pseudo-doc in the doc-frequency count (the SQL oracle's
+    count(DISTINCT id) excludes NULL)."""
+    line = "shared line long enough to participate"
+    rows = [(None, line), (None, line), (1, line),
+            (2, "unique body of document two here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines_across_corpus(
+        df, "text", "doc_id", min_doc_freq=2,
+        min_line_chars=5).collect()}
+    # doc-freq of the shared line is 1 (only doc 1 counts) -> not hot
+    assert out[1].n_removed == 0
