@@ -780,10 +780,11 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    from .similarity import _bucket_col, _cosine
+    from .similarity import _bucket_udf, _pair_sim, _planes
 
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  _bucket_col(F.col(vec_col), planes, seed).alias("bucket"))
+                  _bucket_udf(_planes(64, planes, seed))(F.col(vec_col))
+                  .alias("bucket"))
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
         sized = b.withColumn("__bsz", F.count(F.lit(1)).over(w))
@@ -798,7 +799,8 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
                               (F.col("l.bucket") == F.col("r.bucket"))
                               & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    _cosine(F.col("l.v"), F.col("r.v")).alias("cosine")))
+                    _pair_sim(F.col("l.v"), F.col("r.v"), False)
+                    .alias("cosine")))
     return cand.where(F.col("cosine") >= threshold)
 
 

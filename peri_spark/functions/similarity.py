@@ -4,9 +4,9 @@
   the exact baseline. One scan, dot products via ``zip_with``/``aggregate``
   (JVM), top-k via ``orderBy.limit`` (Spark's TakeOrderedAndProject — a
   per-partition heap + driver merge, no full sort).
-- ``brute_force_topk``: k-NN for every row of a (small, broadcast) query
-  set against the corpus — one broadcast nested-loop + per-query window
-  top-k. Exact; O(n·q).
+- ``brute_force_topk``: k-NN for every row of a (small) query set
+  against the corpus — one Arrow-batched corpus pass scoring every
+  query per batch + per-query window top-k. Exact; O(n·q).
 - ``hyperplane_lsh_topk``: a scale path — random-hyperplane sign-bit
   buckets (map-side), candidates from bucket collisions only, exact cosine
   re-rank. Recall tunable by ``planes`` (fewer planes → bigger buckets).
@@ -18,6 +18,21 @@
   recall on clustered corpora); the training pass must be re-run as the
   corpus drifts, so prefer LSH when the corpus is append-heavy and
   IVF when it is read-heavy and clustered.
+
+Execution note (round-6 optimization; guide §4.2): the per-pair dot
+products, hyperplane sign bits, and centroid assignments previously ran
+as JVM higher-order functions (``zip_with`` + ``aggregate``). Spark HOF
+lambdas are CodegenFallback — every element evaluates interpreted with
+boxing, and every pair allocates an intermediate array — which made the
+O(n·q) / O(Σ|cell|²) kernels allocation-bound (semantic_dedup measured
+134 rows/s). They now run as Arrow-batched numpy kernels that reproduce
+the JVM arithmetic BIT-FOR-BIT: the JVM fold is a sequential
+left-to-right double sum seeded with 0.0, which numpy's
+``np.add.accumulate`` over a zero-prepended product row replicates
+exactly (same IEEE operations in the same order — verified against the
+HOF path and the DuckDB oracle, whose ``list_sum`` folds the same way).
+The JVM HOF helpers are retained below both as the documentation of the
+semantics and for composition sites that stay plan-only.
 """
 
 from __future__ import annotations
@@ -57,22 +72,171 @@ def _sim(a: Column, b: Column, assume_normalized: bool) -> Column:
     return _dot(a, b) if assume_normalized else _cosine(a, b)
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched exact twins of the JVM HOF kernels.
+#
+# Bit-parity contract (every function below): the JVM fold
+#   aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, +)
+# evaluates ((0.0 + p0) + p1) + ... in element order, all float64.
+# numpy replica: prepend a literal 0.0 column to the product matrix and
+# np.add.accumulate along the row — identical IEEE adds in identical
+# order (the leading 0.0 also pins the JVM's `0.0 + (-0.0) == +0.0`
+# signed-zero behavior). Length-mismatched pairs (zip_with pads with
+# NULL → NULL product → NULL sum) and NULL vectors map to None.
+#
+# The closures below deliberately capture only plain values (floats,
+# lists, ndarrays) and import numpy/pandas inside the function body, so
+# cloudpickle ships them fully by value — Python workers never need
+# peri_spark importable (same pattern as minhash_signatures).
+# ---------------------------------------------------------------------------
+
+
+def _seq_dot_code():
+    """Source-of-truth numpy kernel, inlined into every UDF closure."""
+
+    def _seq_rows(P):
+        import numpy as np
+        n, d = P.shape
+        S = np.empty((n, d + 1), dtype=np.float64)
+        S[:, 0] = 0.0
+        S[:, 1:] = P
+        return np.add.accumulate(S, axis=1)[:, -1]
+
+    return _seq_rows
+
+
+def _pair_sim(a: Column, b: Column, assume_normalized: bool) -> Column:
+    """Arrow-batched exact twin of ``_sim`` for joined pair columns.
+
+    The UDF computes only the three folds (dot, ‖a‖, ‖b‖ — or 1.0 for
+    the normalized path); the division stays a JVM expression so the
+    IEEE corner cases (0/0 → NaN, x/0 → ±Inf) keep Spark's NaN-vs-NULL
+    semantics — the Arrow boundary would otherwise fold a genuine NaN
+    result into NULL. ``x / (1.0 * 1.0) == x`` exactly, so the
+    normalized path is still the plain dot."""
+    from pyspark.sql.functions import pandas_udf
+    _seq = _seq_dot_code()
+    norm = not assume_normalized
+
+    def _batch(a, b):
+        import numpy as np
+        import pandas as pd
+        n = len(a)
+        la = np.fromiter((-1 if v is None else len(v) for v in a.values),
+                         dtype=np.int64, count=n)
+        lb = np.fromiter((-1 if v is None else len(v) for v in b.values),
+                         dtype=np.int64, count=n)
+        dot = np.full(n, np.nan)
+        na = np.ones(n)
+        nb = np.ones(n)
+        ok = (la >= 0) & (la == lb)
+        if ok.any():
+            for ln in np.unique(la[ok]):
+                m = ok & (la == ln)
+                cnt = int(m.sum())
+                A = (np.stack(list(a.values[m])).astype(np.float64)
+                     if ln else np.zeros((cnt, 0)))
+                B = (np.stack(list(b.values[m])).astype(np.float64)
+                     if ln else np.zeros((cnt, 0)))
+                dot[m] = _seq(A * B)
+                if norm:
+                    na[m] = np.sqrt(_seq(A * A))
+                    nb[m] = np.sqrt(_seq(B * B))
+        if norm:
+            na = np.where(ok, na, np.nan)
+            nb = np.where(ok, nb, np.nan)
+        return pd.DataFrame({"dot": dot, "na": na, "nb": nb})
+
+    u = pandas_udf(_batch, "dot double, na double, nb double")
+    s = u(a, b)
+    return s["dot"] / (s["na"] * s["nb"])
+
+
+def _bucket_udf(planes: list[list[float]]):
+    """pandas UDF vec -> long: exact twin of ``_bucket_col`` (sign-bit
+    bucket id). NULL vec or length mismatch → every ``when`` is NULL →
+    bucket 0, matching the JVM expression."""
+    from pyspark.sql.functions import pandas_udf
+    _seq = _seq_dot_code()
+    P = np.asarray(planes, dtype=np.float64)      # (n_planes, dim)
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+    def _batch(v):
+        import numpy as np
+        import pandas as pd
+        lens = v.map(lambda x: -1 if x is None else len(x))
+        out = np.zeros(len(v), dtype=np.int64)
+        ok = (lens == P.shape[1]).values
+        if ok.any():
+            V = np.stack(v.values[ok]).astype(np.float64)   # (m, dim)
+            bits = np.empty((len(V), len(P)), dtype=bool)
+            for i in range(len(P)):
+                bits[:, i] = _seq(V * P[i][None, :]) >= 0.0
+            out[ok] = bits @ weights
+        return pd.Series(out)
+
+    return pandas_udf(_batch, "long")
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """pandas UDF vec -> int: exact twin of ``_ivf_assign`` (nearest-
+    centroid id, first-min tiebreak). NULL vec or length mismatch →
+    NULL cell (the JVM fold yields all-NULL distances)."""
+    from pyspark.sql.functions import pandas_udf
+    _seq = _seq_dot_code()
+    C = np.asarray(centroids, dtype=np.float64)   # (K, d)
+
+    def _batch(v):
+        import numpy as np
+        import pandas as pd
+        lens = v.map(lambda x: -1 if x is None else len(x))
+        ok = (lens == C.shape[1]).values
+        out = np.full(len(v), None, dtype=object)
+        if ok.any():
+            V = np.stack(v.values[ok]).astype(np.float64)   # (m, d)
+            D = np.empty((len(V), len(C)), dtype=np.float64)
+            for k in range(len(C)):
+                diff = V - C[k][None, :]
+                D[:, k] = _seq(diff * diff)
+            cells = np.argmin(D, axis=1)          # first-min, like JVM
+            out[ok] = cells
+        return pd.Series(out, dtype="Int32")
+
+    return pandas_udf(_batch, "int")
+
+
 def normalize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
     """L2-normalize once up front so cosine becomes a plain dot product
     (saves two norms per comparison in every downstream join — pass
     ``assume_normalized=True`` to the top-k functions to claim it).
 
-    The norm is hoisted to its own column first: evaluating ``_norm(v)``
-    inside the per-element lambda would run an O(d) aggregate per
-    element — O(d²) per row — unless Catalyst happens to subexpression-
-    eliminate it inside the HOF (not guaranteed; VERDICT r03 what's-
-    wrong #3)."""
-    nc = f"__{vec_col}_l2n"
-    return (df.withColumn(nc, _norm(F.col(vec_col)))
-            .withColumn(vec_col,
-                        F.transform(F.col(vec_col),
-                                    lambda x: x.cast("double") / F.col(nc)))
-            .drop(nc))
+    Arrow-batched numpy with the exact-order norm fold (see module
+    docstring); each element divides by the same double the JVM
+    ``transform`` would use, so outputs are bit-identical to the HOF
+    formulation (and to the DuckDB oracle)."""
+    from pyspark.sql.functions import pandas_udf
+    _seq = _seq_dot_code()
+
+    def _batch(v):
+        import numpy as np
+        import pandas as pd
+        lens = v.map(lambda x: -1 if x is None else len(x))
+        out = np.full(len(v), None, dtype=object)
+        vals = lens.values >= 0
+        if vals.any():
+            for ln in np.unique(lens.values[vals]):
+                m = (lens.values == ln)
+                V = (np.stack(v.values[m]).astype(np.float64)
+                     if ln else np.zeros((int(m.sum()), 0)))
+                nrm = np.sqrt(_seq(V * V))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    N = V / nrm[:, None]
+                for j, row in zip(np.nonzero(m)[0], N):
+                    out[j] = row
+        return pd.Series(out)
+
+    f = pandas_udf(_batch, "array<double>")
+    return df.withColumn(vec_col, f(F.col(vec_col)))
 
 
 def cosine_topk_for_query(df: DataFrame, vec_col: str, id_col: str,
@@ -91,20 +255,76 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame,
                      assume_normalized: bool = False) -> DataFrame:
     """Exact k-NN of each query row against the corpus.
 
-    The query side broadcasts; corpus scans once. Returns
+    The query set collects to the driver (it was broadcast whole in the
+    join formulation anyway) and every corpus batch scores ALL queries
+    in one Arrow pass — numpy does the q·n·d multiply-adds in C instead
+    of one interpreted HOF fold per pair. Returns
     (query_id, id, cosine, rank). ``assume_normalized=True`` (vectors
     already L2-normalized, e.g. via ``normalize_embeddings``) ranks by
     the dot product alone — same ordering, two fewer norm aggregates
-    per pair.
+    per pair. Cosines are bit-identical to the join formulation (exact
+    sequential fold; rounding stays in the JVM).
     """
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("__qv")))
-    joined = corpus.select(F.col(id_col).alias("id"),
-                           F.col(vec_col).alias("__cv")).crossJoin(q)
-    sim = joined.select(
-        "query_id", "id",
-        F.round(_sim(F.col("__cv"), F.col("__qv"), assume_normalized), 6)
-        .alias("cosine"))
+    _seq = _seq_dot_code()
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv")).collect()
+    qids = [r["query_id"] for r in qrows]
+    qvecs = [None if r["__qv"] is None
+             else np.asarray(r["__qv"], dtype=np.float64) for r in qrows]
+    norm = not assume_normalized
+    qnorms = [np.nan if qv is None
+              else float(np.sqrt(_seq((qv * qv)[None, :])[0]))
+              for qv in qvecs]
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    q_ddl = queries.schema[id_col].dataType.simpleString()
+    # the division (and its NaN/Inf corner semantics) stays in the JVM;
+    # the Arrow boundary only carries the three fold results per pair
+    out_schema = f"query_id {q_ddl}, id {id_ddl}, dot double, " \
+                 "na double, nq double"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            vs = pdf["__cv"]
+            n = len(pdf)
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in vs.values),
+                dtype=np.int64, count=n)
+            norms = {}
+            parts = []
+            for qid, qv, qn in zip(qids, qvecs, qnorms):
+                dot = np.full(n, np.nan)
+                na = np.ones(n)
+                if qv is not None:
+                    m = lens == len(qv)
+                    if m.any():
+                        V = (np.stack(list(vs.values[m]))
+                             .astype(np.float64)
+                             if len(qv) else np.zeros((int(m.sum()), 0)))
+                        dot[m] = _seq(V * qv[None, :])
+                        if norm:
+                            if len(qv) not in norms:
+                                norms[len(qv)] = (m, np.sqrt(_seq(V * V)))
+                            na[m] = norms[len(qv)][1]
+                    if norm:
+                        na = np.where(m, na, np.nan)
+                elif norm:
+                    na = np.full(n, np.nan)
+                parts.append(pd.DataFrame({
+                    "query_id": [qid] * n, "id": pdf["id"],
+                    "dot": dot, "na": na,
+                    "nq": np.full(n, qn if norm else 1.0)}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    sim = (corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("__cv"))
+           .mapInPandas(gen, out_schema)
+           .select("query_id", "id",
+                   F.round(F.col("dot") / (F.col("na") * F.col("nq")), 6)
+                   .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (sim.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -197,64 +417,172 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     ``nprobe`` nearest cells, exact cosine re-ranks the candidates.
 
     The scale shape mirrors ``hyperplane_lsh_topk``: cell assignment is
-    one map-side pass over the corpus (no shuffle), the query side —
-    exploded to (query, cell) probes — broadcasts, and the candidate
-    join carries only probed cells' rows into the re-rank. Unlike
-    hyperplane buckets, cells adapt to the data distribution (training
-    via ``train_ivf_centroids``), trading a bounded driver-side training
-    pass for better recall on clustered corpora; see the module
-    docstring for when the training-free LSH variant is preferable.
+    one map-side Arrow-batched pass over the corpus (no shuffle), the
+    query side — exploded to (query, cell) probes — broadcasts, and the
+    candidate join carries only probed cells' rows into the re-rank.
+    Assignment and re-rank cosines are bit-identical to the JVM HOF
+    formulation (exact sequential folds — see module docstring), so the
+    DuckDB oracle is unchanged. Unlike hyperplane buckets, cells adapt
+    to the data distribution (training via ``train_ivf_centroids``),
+    trading a bounded driver-side training pass for better recall on
+    clustered corpora; see the module docstring for when the
+    training-free LSH variant is preferable.
     Returns (query_id, id, cosine, rank).
     """
     c = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).alias("__cv"),
-                      _ivf_assign(F.col(vec_col), centroids).alias("cell"))
+                      _assign_udf(centroids)(F.col(vec_col)).alias("cell"))
     qb = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("__qv"),
                         F.explode(_ivf_probes(F.col(vec_col), centroids,
                                               nprobe)).alias("cell"))
     cand = c.join(F.broadcast(qb), "cell").select(
         "query_id", "id",
-        F.round(_sim(F.col("__cv"), F.col("__qv"), assume_normalized), 6)
-        .alias("cosine"))
+        F.round(_pair_sim(F.col("__cv"), F.col("__qv"),
+                          assume_normalized), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (cand.dropDuplicates(["query_id", "id"])
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 
+def _java_order_key(ids, sample):
+    """Sort key matching the JVM's ``<`` on the id column: numerics
+    compare numerically; strings compare by UTF-16 code units (Java
+    ``String.compareTo``), which ``encode('utf-16-be')`` byte order
+    reproduces exactly (including surrogate-pair ordering)."""
+    if isinstance(sample, str):
+        return ids.map(lambda s: s.encode("utf-16-be", "surrogatepass"))
+    return ids
+
+
 def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
                    centroids: list[list[float]], threshold: float = 0.95,
                    max_cell_size: int = 10_000,
-                   assume_normalized: bool = False) -> DataFrame:
+                   assume_normalized: bool = False,
+                   eager: bool = True) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
     arXiv:2303.09540): assign every vector to its nearest k-means cell,
     compare pairs ONLY within a cell, and drop each vector that has a
     lower-id neighbor with cosine ≥ ``threshold`` (the deterministic
     keep-min canonical rule). Returns the surviving ``(id, cell)`` rows.
 
-    Scale shape: cell assignment is one map-side pass (no shuffle); the
-    within-cell self-join shuffles on the cell id only, and its cost is
-    Σ|cell|² — bounded by ``max_cell_size`` (cells above the cap are
-    kept UN-deduped rather than exploding the join; the cap mirrors
-    ``embedding_duplicate_pairs``). Train ``centroids`` via
+    Scale shape (round-6 rewrite; guide §4.2): cell assignment is one
+    map-side Arrow pass (no shuffle); the within-cell comparison is a
+    ``groupBy(cell).applyInPandas`` — the corpus shuffles ONCE on the
+    cell id (id + vector, no pair explosion) and each cell's Σ|cell|²
+    dot products run as tiled numpy matrix ops instead of a JVM
+    self-join evaluating one interpreted fold per pair (measured 134
+    rows/s → the join never materializes pair rows at all now). Cells
+    above ``max_cell_size`` are kept UN-deduped rather than exploding
+    the quadratic cost (the cap mirrors ``embedding_duplicate_pairs``),
+    enforced inside the grouped kernel. Train ``centroids`` via
     :func:`train_ivf_centroids`; more centroids → smaller cells →
-    cheaper joins but more near-duplicates split across cell borders
-    (the SemDeDup trade). Cosine rounds to 6dp before the threshold so
-    the decision reproduces bit-for-bit in the DuckDB oracle.
+    cheaper cells but more near-duplicates split across cell borders
+    (the SemDeDup trade).
+
+    Decision parity: the JVM formulation compared
+    ``round(sim, 6) >= threshold`` with Spark's HALF_UP decimal round.
+    The kernel computes the exact-order dot (bit-identical to the HOF
+    fold), screens with a ±1e-6 band around the threshold, and only
+    pairs inside the band replay Spark's exact
+    ``BigDecimal(Double.toString(x)).setScale(6, HALF_UP)`` via Python
+    ``decimal`` (shortest round-trip repr == Double.toString) — so the
+    kept/dropped decision is identical for every possible input, and
+    the DuckDB oracle is unchanged.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    norm = not assume_normalized
+    _seq = _seq_dot_code()
+    thr = float(threshold)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
     c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
-                  _ivf_assign(F.col(vec_col), centroids).alias("cell"))
-    sz = (c.groupBy("cell").agg(F.count(F.lit(1)).alias("__csz"))
-          .where(F.col("__csz") <= max_cell_size).select("cell"))
-    small = c.join(F.broadcast(sz), "cell")
-    a, b = small.alias("a"), small.alias("b")
-    sim = F.round(_sim(F.col("a.__v"), F.col("b.__v"), assume_normalized), 6)
-    dups = (a.join(b, (F.col("a.cell") == F.col("b.cell")) &
-                      (F.col("a.id") > F.col("b.id")))
-            .where(sim >= threshold)
-            .select(F.col("a.id").alias("id")).distinct())
-    return c.join(dups, "id", "left_anti").select("id", "cell")
+                  _assign_udf(centroids)(F.col(vec_col)).alias("cell"))
+    if eager:
+        # the assignment pass feeds both the grouped kernel and the
+        # survivor anti-join; persist it once, materialize the (small)
+        # survivor set, release. ``eager=False`` keeps the whole plan
+        # lazy for inspection/composition at the cost of recomputing
+        # the assignment on each consuming action.
+        c = c.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def find_dups(pdf):
+        import numpy as np
+        import pandas as pd
+        empty = pd.DataFrame({"id": pd.Series([], dtype=pdf["id"].dtype)})
+        # NULL cells never joined in the pair formulation; over-cap
+        # cells pass through un-deduped
+        if pdf["cell"].isna().any() or not (2 <= len(pdf) <= max_cell_size):
+            return empty
+        # rows with NULL id never satisfy `a.id > b.id`; NULL vectors
+        # yield NULL sim — neither can drop nor be dropped
+        ok = pdf["id"].notna() & pdf["__v"].notna()
+        pdf = pdf[ok]
+        if len(pdf) < 2:
+            return empty
+        key = _java_order_key(pdf["id"], pdf["id"].iloc[0])
+        order = np.argsort(key.values, kind="stable")
+        keys = key.values[order]
+        ids = pdf["id"].values[order]
+        V = np.stack(list(pdf["__v"].values[order])).astype(np.float64)
+        n, d = V.shape
+        if norm:
+            nrm = np.sqrt(_seq(V * V))
+        # for row i (ascending id), eligible partners are strictly
+        # lower ids: positions [0, lt_i) — computed on the Java-order
+        # key so ties (equal ids) are excluded exactly like `a.id > b.id`
+        lt = np.searchsorted(keys, keys, side="left")
+        dup = np.zeros(n, dtype=bool)
+        lo, hi = thr - 1.1e-6, thr + 1.1e-6  # exact-check band
+
+        def decide(x):
+            # Spark round(x, 6) >= threshold, HALF_UP — exact replay
+            from decimal import ROUND_HALF_UP, Decimal
+            if x != x:  # NaN
+                return False
+            r = float(Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP))
+            return r >= thr
+
+        # tile so each (b, n, d) product tensor stays ~16 MB; the
+        # accumulate runs straight on the products (no zero-prepend:
+        # the JVM's 0.0 seed only changes the SIGN of an all-zero sum,
+        # and ±0.0 compare equal in every threshold decision)
+        tile = max(1, int(2_000_000 // max(n * d, 1)))
+        for i0 in range(1, n, tile):
+            i1 = min(i0 + tile, n)
+            rows = np.arange(i0, i1)[lt[i0:i1] > 0]
+            if not len(rows):
+                continue
+            if d == 0:
+                dots = np.zeros((len(rows), n))
+            else:
+                prod = V[rows][:, None, :] * V[None, :, :]   # (b, n, d)
+                dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+            if norm:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dots = dots / (nrm[rows][:, None] * nrm[None, :])
+            for bi, i in enumerate(rows):
+                cand = dots[bi, :lt[i]]
+                if (cand > hi).any():
+                    dup[i] = True
+                    continue
+                band = cand[(cand >= lo) & (cand <= hi)]
+                if len(band) and any(decide(float(x)) for x in band):
+                    dup[i] = True
+        return pd.DataFrame({"id": pd.Series(ids[dup],
+                                             dtype=pdf["id"].dtype)})
+
+    dups = (c.groupBy("cell")
+            .applyInPandas(find_dups, schema=f"id {id_ddl}"))
+    out = c.join(dups, "id", "left_anti").select("id", "cell")
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    c.unpersist()
+    return out
 
 
 def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,
@@ -265,16 +593,17 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,
     """Approximate k-NN: hyperplane buckets → exact cosine inside buckets.
 
     ``multiprobe=m`` also probes the m single-bit-flip neighbor buckets of
-    each query (recall boost without more planes). Returns
-    (query_id, id, cosine, rank) — rank within retrieved candidates.
+    each query (recall boost without more planes). Bucket bits and
+    re-rank cosines run Arrow-batched with exact-fold parity (module
+    docstring). Returns (query_id, id, cosine, rank) — rank within
+    retrieved candidates.
     """
+    bucket = _bucket_udf(_planes(dim, planes, seed))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__cv"),
-                      _bucket_col(F.col(vec_col), planes, seed, dim)
-                      .alias("bucket"))
+                      bucket(F.col(vec_col)).alias("bucket"))
     qb = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("__qv"),
-                        _bucket_col(F.col(vec_col), planes, seed, dim)
-                        .alias("bucket"))
+                        bucket(F.col(vec_col)).alias("bucket"))
     if multiprobe > 0:
         probes = F.array(
             F.col("bucket"),
@@ -285,8 +614,8 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,
     q = F.broadcast(qb)
     cand = c.join(q, "bucket").select(
         "query_id", "id",
-        F.round(_sim(F.col("__cv"), F.col("__qv"), assume_normalized), 6)
-        .alias("cosine"))
+        F.round(_pair_sim(F.col("__cv"), F.col("__qv"),
+                          assume_normalized), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (cand.dropDuplicates(["query_id", "id"])
             .withColumn("rank", F.row_number().over(w))

@@ -172,7 +172,10 @@ def test_embedding_dups_plan_is_bucketed_equi_join(spark):
     p = plan_of(pairs)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "bucket" in p                       # hyperplane-bucket equi-join
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # r6: bucket bits + pair cosines are Arrow-vectorized numpy kernels
+    # (exact-fold parity with the HOF formulation); never per-row Python
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p
 
 
 def test_ngram_jaccard_plan_hot_token_filter_broadcasts(spark, docs):
@@ -188,9 +191,11 @@ def test_ngram_jaccard_plan_hot_token_filter_broadcasts(spark, docs):
 
 
 def test_ivf_topk_plan_broadcast_probe_no_python(spark):
-    """IVF: cell assignment is a map-side JVM projection (no Python, no
-    shuffle of the corpus), the probe side broadcasts, candidates come
-    from an equi-join on the cell id — never a cartesian pairing."""
+    """IVF: cell assignment is a map-side pass (no shuffle of the
+    corpus), the probe side broadcasts, candidates come from an
+    equi-join on the cell id — never a cartesian pairing. r6: the
+    assignment + re-rank kernels are Arrow-vectorized numpy (exact-fold
+    parity with the JVM HOF formulation); never per-row Python."""
     from peri_spark.functions import ivf_topk, train_ivf_centroids
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cent = train_ivf_centroids(emb, "embedding", "vec_id", n_centroids=8,
@@ -198,7 +203,8 @@ def test_ivf_topk_plan_broadcast_probe_no_python(spark):
     q = emb.limit(5)
     top = ivf_topk(emb, q, "embedding", "vec_id", cent, k=3, nprobe=2)
     p = plan_of(top)
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
