@@ -56,7 +56,8 @@ AUTO_EXACT_MAX_ROWS = 5_000_000
 
 def robust_outliers(df: DataFrame, value_col: str,
                     group_col: str | None = None, threshold: float = 3.5,
-                    exact: bool | None = None) -> DataFrame:
+                    exact: bool | None = None,
+                    materialize: bool = True) -> DataFrame:
     """Flag rows whose median/MAD robust z-score exceeds ``threshold``.
 
     Returns the input rows plus ``median``, ``mad`` and ``robust_z``
@@ -81,28 +82,53 @@ def robust_outliers(df: DataFrame, value_col: str,
     localCheckpoint-materialized the moment they exist — without the cut,
     Catalyst re-executes the median aggregate (a full corpus pass) inside
     BOTH the MAD branch and the scoring branch (verified on the executed
-    plan: the percentile subtree appeared twice). Three pruned corpus
-    scans total — the minimum for median → MAD → score.
+    plan: the percentile subtree appeared twice).
+
+    ``materialize=True`` (default; round-6 optimization, guide §2.4)
+    additionally localCheckpoints the pruned ``(group, value)``
+    projection ONCE, so the median and MAD passes read the bounded
+    narrow frame instead of re-scanning the corpus — the win is largest
+    when ``value_col`` derives from a wide column (e.g.
+    ``length(content)``), where the old three-pass shape decoded the
+    heavy column three times. The scoring pass still needs the full
+    input rows, so it re-reads ``df`` — unless ``df`` is already
+    exactly the narrow projection, in which case every pass runs off
+    the materialized frame and the corpus is scanned once total.
+    ``materialize=False`` restores the scan-per-pass shape for callers
+    whose executors cannot hold the narrow column pair (it spills to
+    executor disk first).
     """
     v = F.col(value_col)
     nn = df.where(v.isNotNull())
-    if exact is None:
-        # limit-probe, not a full count: reading one row past the
-        # threshold answers "is it big" after at most 5M+1 rows — a
-        # full count() would scan the entire corpus just to pick the
-        # engine (the same pattern encode_tokens uses for its vocab)
-        probe = (nn.select(value_col).limit(AUTO_EXACT_MAX_ROWS + 1)
-                 .count())
-        exact = probe <= AUTO_EXACT_MAX_ROWS
     gcols = [group_col] if group_col else []
-    med = (nn.groupBy(*gcols).agg(_median(v, exact).alias("median"))
+    df_is_narrow = set(df.columns) == set(gcols + [value_col])
+    narrow = nn if df_is_narrow else nn.select(*gcols, value_col)
+    if materialize:
+        narrow = narrow.localCheckpoint(eager=True)
+    if exact is None:
+        if materialize:
+            # the narrow frame is materialized — its count is a cheap
+            # metadata-sized job, no corpus re-scan
+            exact = narrow.count() <= AUTO_EXACT_MAX_ROWS
+        else:
+            # limit-probe, not a full count: reading one row past the
+            # threshold answers "is it big" after at most 5M+1 rows — a
+            # full count() would scan the entire corpus just to pick
+            # the engine (the pattern encode_tokens uses for its vocab)
+            probe = (nn.select(value_col).limit(AUTO_EXACT_MAX_ROWS + 1)
+                     .count())
+            exact = probe <= AUTO_EXACT_MAX_ROWS
+    med = (narrow.groupBy(*gcols).agg(_median(v, exact).alias("median"))
            .localCheckpoint(eager=True))
-    with_med = (nn.join(F.broadcast(med), on=gcols) if gcols
-                else nn.crossJoin(F.broadcast(med)))
-    mad = (with_med
+    nmed = (narrow.join(F.broadcast(med), on=gcols) if gcols
+            else narrow.crossJoin(F.broadcast(med)))
+    mad = (nmed
            .groupBy(*[F.col(c) for c in gcols])
            .agg(_median(F.abs(v - F.col("median")), exact).alias("mad"))
            .localCheckpoint(eager=True))
+    score_base = narrow if (materialize and df_is_narrow) else nn
+    with_med = (score_base.join(F.broadcast(med), on=gcols) if gcols
+                else score_base.crossJoin(F.broadcast(med)))
     scored = (with_med.join(F.broadcast(mad), on=gcols) if gcols
               else with_med.crossJoin(F.broadcast(mad)))
     z = F.abs(v - F.col("median")) / (F.col("mad") * F.lit(_MAD_K))

@@ -59,10 +59,17 @@ def table_diff(left: DataFrame, right: DataFrame, keys: list[str],
         raise ValueError(f"table_diff: columns not in both frames: "
                          f"{sorted(set(missing))}")
 
+    # SHUFFLE_HASH hint on both sides (round-6; guide §3.1): the
+    # full-outer join degrades to sort-merge by default, paying a full
+    # sort of BOTH sides on wide string keys. A shuffled hash join
+    # skips both sorts; per-task build memory is one post-shuffle
+    # partition (AQE sizes those to the advisory target, and keys are
+    # expected unique per side), so the build fits wherever the
+    # reconciliation itself is feasible. Row-identical output.
     l = left.select(*keys, *compare_cols,
-                    F.lit(True).alias("__l")).alias("l")
+                    F.lit(True).alias("__l")).hint("shuffle_hash").alias("l")
     r = right.select(*keys, *compare_cols,
-                     F.lit(True).alias("__r")).alias("r")
+                     F.lit(True).alias("__r")).hint("shuffle_hash").alias("r")
     cond = None
     for k in keys:
         c: Column = F.col(f"l.{k}") == F.col(f"r.{k}")
@@ -121,10 +128,11 @@ def diff_rows(left: DataFrame, right: DataFrame, keys: list[str],
     if not compare_cols:
         raise ValueError("diff_rows: no shared non-key columns")
 
+    # same SHUFFLE_HASH choice as table_diff (see comment there)
     l = left.select(*keys, *compare_cols,
-                    F.lit(True).alias("__l")).alias("l")
+                    F.lit(True).alias("__l")).hint("shuffle_hash").alias("l")
     r = right.select(*keys, *compare_cols,
-                     F.lit(True).alias("__r")).alias("r")
+                     F.lit(True).alias("__r")).hint("shuffle_hash").alias("r")
     cond = None
     for k in keys:
         c: Column = F.col(f"l.{k}") == F.col(f"r.{k}")
