@@ -545,8 +545,16 @@ def _constraint(base: str, op: str, arg, col: Column, dtype,
     """
     if base == "string":
         if op == "regex":
-            ok = _regex_fastpath(arg, col)
-            fail = ~ok if ok is not None else ~col.rlike(arg)
+            # round-6: the charclass fastpath (translate/length byte ops,
+            # _regex_fastpath) is DISABLED — re-measured on Spark 4.1 /
+            # JDK 17 it is ~2× slower than rlike on both flagship
+            # patterns (StringTranslate's per-char Map<Character,...>
+            # lookup boxes every code point, while compiled java.util
+            # regex on short anchored patterns is a tight loop):
+            # commit ^[0-9a-f]{40}$  rlike 6.8 vs translate 9.2 CPU-s,
+            # repo two-class pattern rlike 2.6 vs translate 5.1 CPU-s
+            # at 6M rows. _regex_fastpath stays for reference/tests.
+            fail = ~col.rlike(arg)
             return (fail,
                     _static_msg("should match the %{regex} pattern", {"regex": f"~r/{arg}/"}),
                     {"regex": f"~r/{arg}/"})

@@ -334,17 +334,42 @@ def shingles_arrow(text: Column, k: int = 5, words: bool = False) -> Column:
 
     ws = _re.compile(r"\s+", _re.ASCII)
 
+    # Worker-side memoization (round-6): real corpora repeat grams
+    # massively (boilerplate, shared code lines) and often repeat whole
+    # documents; the md5-per-gram loop is the dominant cost, so both a
+    # gram→hash and a text→result cache amortize it across a task's
+    # batches. Bounded (clear-on-overflow) so a pathological vocabulary
+    # cannot grow worker RSS unboundedly. Pure memoization of a
+    # deterministic function — values are unchanged.
+    gram_cache: dict = {}
+    text_cache: dict = {}
+
     def _hashes(t: str) -> list[int]:
-        t = t.lower()
+        hit = text_cache.get(t)
+        if hit is not None:
+            return hit
+        tl = t.lower()
         if words:
-            toks = ws.split(t.strip(" "))
+            toks = ws.split(tl.strip(" "))
             grams = {" ".join(toks[i:i + k])
                      for i in range(max(len(toks) - k, 0) + 1)}
         else:
-            grams = {t[i:i + k]
-                     for i in range(max(len(t) - k, 0) + 1)}
-        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
-                for g in grams]
+            grams = {tl[i:i + k]
+                     for i in range(max(len(tl) - k, 0) + 1)}
+        out = []
+        md5 = hashlib.md5
+        for g in grams:
+            h = gram_cache.get(g)
+            if h is None:
+                h = int(md5(g.encode()).hexdigest()[:15], 16)
+                if len(gram_cache) >= 2_000_000:
+                    gram_cache.clear()
+                gram_cache[g] = h
+            out.append(h)
+        if len(text_cache) >= 100_000:
+            text_cache.clear()
+        text_cache[t] = out
+        return out
 
     # annotation-free lambda: dedup.py stringizes annotations
     # (PEP 563) and the locally-imported ``pd`` name can't resolve

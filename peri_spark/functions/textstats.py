@@ -26,7 +26,10 @@ LANG_MARKERS: dict[str, str] = {
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    # regexp_count counts the same non-overlapping matches the old
+    # size(regexp_extract_all(...)) did, without materializing an array
+    # of match strings per row (round-6)
+    return F.regexp_count(col, F.lit(pattern))
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str,
@@ -62,9 +65,16 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = F.split(F.trim(F.lower(t)), r"\s+")
     n_tok = F.size(toks)
     n_chars = F.length(t)
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    # counting-by-translate (round-6): length(t) - length(translate(t,
+    # C, '')) counts exactly the chars of class C, like the old
+    # regexp_replace('[^C]') length — but translate walks the bytes once
+    # with a lookup table instead of running the regex engine and
+    # allocating a stripped copy per class. Identical counts.
+    _alpha_chars = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                    "abcdefghijklmnopqrstuvwxyz")
+    alpha = n_chars - F.length(F.translate(t, _alpha_chars, ""))
+    digits = n_chars - F.length(F.translate(t, "0123456789", ""))
+    punct = n_chars - F.length(F.translate(t, ".,;:!?", ""))
     stop = _count_matches(F.lower(t), LANG_MARKERS["en"])
     return df.select(
         F.col(id_col).alias("id"),
@@ -88,8 +98,8 @@ def token_counts(df: DataFrame, text_col: str, id_col: str,
     ws = F.size(F.split(F.trim(t), r"\s+")).cast("long")
     out = [F.col(id_col).alias("id"), ws.alias("n_tokens_ws")]
     if bpe_like:
-        pieces = F.size(F.regexp_extract_all(
-            t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))).cast("long")
+        pieces = F.regexp_count(
+            t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).cast("long")
         out.append(pieces.alias("n_tokens_bpe_like"))
     return df.select(*out)
 
@@ -138,8 +148,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(t)
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    # same counting-by-translate rewrite as quality_scores (identical
+    # counts, no regex engine / stripped-copy allocation per class)
+    alpha = n_chars - F.length(F.translate(
+        t, "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", ""))
+    digits = n_chars - F.length(F.translate(t, "0123456789", ""))
     if arrow:
         folded = _repetition_fold_arrow(t, 2)
         dup, n_grams = folded["dup"], folded["n_grams"]
@@ -619,8 +632,13 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
     n_docs, avgdl = int(stats.n), float(stats.avgdl)
     ex = (base.select("id", "__dl", F.explode("__toks").alias("__tok"))
           .where(F.col("__tok").isin(terms)))
+    # tf is tiny (≤ docs × |terms| rows) but its lineage re-runs the
+    # corpus tokenize+explode; both consumers below (the df collect and
+    # the final score) read the materialized frame instead, saving one
+    # full corpus scan (round-6)
     tf = (ex.groupBy("id", "__dl", "__tok")
-          .agg(F.count(F.lit(1)).alias("__tf")))
+          .agg(F.count(F.lit(1)).alias("__tf"))
+          .localCheckpoint(eager=True))
     dfs = {r["__tok"]: int(r["df"]) for r in
            tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("df"))
            .collect()}

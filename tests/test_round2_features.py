@@ -325,15 +325,19 @@ def test_time_accepts_iso8601_suffixes(spark):
 
 
 def test_regex_fastpath_in_validate_plan(spark):
-    """The flagship-style schema compiles without RLike in the plan (the
-    allocation-heavy path), and unsupported patterns still use rlike."""
+    """r6: regex constraints compile to RLike again — re-measured on
+    Spark 4.1/JDK 17 the translate fastpath is ~2× slower than the
+    compiled-regex path on the flagship patterns (StringTranslate boxes
+    every code point through a Map<Character,Character>), so the
+    compiler no longer routes through _regex_fastpath. The fastpath
+    helper itself is retained with its parity tests above."""
     df = spark.createDataFrame([(1, "abc/def", "a" * 40)],
                                "id long, repo string, commit string")
     sch = {"repo": ("string", ("regex", r"^[\w.-]+/[\w.-]+$")),
            "commit": ("string", ("regex", r"^[0-9a-f]{40}$"))}
     res = ps.validate(df, sch, mode="permissive")
     plan = res.annotated._jdf.queryExecution().optimizedPlan().toString()
-    assert "rlike" not in plan.lower()
+    assert "rlike" in plan.lower()
     sch2 = {"repo": ("string", ("regex", r"^Customer#\d+$"))}
     res2 = ps.validate(df, sch2, mode="permissive")
     plan2 = res2.annotated._jdf.queryExecution().optimizedPlan().toString()
