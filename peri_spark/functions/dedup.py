@@ -391,39 +391,78 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_hashes: int = 64, k: int = 5,
                        words: bool = False, seed: int = 42,
                        hash_fn=None) -> DataFrame:
-    """(id, sig: array<long>[n_hashes]) MinHash signatures, fully JVM-side.
+    """(id, sig: array<long>[n_hashes]) MinHash signatures.
 
     h_i(x) = (a_i·x + b_i) mod M31 over the shingle-hash set; signature is
     the per-permutation minimum (map-side only; no shuffle).
-    """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
+    Execution (r6): shingle normalization + gram hashing stay JVM
+    expressions; the permutation minima run in ONE ``mapInArrow`` pass
+    that reads the Arrow ListArray's flat values+offsets buffers
+    directly. The previous pandas UDF paid a per-row ndarray
+    materialization on BOTH Arrow boundaries (measured ~30 CPU-s for
+    128K docs — more than the arithmetic); operating on the flat buffer
+    computes the whole batch's (n_hashes, total_grams) permutation
+    matrix in one numpy op and per-row minima via
+    ``np.minimum.reduceat``. Identical values (same int64 arithmetic,
+    min is order-free; a*x stays < 2^62, no overflow). Chunked so the
+    matrix stays ~500K grams (~256 MB at 64 hashes).
+    """
     a, b = _perm_coeffs(n_hashes, seed)
     sh = shingles_from_norm(F.col("__norm"), k, words, hash_fn)
-
-    # Permutation minima via Arrow-batched numpy broadcasting. The pure-HOF
-    # formulation (transform over 64 perms × transform over shingles) is
-    # semantically identical but ~300× slower: Spark HOFs are
-    # CodegenFallback, so every (a·x+b) mod M runs interpreted with boxing
-    # — measured 8 docs/s/core at 64 hashes. numpy does the (64, n_shingle)
-    # matrix in C; a*x stays < 2^62 (a, x%M < 2^31), no int64 overflow.
     an = np.asarray(a, dtype=np.int64)[:, None]
     bn = np.asarray(b, dtype=np.int64)[:, None]
+    nh = n_hashes
+    id_ddl = df.schema[id_col].dataType.simpleString()
 
-    def _sig_batch(shs):
-        out = []
-        for arr in shs:
-            x = (np.asarray(arr, dtype=np.int64) % _MERSENNE)[None, :]
-            out.append(((an * x + bn) % _MERSENNE).min(axis=1))
-        return pd.Series(out)
+    def _sig_gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for rb in batches:
+            # the empty/NULL-shingle filter lives HERE, not as a
+            # .where(size(__sh) > 0) before this operator: Catalyst
+            # pushes that filter through every projection down to the
+            # scan, substituting the gram AND normalization expressions
+            # into the condition — the grams then compute twice per row
+            # and the inlined normalization re-evaluates per gram
+            # (measured 32 CPU-s vs 6.6 for the projection alone)
+            col = rb.column(1)
+            mask = pc.and_(col.is_valid(),
+                           pc.greater(pc.list_value_length(col), 0))
+            if not pc.all(mask).as_py():
+                rb = rb.filter(mask)
+                col = rb.column(1)
+            n = rb.num_rows
+            if n == 0:
+                continue
+            lens = col.value_lengths().to_numpy().astype(np.int64)
+            flat = pa.compute.list_flatten(col).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            row_starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=row_starts[1:])
+            mins_rows = np.empty((n, nh), dtype=np.int64)
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and row_starts[j + 1] - row_starts[i] <= 500_000:
+                    j += 1
+                x = flat[row_starts[i]:row_starts[j]] % _MERSENNE
+                H = (an * x[None, :] + bn) % _MERSENNE
+                starts = (row_starts[i:j] - row_starts[i])
+                mins_rows[i:j] = np.minimum.reduceat(H, starts, axis=1).T
+                i = j
+            offsets = np.arange(0, (n + 1) * nh, nh, dtype=np.int32)
+            sig = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(mins_rows.reshape(-1), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays([rb.column(0), sig],
+                                             ["id", "sig"])
 
-    _sig = pandas_udf(_sig_batch, "array<long>")
     return (df.select(F.col(id_col).alias("id"),
                       shingle_norm(F.col(text_col), words).alias("__norm"))
             .select("id", sh.alias("__sh"))
-            .where(F.size("__sh") > 0)
-            .select("id", _sig("__sh").alias("sig")))
+            .mapInArrow(_sig_gen, f"id {id_ddl}, sig array<bigint>"))
 
 
 def _band_explode(sig_df: DataFrame, bands: int, hash_fn=None) -> DataFrame:
@@ -1037,17 +1076,21 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     doc per near-dup class). Only ids that appear in a pair are returned —
     unpaired corpus docs are their own singletons by definition.
 
-    Algorithm: hash-to-min label propagation. Each round joins the label
-    frame to the symmetrized edge list and takes
-    ``min(own label, neighbors' labels)``; rounds = graph diameter. For
-    dedup graphs this converges in a handful of rounds — LSH buckets emit
-    quasi-cliques (diameter 1-2), chains only arise from borderline
-    transitive near-dups. Each round is ONE shuffle of (node, label)
-    pairs, lineage is cut per round (localCheckpoint) so round N plans
-    against round N-1's materialized result, not a 2^N-deep join tree.
-    Convergence is detected with a changed-label count; ``max_iter``
-    bounds pathological chains (at which point the partial labels are
-    still a valid refinement — documented, not silent).
+    Algorithm: hash-to-min label propagation WITH pointer doubling
+    (round-6). Each round joins the label frame to the symmetrized edge
+    list, takes ``min(own label, neighbors' labels)``, then additionally
+    jumps each node to its label's label (``l ← min(l, l(l))``) via a
+    self-join of the (small) label frame — chains collapse in
+    O(log diameter) rounds instead of O(diameter), while each round
+    still shuffles the edge list once (the jump join only moves the
+    per-node label rows). The fixpoint is unchanged — every node ends on
+    its component minimum, so results are identical to the plain
+    propagation, just in fewer rounds (sf1 smoke: 9 → 5). Lineage is cut
+    per round (localCheckpoint) so round N plans against round N-1's
+    materialized result, not a 2^N-deep join tree. Convergence is
+    detected with a changed-label count; ``max_iter`` bounds
+    pathological chains (at which point the partial labels are still a
+    valid refinement — labels stay component members ≤ own id).
 
     One EXPENSIVE action per round (VERDICT r03 what's-wrong #4): the
     changed flag is computed inside the same join that produces the new
@@ -1078,10 +1121,21 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
                  .agg(F.min("label").alias("nlabel")))
         nlabel = F.least(F.col("old"),
                          F.coalesce(F.col("nlabel"), F.col("old")))
-        new = (labels.withColumnRenamed("label", "old")
-               .join(neigh, "id", "left")
-               .select("id", nlabel.alias("label"),
-                       (nlabel != F.col("old")).cast("long").alias("__chg"))
+        half = (labels.withColumnRenamed("label", "old")
+                .join(neigh, "id", "left")
+                .select("id", "old", nlabel.alias("mid")))
+        # pointer jump: follow the new label one more hop through the
+        # PREVIOUS round's checkpointed labels (a label is always a node
+        # id; using the materialized frame avoids re-executing the edge
+        # join that `half` hangs off). Labels only ever decrease toward
+        # the component minimum, so this is pure acceleration.
+        lk = labels.select(F.col("id").alias("mid"),
+                           F.col("label").alias("jlabel"))
+        jlabel = F.least(F.col("mid"),
+                         F.coalesce(F.col("jlabel"), F.col("mid")))
+        new = (half.join(lk, "mid", "left")
+               .select("id", jlabel.alias("label"),
+                       (jlabel != F.col("old")).cast("long").alias("__chg"))
                .localCheckpoint(eager=True))
         changed = new.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new.drop("__chg")
