@@ -78,3 +78,24 @@ def test_null_id_docs_outside_frequency_model(spark):
         min_line_chars=5).collect()}
     # doc-freq of the shared line is 1 (only doc 1 counts) -> not hot
     assert out[1].n_removed == 0
+
+
+def test_join_back_plan_hash_join_not_sort_merge(spark):
+    """r6: the join-back to the corpus must never pay a sort of the
+    text-bearing corpus rows — dense-regime plan is a shuffled hash
+    join (AQE upgrades it to broadcast when `affected` measures small
+    at runtime)."""
+    df = spark.createDataFrame(
+        [(i, "shared boilerplate line here\nunique %d" % i)
+         for i in range(40)], "doc_id long, text string")
+    out = dedup_lines_across_corpus(df, "text", "doc_id",
+                                    min_doc_freq=2, min_line_chars=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus join-back (on the document id) must be a hash join --
+    # never a sort of the text-bearing rows. The step-2 hot-set join is
+    # AQE's to upgrade at runtime and is not pinned here.
+    jb = [ln for ln in plan.splitlines()
+          if "Join" in ln and "doc_id" in ln]
+    assert jb, plan
+    assert all(("ShuffledHashJoin" in ln) or ("BroadcastHashJoin" in ln)
+               for ln in jb), plan
