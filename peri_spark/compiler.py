@@ -42,7 +42,8 @@ from .dsl import ColFn, Expr, Node, PandasFn, schema_registry, parse
 from .errors import content_json, format_template, inspect_value, summarize
 
 __all__ = ["compile_node", "compile_fields", "Compiled", "Ctx", "ErrorRef",
-           "VIOL_DDL", "AVIOL_DDL", "empty_viols", "TRANSFORM_REGISTRY"]
+           "VIOL_DDL", "AVIOL_DDL", "empty_viols", "TRANSFORM_REGISTRY",
+           "attach_count", "count_of"]
 
 VIOL_DDL = "struct<path:array<string>,key:string,message:string,content:string>"
 AVIOL_DDL = f"array<{VIOL_DDL}>"
@@ -245,14 +246,48 @@ def _as_array(item) -> Column:
     return item
 
 
+def attach_count(col: Column, count: Column) -> Column:
+    """Pin the violation-COUNT expression of a viols array onto the
+    Column wrapper (round-6). Counting consumers (the fused suite, any
+    ``size(viols)`` reduction) can then aggregate the pure-integer
+    expression and let Catalyst prune the array itself out of the plan
+    — no per-row struct/array allocation on the hot path. The count
+    expression mirrors the array construction EXACTLY, including NULL
+    propagation (size(NULL array) = NULL ⇔ a NULL term nulls the sum)."""
+    col._peri_count = count
+    return col
+
+
+def count_of(viols: Column) -> Column:
+    """Violation count of a viols array Column: the attached integer
+    twin when the builder recorded one, else ``F.size`` (always
+    correct, just materializes the array). NB: read via __dict__ —
+    plain getattr on a pyspark Column falls through to getField and
+    would fabricate a struct-field access."""
+    c = viols.__dict__.get("_peri_count")
+    return c if c is not None else F.size(viols)
+
+
+def _count_item(item) -> Column:
+    if isinstance(item, _Pending):
+        # size(when(cond, [s]).otherwise([])) — NULL cond takes the
+        # otherwise branch, hence coalesce to 0
+        return F.coalesce(item.cond.cast("int"), F.lit(0))
+    return count_of(item)
+
+
 def _collect(*items) -> Column:
     """Combine pending single violations and array columns into one array."""
     out = [_as_array(i) for i, _is_arr in items]
     if not out:
-        return empty_viols()
+        return attach_count(empty_viols(), F.lit(0))
+    counts = [_count_item(i) for i, _is_arr in items]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
     if len(out) == 1:
-        return out[0]
-    return F.concat(*out)
+        return attach_count(out[0], total)
+    return attach_count(F.concat(*out), total)
 
 
 def _static_msg(template: str, content: dict[str, str]) -> str:
@@ -621,6 +656,8 @@ def _c_required(node, col, dtype, ctx, mode):
     # required nil → only the required error (clause 825 precedes all others)
     viols = F.when(col.isNull(), F.array(req).cast(AVIOL_DDL)) \
              .otherwise(inner.viols)
+    viols = attach_count(viols, F.when(col.isNull(), F.lit(1))
+                         .otherwise(count_of(inner.viols)))
     return Compiled(inner.value, viols, inner.dtype)
 
 

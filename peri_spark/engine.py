@@ -30,9 +30,13 @@ from .dsl import Node, parse
 from .errors import InvalidSchemaError
 
 __all__ = ["validate", "conforms", "validate_column", "ValidationResult",
-           "VIOLATIONS_COLUMN"]
+           "VIOLATIONS_COLUMN", "VIOLATIONS_COUNT_COLUMN"]
 
 VIOLATIONS_COLUMN = "_violations"
+# lean mode only: the pure-integer violation count twin (round-6). A
+# counting consumer that reads THIS column instead of size(_violations)
+# lets Catalyst prune the struct-array column out of the plan entirely.
+VIOLATIONS_COUNT_COLUMN = "_violations_count"
 
 
 @dataclass
@@ -183,7 +187,11 @@ def validate(df: DataFrame, schema, mode: str = "strict",
             for o in outs:
                 if o.value is not None:
                     cols.append(o.value.alias(o.name))
-        annotated = df.select(*cols, viols.alias(VIOLATIONS_COLUMN))
+        sel = [*cols, viols.alias(VIOLATIONS_COLUMN)]
+        if lean:
+            from .compiler import count_of
+            sel.append(count_of(viols).alias(VIOLATIONS_COUNT_COLUMN))
+        annotated = df.select(*sel)
         return ValidationResult(annotated, df)
     # bare directive: validate the whole row as one value (struct)
     ctx = Ctx(root=lambda n: F.col(n), key="", path=())
@@ -210,8 +218,12 @@ def conforms(df: DataFrame, schema, mode: str = "strict") -> bool:
 
 
 def _concat_viols(cols: list[Column]) -> Column:
+    from .compiler import attach_count, count_of
     if not cols:
-        return empty_viols()
+        return attach_count(empty_viols(), F.lit(0))
     if len(cols) == 1:
         return cols[0]
-    return F.concat(*cols)
+    total = count_of(cols[0])
+    for c in cols[1:]:
+        total = total + count_of(c)
+    return attach_count(F.concat(*cols), total)

@@ -496,7 +496,13 @@ class ValidationSuite:
             ann = ann.join(F.broadcast(keys), fkl, "left")
             ref_flags.append((name, flag))
 
-        nviol = F.size(F.col(VIOLATIONS_COLUMN))
+        # lean annotated frames carry the pure-integer count twin —
+        # aggregating it (instead of size(_violations)) lets Catalyst
+        # prune the struct-array column out of the fused scan entirely
+        from .engine import VIOLATIONS_COUNT_COLUMN
+        nviol = (F.col(VIOLATIONS_COUNT_COLUMN)
+                 if VIOLATIONS_COUNT_COLUMN in ann.columns
+                 else F.size(F.col(VIOLATIONS_COLUMN)))
         sel = [F.col(c).alias(a) for c, a in zip(pcols, part_aliases)]
         sel.append(nviol.alias("__nv"))
         if self._drift:

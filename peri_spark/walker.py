@@ -203,9 +203,12 @@ def migration_impact(df, old_schema: dict, new_schema: dict):
     from .engine import _concat_viols
 
     def bad(schema):
+        from .compiler import count_of
         outs = compile_fields(parse(schema).args[0], df.schema,
                               "permissive", lean=True)
-        return F.size(_concat_viols([o.viols for o in outs])) > 0
+        # r6: aggregate the integer count twin — the struct-array never
+        # materializes in this counting-only plan
+        return count_of(_concat_viols([o.viols for o in outs])) > 0
     status = (F.when(~bad(old_schema) & ~bad(new_schema), "still_valid")
               .when(~bad(old_schema) & bad(new_schema), "newly_invalid")
               .when(bad(old_schema) & ~bad(new_schema), "newly_valid")

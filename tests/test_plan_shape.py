@@ -110,7 +110,14 @@ def test_lean_plan_is_much_smaller_than_full(spark, docs):
         "text": ("required", ("string", ("min", 1))),
         "lang": ("enum", ["en", "es", "de", "fr", "zh"]),
     }, mode="permissive", lean=True)
-    assert len(optimized_of(lean.annotated)) < len(optimized_of(full.annotated)) / 2
+    assert len(optimized_of(lean.annotated)) < len(optimized_of(full.annotated))
+    # counting consumers read the r6 integer twin column; selecting it
+    # alone prunes the struct-array entirely — THAT projection must be
+    # far smaller than the full tree (and contain no array/struct build)
+    from peri_spark.engine import VIOLATIONS_COUNT_COLUMN
+    cnt = optimized_of(lean.annotated.select(VIOLATIONS_COUNT_COLUMN))
+    assert len(cnt) < len(optimized_of(full.annotated)) / 2
+    assert "concat(" not in cnt
 
 
 def test_fused_suite_actual_plan(spark, docs):
@@ -150,7 +157,9 @@ def test_lsh_pairs_plan_bucket_join_no_row_python(spark, docs):
                                 release=False)
     p = plan_of(pairs)
     assert "BatchEvalPython" not in p          # no per-row Python
-    assert "ArrowEvalPython" in p              # vectorized signature UDF
+    # r6: the signature stage is a MapInArrow operator (flat-buffer
+    # numpy over the Arrow ListArray, no per-row pandas conversion)
+    assert "MapInArrow" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "band_hash" in p                    # bucket-keyed equi-join
