@@ -47,9 +47,15 @@ _DUCK_TYPE = {"s": "VARCHAR", "l": "BIGINT", "d": "DOUBLE"}
 # Composite rows must be NULL-free: the driver (and its local mirror)
 # sorts collected rows as tuples, and Python cannot order None against a
 # value — slot padding would poison every composite. NULLs (padding and
-# genuine member NULLs alike) therefore map to fixed out-of-band
-# sentinels, identically on both engines, so the comparison still sees
-# them as equal and nothing in-band can collide with them.
+# genuine member NULLs alike) therefore map to fixed sentinels,
+# identically on both engines, so the comparison still sees them as
+# equal. The string/double sentinels are practically out-of-band
+# (control-char prefix / subnormal-magnitude double); the long sentinel
+# is technically IN-band for a genuine BIGINT column — a member value
+# exactly equal to -(2^62)-1 (or a Spark-NULL vs DuckDB-sentinel
+# divergence at that value) would compare equal and mask a mismatch
+# (advice r5). Accepted: no member query legitimately produces it, and
+# both engines apply the same mapping.
 _NULL_S = "\x01<NULL>"
 _NULL_L = -4611686018427387905        # -(2^62) - 1
 _NULL_D = -1.112536929253601e308

@@ -122,18 +122,31 @@ def _scan_mp4_samples(payload: bytes) -> list[dict]:
             raise ValueError("stbl without stsz")
         body, end = r
         uniform, count = struct.unpack_from(">II", p, body)
+        # Untrusted declared counts are bounded against the payload
+        # BEFORE any expansion (advice r5): a crafted count near 2^32
+        # would otherwise allocate tens of GB / emit billions of rows
+        # instead of failing fast as a corrupt-table ValueError.
+        if count > len(p):
+            raise ValueError(
+                f"stsz sample count {count} exceeds payload size")
         if uniform:
             sizes = [uniform] * count
         else:
+            if body + 8 + 4 * count > end:
+                raise ValueError("stsz table exceeds its box")
             sizes = list(struct.unpack_from(f">{count}I", p, body + 8))
         # chunk offsets
         if b"stco" in tables:
             body, end = full(b"stco")
             (n,) = struct.unpack_from(">I", p, body)
+            if body + 4 + 4 * n > end:
+                raise ValueError("stco table exceeds its box")
             chunk_offsets = list(struct.unpack_from(f">{n}I", p, body + 4))
         elif b"co64" in tables:
             body, end = full(b"co64")
             (n,) = struct.unpack_from(">I", p, body)
+            if body + 4 + 8 * n > end:
+                raise ValueError("co64 table exceeds its box")
             chunk_offsets = list(struct.unpack_from(f">{n}Q", p, body + 4))
         else:
             raise ValueError("stbl without stco/co64")
@@ -143,6 +156,8 @@ def _scan_mp4_samples(payload: bytes) -> list[dict]:
             raise ValueError("stbl without stsc")
         body, end = r
         (n,) = struct.unpack_from(">I", p, body)
+        if body + 4 + 12 * n > end:
+            raise ValueError("stsc table exceeds its box")
         runs = [struct.unpack_from(">III", p, body + 4 + 12 * i)
                 for i in range(n)]
         # per-chunk samples_per_chunk, expanded across chunks
@@ -157,8 +172,15 @@ def _scan_mp4_samples(payload: bytes) -> list[dict]:
         if r is not None:
             body, end = r
             (n,) = struct.unpack_from(">I", p, body)
+            if body + 4 + 8 * n > end:
+                raise ValueError("stts table exceeds its box")
             for i in range(n):
                 cnt, d = struct.unpack_from(">II", p, body + 4 + 8 * i)
+                # total stts entries are bounded by the stsz sample
+                # count — a crafted run count cannot balloon the list
+                if len(deltas) + cnt > count:
+                    raise ValueError(
+                        "stts entry total exceeds stsz sample count")
                 deltas.extend([d] * cnt)
         # sync table
         sync: set[int] | None = None
@@ -166,6 +188,8 @@ def _scan_mp4_samples(payload: bytes) -> list[dict]:
         if r is not None:
             body, end = r
             (n,) = struct.unpack_from(">I", p, body)
+            if body + 4 + 4 * n > end:
+                raise ValueError("stss table exceeds its box")
             sync = set(struct.unpack_from(f">{n}I", p, body + 4))
 
         out = []

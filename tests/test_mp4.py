@@ -112,5 +112,44 @@ def test_scan_samples_truncated_table_raises_valueerror():
     i = p.find(b"stsz")
     # stsz body: ver/flags(4) uniform(4) count(4) — inflate the count
     struct.pack_into(">I", p, i + 4 + 8, 1000)
-    with pytest.raises(ValueError, match="corrupt MP4"):
+    # r6: the bounds guard now rejects the table before the unpack can
+    # hit the payload end — still the documented ValueError contract
+    with pytest.raises(ValueError, match="corrupt MP4|exceeds"):
         scan_mp4_samples(bytes(p))
+
+
+def test_crafted_giant_counts_fail_fast():
+    """r6 (advice r5): untrusted declared counts must raise ValueError
+    BEFORE any expansion — a stsz uniform count near 2^32 or an stts
+    run-count blowup must never allocate GB-sized lists."""
+    def patched(orig: bytes, needle: bytes, repl: bytes) -> bytes:
+        assert orig.count(needle) == 1
+        return orig.replace(needle, repl)
+
+    # uniform stsz with a ~4B sample count
+    good = _mp4(uniform=True)
+    bad = patched(good,
+                  _full(b"stsz", struct.pack(">II", 8, len(SIZES))),
+                  _full(b"stsz", struct.pack(">II", 8, 0xFFFF0000)))
+    with pytest.raises(ValueError, match="exceeds payload size"):
+        scan_mp4_samples(bad)
+
+    # stts whose single run claims far more entries than stsz samples
+    good = _mp4()
+    bad = patched(good,
+                  _full(b"stts", struct.pack(">III", 1, len(SIZES), 40)),
+                  _full(b"stts", struct.pack(">III", 1, 0x7FFFFFFF, 40)))
+    with pytest.raises(ValueError, match="exceeds stsz sample count"):
+        scan_mp4_samples(bad)
+
+    # stsc run count larger than its box
+    good = _mp4()
+    bad = patched(good,
+                  _full(b"stsc", struct.pack(">I", 2)
+                        + struct.pack(">III", 1, 2, 1)
+                        + struct.pack(">III", 2, 3, 1)),
+                  _full(b"stsc", struct.pack(">I", 0x01000000)
+                        + struct.pack(">III", 1, 2, 1)
+                        + struct.pack(">III", 2, 3, 1)))
+    with pytest.raises(ValueError, match="exceeds its box"):
+        scan_mp4_samples(bad)
