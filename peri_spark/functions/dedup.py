@@ -844,11 +844,12 @@ def embedding_duplicate_pairs(df: DataFrame, vec_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    from .similarity import _bucket_udf, _pair_sim, _planes
+    from .similarity import _pair_sim, _planes, _vec_annotate_arrow
 
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  _bucket_udf(_planes(64, planes, seed))(F.col(vec_col))
-                  .alias("bucket"))
+    b = _vec_annotate_arrow(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "bucket", np.asarray(_planes(64, planes, seed), dtype=np.float64),
+        "bucket")
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
         sized = b.withColumn("__bsz", F.count(F.lit(1)).over(w))

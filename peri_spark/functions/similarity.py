@@ -152,57 +152,80 @@ def _pair_sim(a: Column, b: Column, assume_normalized: bool) -> Column:
     return s["dot"] / (s["na"] * s["nb"])
 
 
-def _bucket_udf(planes: list[list[float]]):
-    """pandas UDF vec -> long: exact twin of ``_bucket_col`` (sign-bit
-    bucket id). NULL vec or length mismatch → every ``when`` is NULL →
-    bucket 0, matching the JVM expression."""
-    from pyspark.sql.functions import pandas_udf
-    _seq = _seq_dot_code()
-    P = np.asarray(planes, dtype=np.float64)      # (n_planes, dim)
-    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+def _vec_annotate_arrow(df: DataFrame, out_name: str,
+                        matrix: "np.ndarray", mode: str) -> DataFrame:
+    """Annotate a two-column (id, vec) frame with a per-row vector
+    statistic computed straight off the Arrow ListArray's flat
+    values+offsets buffers (round-6): no per-row pandas ndarray
+    materialization on either boundary — the whole batch's linear
+    algebra runs as a handful of numpy ops.
 
-    def _batch(v):
+    ``mode="cell"``: nearest-row-of-``matrix`` id (first-min argmin
+    over the exact sequential sqdist fold) — NULL for NULL vectors or
+    length mismatch, like the JVM formulation.
+    ``mode="bucket"``: sign-bit bucket over ``matrix`` rows as
+    hyperplanes — 0 for NULL/mismatch (every JVM ``when`` is NULL).
+
+    Fold-order note: the sums here omit the JVM's leading 0.0 seed;
+    that changes only the SIGN of an all-zero sum, and both argmin and
+    ``>= 0`` compare ±0.0 equal — decisions are bit-identical.
+    """
+    fields = df.schema.fields
+    assert len(fields) == 2, [f.name for f in fields]
+    id_f, vec_f = fields
+    out_t = "int" if mode == "cell" else "long"
+    out_ddl = (f"{id_f.name} {id_f.dataType.simpleString()}, "
+               f"{vec_f.name} {vec_f.dataType.simpleString()}, "
+               f"{out_name} {out_t}")
+    M = np.ascontiguousarray(matrix, dtype=np.float64)
+    kdim = M.shape[1]
+    weights = (1 << np.arange(M.shape[0], dtype=np.int64))
+
+    def gen(batches):
         import numpy as np
-        import pandas as pd
-        lens = v.map(lambda x: -1 if x is None else len(x))
-        out = np.zeros(len(v), dtype=np.int64)
-        ok = (lens == P.shape[1]).values
-        if ok.any():
-            V = np.stack(v.values[ok]).astype(np.float64)   # (m, dim)
-            bits = np.empty((len(V), len(P)), dtype=bool)
-            for i in range(len(P)):
-                bits[:, i] = _seq(V * P[i][None, :]) >= 0.0
-            out[ok] = bits @ weights
-        return pd.Series(out)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            col = rb.column(1)
+            lens = np.asarray(
+                col.value_lengths().fill_null(-1), dtype=np.int64)
+            valid = lens == kdim
+            m = int(valid.sum())
+            if m:
+                sub = col.filter(pa.array(valid))
+                flat = pc.list_flatten(sub).to_numpy(
+                    zero_copy_only=False).astype(np.float64, copy=False)
+                V = flat.reshape(m, kdim)
+            if mode == "cell":
+                out = np.full(n, None, dtype=object)
+                if m:
+                    D = np.empty((m, len(M)), dtype=np.float64)
+                    for k in range(len(M)):
+                        diff = V - M[k][None, :]
+                        D[:, k] = np.add.accumulate(
+                            diff * diff, axis=1)[:, -1] if kdim \
+                            else 0.0
+                    cells = np.argmin(D, axis=1)
+                    out[np.nonzero(valid)[0]] = cells
+                arr = pa.array(out.tolist(), type=pa.int32())
+            else:
+                out = np.zeros(n, dtype=np.int64)
+                if m:
+                    bits = np.empty((m, len(M)), dtype=bool)
+                    for k in range(len(M)):
+                        bits[:, k] = (np.add.accumulate(
+                            V * M[k][None, :], axis=1)[:, -1]
+                            if kdim else 0.0) >= 0.0
+                    out[np.nonzero(valid)[0]] = bits @ weights
+                arr = pa.array(out, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), arr],
+                [id_f.name, vec_f.name, out_name])
 
-    return pandas_udf(_batch, "long")
-
-
-def _assign_udf(centroids: list[list[float]]):
-    """pandas UDF vec -> int: exact twin of ``_ivf_assign`` (nearest-
-    centroid id, first-min tiebreak). NULL vec or length mismatch →
-    NULL cell (the JVM fold yields all-NULL distances)."""
-    from pyspark.sql.functions import pandas_udf
-    _seq = _seq_dot_code()
-    C = np.asarray(centroids, dtype=np.float64)   # (K, d)
-
-    def _batch(v):
-        import numpy as np
-        import pandas as pd
-        lens = v.map(lambda x: -1 if x is None else len(x))
-        ok = (lens == C.shape[1]).values
-        out = np.full(len(v), None, dtype=object)
-        if ok.any():
-            V = np.stack(v.values[ok]).astype(np.float64)   # (m, d)
-            D = np.empty((len(V), len(C)), dtype=np.float64)
-            for k in range(len(C)):
-                diff = V - C[k][None, :]
-                D[:, k] = _seq(diff * diff)
-            cells = np.argmin(D, axis=1)          # first-min, like JVM
-            out[ok] = cells
-        return pd.Series(out, dtype="Int32")
-
-    return pandas_udf(_batch, "int")
+    return df.mapInArrow(gen, out_ddl)
 
 
 def normalize_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
@@ -429,9 +452,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
     training-free LSH variant is preferable.
     Returns (query_id, id, cosine, rank).
     """
-    c = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).alias("__cv"),
-                      _assign_udf(centroids)(F.col(vec_col)).alias("cell"))
+    c = _vec_annotate_arrow(
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("__cv")),
+        "cell", np.asarray(centroids, dtype=np.float64), "cell")
     qb = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("__qv"),
                         F.explode(_ivf_probes(F.col(vec_col), centroids,
@@ -498,8 +522,9 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     thr = float(threshold)
     id_ddl = df.schema[id_col].dataType.simpleString()
 
-    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"),
-                  _assign_udf(centroids)(F.col(vec_col)).alias("cell"))
+    c = _vec_annotate_arrow(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+        "cell", np.asarray(centroids, dtype=np.float64), "cell")
     if eager:
         # the assignment pass feeds both the grouped kernel and the
         # survivor anti-join; persist it once, materialize the (small)
@@ -598,12 +623,13 @@ def hyperplane_lsh_topk(corpus: DataFrame, queries: DataFrame,
     docstring). Returns (query_id, id, cosine, rank) — rank within
     retrieved candidates.
     """
-    bucket = _bucket_udf(_planes(dim, planes, seed))
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__cv"),
-                      bucket(F.col(vec_col)).alias("bucket"))
-    qb = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("__qv"),
-                        bucket(F.col(vec_col)).alias("bucket"))
+    P = np.asarray(_planes(dim, planes, seed), dtype=np.float64)
+    c = _vec_annotate_arrow(
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("__cv")), "bucket", P, "bucket")
+    qb = _vec_annotate_arrow(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv")), "bucket", P, "bucket")
     if multiprobe > 0:
         probes = F.array(
             F.col("bucket"),
