@@ -74,9 +74,14 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     later step aggregates ITS type's rows joined to the matched-user
     frame from the previous step — a frame that only shrinks, which
     AQE broadcasts.  k steps = k aggregates over disjoint row subsets,
-    never a self-join of the full stream.  The result is ONE lazy plan
-    (a union of the per-step counts); shared step prefixes are
-    identical subtrees, which exchange reuse deduplicates.
+    never a self-join of the full stream.
+
+    Execution (r6): the step-filtered event set localCheckpoints ONCE
+    up front (it is bounded by the funnel-relevant rows, not the
+    stream) — without the cut, step k's matched-frame lineage re-ran
+    every earlier step's join against a fresh scan, O(k²) scans of the
+    source for a k-step funnel. The function is therefore eager at
+    call time (like ``bm25_topk``); results are unchanged.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -94,7 +99,8 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, type_col: str,
     ev = df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
                   & F.col(type_col).isin(steps)) \
         .select(F.col(user_col).alias("__u"), F.col(type_col).alias("__t"),
-                us.alias("__us"))
+                us.alias("__us")) \
+        .localCheckpoint(eager=True)
 
     def step_count(frame: DataFrame, step: str, idx: int) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).alias("n_users")).select(

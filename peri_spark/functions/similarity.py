@@ -31,8 +31,13 @@ left-to-right double sum seeded with 0.0, which numpy's
 ``np.add.accumulate`` over a zero-prepended product row replicates
 exactly (same IEEE operations in the same order — verified against the
 HOF path and the DuckDB oracle, whose ``list_sum`` folds the same way).
-The JVM HOF helpers are retained below both as the documentation of the
-semantics and for composition sites that stay plan-only.
+Corpus-side annotations (cell / bucket) additionally bypass pandas and
+read the Arrow ListArray's flat buffers directly
+(:func:`_vec_annotate_arrow`); the per-pair re-rank stays a pandas UDF
+because it lives inside join projections. The JVM HOF helpers are
+retained below both as the documentation of the semantics and for
+composition sites that stay plan-only (``cosine_topk_for_query``,
+``_ivf_probes`` on the tiny query side).
 """
 
 from __future__ import annotations
