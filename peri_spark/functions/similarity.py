@@ -114,11 +114,11 @@ def _pair_sim(a: Column, b: Column, assume_normalized: bool) -> Column:
     """Arrow-batched exact twin of ``_sim`` for joined pair columns.
 
     The UDF computes only the three folds (dot, ‖a‖, ‖b‖ — or 1.0 for
-    the normalized path); the division stays a JVM expression so the
-    IEEE corner cases (0/0 → NaN, x/0 → ±Inf) keep Spark's NaN-vs-NULL
-    semantics — the Arrow boundary would otherwise fold a genuine NaN
-    result into NULL. ``x / (1.0 * 1.0) == x`` exactly, so the
-    normalized path is still the plain dot."""
+    the normalized path); the division stays a JVM expression so its
+    corner behavior is exactly the HOF formulation's — including that
+    under Spark 4's ANSI default a zero norm raises DIVIDE_BY_ZERO in
+    BOTH formulations (tested). ``x / (1.0 * 1.0) == x`` exactly, so
+    the normalized path is still the plain dot."""
     from pyspark.sql.functions import pandas_udf
     _seq = _seq_dot_code()
     norm = not assume_normalized
